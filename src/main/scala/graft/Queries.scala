@@ -1,0 +1,570 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query registry (SURVEY.md §2 keys → Spark programs,
+  * each with a DuckDB oracle over the same parquet tables).
+  *
+  * Conventions (hash-compare safety):
+  *  - every query ends in an ORDER BY on a unique key combination, in
+  *    BOTH the Spark plan and the oracle SQL;
+  *  - aggregates over doubles are cast to DECIMAL(18,2) BEFORE summing
+  *    and the result cast back to a fixed decimal type, so Spark and
+  *    DuckDB produce bit-identical values regardless of partial-agg
+  *    ordering; raw double columns are projected untouched (bit-exact);
+  *  - every computed column is aliased identically on both sides.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------------
+  // §2.1/§2.2 — scans, projections, join shapes of the introspection SQL
+  // ---------------------------------------------------------------------
+
+  /** S4/S5: scan → filter → project (pushdown-friendly). */
+  private def scanProjectFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Q1: left outer join + correlated scalar subquery + coalesce
+    * (reference postgres.rs:50-88). Catalyst rewrites the correlated
+    * scalar subquery into an aggregate + left join.
+    */
+  private def leftJoinScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name,
+             coalesce(n.n_name, '') AS nation_name,
+             (SELECT max(o.o_totalprice) FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey) AS max_order
+      FROM v_customer c
+      LEFT JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+      ORDER BY c.c_custkey""")
+  }
+
+  /** Q2: inner join + filter + limit-1 idiom (postgres.rs:91-107);
+    * filter on a unique key keeps the limit deterministic.
+    */
+  private def joinFilterLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select(col("n_name"), col("r_name"))
+      .limit(1)
+
+  /** Q3/Q6: GROUP BY + ORDER-sensitive aggregation (string_agg ...
+    * ORDER BY / GROUP_CONCAT ... ORDER BY — postgres.rs:114,
+    * mysql.rs:75). Spark-native ordered collect: aggregate
+    * struct(sortkey, value), sort_array, then project — correct under
+    * shuffle, no UDAF (SURVEY.md §4.3).
+    */
+  private def groupedOrderedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+      // sort key must include the value itself to be deterministic.
+      .agg(concat_ws(",",
+        transform(
+          sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+          x => x.getField("l_partkey").cast("string"))).as("parts_csv"))
+      .orderBy("l_orderkey")
+
+  /** Q3's `IN (subquery)` → left-semi join (postgres.rs:127-131). */
+  private def semiJoinInSubquery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(
+        t(s, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  /** Q4/Q7: chained inner equi-joins + filter (postgres.rs:153-174). */
+  private def threeWayJoinFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"), col("n_name").as("nation_name"), col("r_name").as("region_name"))
+      .orderBy("c_custkey")
+
+  /** Q5: projection with computed boolean column (mysql.rs:42,63-65). */
+  private def projectBooleanExpr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderstatus") === "O").as("is_open"),
+        coalesce(col("o_orderpriority"), lit("")).as("priority"))
+      .orderBy("o_orderkey")
+
+  /** Q6: the reference's only top-level sort (mysql.rs:84-85). */
+  private def sortByKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_name"), col("p_partkey"))
+
+  // ---------------------------------------------------------------------
+  // §2.3 — the diff-engine operator shapes (D2-D18) over row data
+  // ---------------------------------------------------------------------
+
+  /** D2: presence check = left-anti join (check.rs:94-107): customers
+    * with no pending orders ("in base but not in target").
+    */
+  private def tableMissingAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** D3 extension: bidirectional diff = union of both EXCEPTs
+    * (background.rs:48-51 documents the reference as one-directional).
+    */
+  private def bidirectionalExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val fCust = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val pCust = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+    fCust.except(pCust).withColumn("side", lit("base_only"))
+      .unionByName(pCust.except(fCust).withColumn("side", lit("target_only")))
+      .orderBy("custkey", "side")
+  }
+
+  /** D4: composite-key left-anti join (check.rs:235-248): line items
+    * whose order is not an 'F'-status order.
+    */
+  private def columnMissingAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Key-adjacent self-join: pairs each row with its successor key —
+    * the diff engine's "same object, two snapshots" join shape, used by
+    * all attribute-mismatch checks below (check.rs:137-233).
+    */
+  private def adjacentOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.alias("a")
+    val b = o.alias("b")
+    a.join(b, col("b.o_orderkey") === col("a.o_orderkey") + 1)
+  }
+
+  /** D5: string-attribute inequality after equi-join (check.rs:137-152). */
+  private def columnTypeMismatch(s: SparkSession, dir: String): DataFrame =
+    adjacentOrders(s, dir)
+      .filter(col("a.o_orderstatus") =!= col("b.o_orderstatus"))
+      .select(col("a.o_orderkey").as("o_orderkey"),
+        col("a.o_orderstatus").as("base_status"),
+        col("b.o_orderstatus").as("target_status"))
+      .orderBy("o_orderkey")
+
+  /** D6: second string-attribute inequality shape (check.rs:154-169). */
+  private def columnCommentMismatch(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.alias("a").join(c.alias("b"), col("b.c_custkey") === col("a.c_custkey") + 1)
+      .filter(col("a.c_mktsegment") =!= col("b.c_mktsegment"))
+      .select(col("a.c_custkey").as("c_custkey"),
+        col("a.c_mktsegment").as("base_segment"),
+        col("b.c_mktsegment").as("target_segment"))
+      .orderBy("c_custkey")
+  }
+
+  /** D7: boolean-attribute inequality + when/otherwise rendering
+    * (check.rs:171-191).
+    */
+  private def columnNullableMismatch(s: SparkSession, dir: String): DataFrame =
+    adjacentOrders(s, dir)
+      .filter((col("a.o_totalprice") > 100000) =!= (col("b.o_totalprice") > 100000))
+      .select(col("a.o_orderkey").as("o_orderkey"),
+        when(col("a.o_totalprice") > 100000, "HIGH").otherwise("LOW").as("base_band"),
+        when(col("b.o_totalprice") > 100000, "HIGH").otherwise("LOW").as("target_band"))
+      .orderBy("o_orderkey")
+
+  /** D8: NULL-SAFE inequality (`<=>` negated / IS DISTINCT FROM) — the
+    * semantics fix over the reference's coalesce-to-'' (SURVEY.md §1.2).
+    */
+  private def columnDefaultMismatch(s: SparkSession, dir: String): DataFrame =
+    adjacentOrders(s, dir)
+      .filter(!(nullif(col("a.o_orderpriority"), lit("1-URGENT")) <=>
+                nullif(col("b.o_orderpriority"), lit("1-URGENT"))))
+      .select(col("a.o_orderkey").as("o_orderkey"),
+        col("a.o_orderpriority").as("base_priority"),
+        col("b.o_orderpriority").as("target_priority"))
+      .orderBy("o_orderkey")
+
+  /** D9: boolean-flag inequality (check.rs:210-233). */
+  private def columnAutoincMismatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.alias("a").join(e.alias("b"), col("b.event_id") === col("a.event_id") + 1)
+      .filter((col("a.event_type") === "click") =!= (col("b.event_type") === "click"))
+      .select(col("a.event_id").as("event_id"),
+        (col("a.event_type") === "click").as("base_is_click"),
+        (col("b.event_type") === "click").as("target_is_click"))
+      .orderBy("event_id")
+  }
+
+  /** D10: anti join keyed on a composite object identity
+    * (check.rs:326-338): (partkey, suppkey) pairs with no large part.
+    */
+  private def indexMissingAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(t(s, dir, "part").filter(col("p_size") > 25),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** D11: ORDERED array equality (check.rs:267-282) — per-key ordered
+    * column lists compared order-sensitively; Spark array =!= matches
+    * Vec<String> inequality exactly.
+    */
+  private def indexColumnsMismatch(s: SparkSession, dir: String): DataFrame = {
+    val idx = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+        x => x.getField("l_partkey")).as("cols"))
+    idx.alias("a").join(idx.alias("b"), col("b.l_orderkey") === col("a.l_orderkey") + 1)
+      .filter(col("a.cols") =!= col("b.cols")) // ordered comparison
+      .select(col("a.l_orderkey").as("l_orderkey"),
+        concat_ws(",", transform(col("a.cols"), x => x.cast("string"))).as("base_cols"),
+        concat_ws(",", transform(col("b.cols"), x => x.cast("string"))).as("target_cols"))
+      .orderBy("l_orderkey")
+  }
+
+  /** D12: string predicate inequality (check.rs:284-299). */
+  private def indexPredicateMismatch(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.alias("a").join(p.alias("b"), col("b.p_partkey") === col("a.p_partkey") + 1)
+      .filter(col("a.p_type") =!= col("b.p_type"))
+      .select(col("a.p_partkey").as("p_partkey"),
+        col("a.p_type").as("base_type"), col("b.p_type").as("target_type"))
+      .orderBy("p_partkey")
+  }
+
+  /** D13: uniqueness-flag inequality (check.rs:301-324). */
+  private def indexUniqueMismatch(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.alias("a").join(p.alias("b"), col("b.p_partkey") === col("a.p_partkey") + 1)
+      .filter((col("a.p_size") > 25) =!= (col("b.p_size") > 25))
+      .select(col("a.p_partkey").as("p_partkey"),
+        when(col("a.p_size") > 25, "UNIQUE").otherwise("NOT UNIQUE").as("base_uniqueness"),
+        when(col("b.p_size") > 25, "UNIQUE").otherwise("NOT UNIQUE").as("target_uniqueness"))
+      .orderBy("p_partkey")
+  }
+
+  /** D14: referential-integrity anti join (check.rs:382-394): orders
+    * whose customer is not in good standing ("FK target missing").
+    */
+  private def fkMissingAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer").filter(col("c_acctbal") >= 0),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+
+  /** D15: two-column STRUCT inequality (SelectColumn !=, check.rs:358-380). */
+  private def fkTargetMismatch(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.alias("a").join(l.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .filter(struct(col("a.l_partkey"), col("a.l_suppkey")) =!=
+              struct(col("b.l_partkey"), col("b.l_suppkey")))
+      .select(col("a.l_orderkey").as("l_orderkey"),
+        col("a.l_linenumber").as("l_linenumber"),
+        col("a.l_partkey").as("base_partkey"), col("a.l_suppkey").as("base_suppkey"),
+        col("b.l_partkey").as("target_partkey"), col("b.l_suppkey").as("target_suppkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** D17: i18n message projection via codegen'd format_string — both
+    * languages, no UDF (check.rs message blocks).
+    */
+  private def reportMessages(s: SparkSession, dir: String): DataFrame =
+    adjacentOrders(s, dir)
+      .filter(col("a.o_orderstatus") =!= col("b.o_orderstatus"))
+      .select(col("a.o_orderkey").as("o_orderkey"),
+        format_string("Column: orders.%s has different data type. => %s != %s",
+          col("a.o_orderkey"), col("a.o_orderstatus"), col("b.o_orderstatus")).as("message_en"),
+        format_string("Column: orders.%s의 데이터 타입이 다릅니다. => %s != %s",
+          col("a.o_orderkey"), col("a.o_orderstatus"), col("b.o_orderstatus")).as("message_ko"))
+      .orderBy("o_orderkey")
+
+  /** D18: per-group report accumulation — groupBy + deterministic
+    * ordered collect_list (check.rs:43-46,109-111).
+    */
+  private def reportGroupCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("o_orderkey"))), x => x.cast("string")))
+        .as("order_list"))
+      .orderBy("o_custkey")
+
+  /** S8/D19: JSON sink shape — to_json(struct(...)) rendering
+    * (background.rs:61-66).
+    */
+  private def reportJsonSink(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        to_json(struct(col("n_nationkey"), col("n_name"))).as("js"))
+      .orderBy("n_nationkey")
+
+  // ---------------------------------------------------------------------
+  // Engine extensions: aggregation / window / top-k / scalar fns
+  // (absent from the reference — §2.4 truth table — but first-class here)
+  // ---------------------------------------------------------------------
+
+  /** Hash aggregate with partial (map-side) + final phases. The money
+    * columns are doubles that are exact at 2 decimals, so we sum exact
+    * integer fixed-point (cents / basis-points) — bit-identical on both
+    * engines under ANY partial-agg order, unlike double or
+    * double→decimal sums.
+    */
+  private def hashAggPartialFinal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        // price_cents * (100 - discount_pct) = revenue in 1e-4 dollars
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** count(DISTINCT) — distinct aggregation (absent from reference). */
+  private def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  /** Top-k: global sort + limit → TakeOrderedAndProject (no full sort
+    * at scale).
+    */
+  private def limitTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Window functions: per-key top-N via row_number. */
+  private def windowTopkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Scalar function coverage: string, date, math, conditional —
+    * all whole-stage-codegen built-ins.
+    */
+  private def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        floor(col("o_totalprice")).cast("bigint").as("price_floor"),
+        length(col("o_orderpriority")).cast("int").as("pri_len"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_pri"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project_filter" -> scanProjectFilter _,
+    "left_join_scalar_subquery" -> leftJoinScalarSubquery _,
+    "join_filter_limit" -> joinFilterLimit _,
+    "grouped_ordered_agg" -> groupedOrderedAgg _,
+    "semi_join_in_subquery" -> semiJoinInSubquery _,
+    "three_way_join_filter" -> threeWayJoinFilter _,
+    "project_boolean_expr" -> projectBooleanExpr _,
+    "sort_by_key" -> sortByKey _,
+    "table_missing_anti_join" -> tableMissingAntiJoin _,
+    "bidirectional_except" -> bidirectionalExcept _,
+    "column_missing_anti_join" -> columnMissingAntiJoin _,
+    "column_type_mismatch" -> columnTypeMismatch _,
+    "column_comment_mismatch" -> columnCommentMismatch _,
+    "column_nullable_mismatch" -> columnNullableMismatch _,
+    "column_default_mismatch" -> columnDefaultMismatch _,
+    "column_autoinc_mismatch" -> columnAutoincMismatch _,
+    "index_missing_anti_join" -> indexMissingAntiJoin _,
+    "index_columns_mismatch" -> indexColumnsMismatch _,
+    "index_predicate_mismatch" -> indexPredicateMismatch _,
+    "index_unique_mismatch" -> indexUniqueMismatch _,
+    "fk_missing_anti_join" -> fkMissingAntiJoin _,
+    "fk_target_mismatch" -> fkTargetMismatch _,
+    "report_messages" -> reportMessages _,
+    "report_group_collect" -> reportGroupCollect _,
+    "report_json_sink" -> reportJsonSink _,
+    "hash_agg_partial_final" -> hashAggPartialFinal _,
+    "distinct_agg" -> distinctAgg _,
+    "limit_topk" -> limitTopk _,
+    "window_topk_per_key" -> windowTopkPerKey _,
+    "scalar_functions" -> scalarFunctions _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "left_join_scalar_subquery" ->
+      """SELECT c.c_custkey, c.c_name, coalesce(n.n_name, '') AS nation_name,
+         (SELECT max(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+         FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+         ORDER BY c.c_custkey""",
+    "join_filter_limit" ->
+      """SELECT n_name, r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE n.n_name = 'NATION_7' LIMIT 1""",
+    "grouped_ordered_agg" ->
+      """SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts_csv
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "semi_join_in_subquery" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+         ORDER BY s_suppkey""",
+    "three_way_join_filter" ->
+      """SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'EUROPE' ORDER BY c.c_custkey""",
+    "project_boolean_expr" ->
+      """SELECT o_orderkey, (o_orderstatus = 'O') AS is_open,
+         coalesce(o_orderpriority, '') AS priority
+         FROM orders ORDER BY o_orderkey""",
+    "sort_by_key" ->
+      """SELECT p_partkey, p_name FROM part ORDER BY p_name, p_partkey""",
+    "table_missing_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "bidirectional_except" ->
+      """SELECT custkey, side FROM (
+           SELECT custkey, 'base_only' AS side FROM
+             (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+           UNION ALL
+           SELECT custkey, 'target_only' AS side FROM
+             (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+              EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         ) ORDER BY custkey, side""",
+    "column_missing_anti_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+         ORDER BY l_orderkey, l_linenumber""",
+    "column_type_mismatch" ->
+      """SELECT a.o_orderkey, a.o_orderstatus AS base_status, b.o_orderstatus AS target_status
+         FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+         WHERE a.o_orderstatus <> b.o_orderstatus ORDER BY a.o_orderkey""",
+    "column_comment_mismatch" ->
+      """SELECT a.c_custkey, a.c_mktsegment AS base_segment, b.c_mktsegment AS target_segment
+         FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+         WHERE a.c_mktsegment <> b.c_mktsegment ORDER BY a.c_custkey""",
+    "column_nullable_mismatch" ->
+      """SELECT a.o_orderkey,
+         CASE WHEN a.o_totalprice > 100000 THEN 'HIGH' ELSE 'LOW' END AS base_band,
+         CASE WHEN b.o_totalprice > 100000 THEN 'HIGH' ELSE 'LOW' END AS target_band
+         FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+         WHERE (a.o_totalprice > 100000) <> (b.o_totalprice > 100000)
+         ORDER BY a.o_orderkey""",
+    "column_default_mismatch" ->
+      """SELECT a.o_orderkey, a.o_orderpriority AS base_priority, b.o_orderpriority AS target_priority
+         FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+         WHERE nullif(a.o_orderpriority, '1-URGENT') IS DISTINCT FROM nullif(b.o_orderpriority, '1-URGENT')
+         ORDER BY a.o_orderkey""",
+    "column_autoinc_mismatch" ->
+      """SELECT a.event_id, (a.event_type = 'click') AS base_is_click,
+         (b.event_type = 'click') AS target_is_click
+         FROM events a JOIN events b ON b.event_id = a.event_id + 1
+         WHERE (a.event_type = 'click') <> (b.event_type = 'click')
+         ORDER BY a.event_id""",
+    "index_missing_anti_join" ->
+      """SELECT l_partkey, l_suppkey FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+         WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size > 25)
+         ORDER BY l_partkey, l_suppkey""",
+    "index_columns_mismatch" ->
+      """WITH idx AS (
+           SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS cols
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT a.l_orderkey, a.cols AS base_cols, b.cols AS target_cols
+         FROM idx a JOIN idx b ON b.l_orderkey = a.l_orderkey + 1
+         WHERE a.cols <> b.cols ORDER BY a.l_orderkey""",
+    "index_predicate_mismatch" ->
+      """SELECT a.p_partkey, a.p_type AS base_type, b.p_type AS target_type
+         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+         WHERE a.p_type <> b.p_type ORDER BY a.p_partkey""",
+    "index_unique_mismatch" ->
+      """SELECT a.p_partkey,
+         CASE WHEN a.p_size > 25 THEN 'UNIQUE' ELSE 'NOT UNIQUE' END AS base_uniqueness,
+         CASE WHEN b.p_size > 25 THEN 'UNIQUE' ELSE 'NOT UNIQUE' END AS target_uniqueness
+         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+         WHERE (a.p_size > 25) <> (b.p_size > 25) ORDER BY a.p_partkey""",
+    "fk_missing_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+           WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
+         ORDER BY o_orderkey""",
+    "fk_target_mismatch" ->
+      """SELECT a.l_orderkey, a.l_linenumber, a.l_partkey AS base_partkey, a.l_suppkey AS base_suppkey,
+         b.l_partkey AS target_partkey, b.l_suppkey AS target_suppkey
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+         WHERE (a.l_partkey, a.l_suppkey) <> (b.l_partkey, b.l_suppkey)
+         ORDER BY a.l_orderkey, a.l_linenumber""",
+    "report_messages" ->
+      """SELECT a.o_orderkey,
+         'Column: orders.' || CAST(a.o_orderkey AS VARCHAR) || ' has different data type. => '
+           || a.o_orderstatus || ' != ' || b.o_orderstatus AS message_en,
+         'Column: orders.' || CAST(a.o_orderkey AS VARCHAR) || '의 데이터 타입이 다릅니다. => '
+           || a.o_orderstatus || ' != ' || b.o_orderstatus AS message_ko
+         FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+         WHERE a.o_orderstatus <> b.o_orderstatus ORDER BY a.o_orderkey""",
+    "report_group_collect" ->
+      """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_list
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "report_json_sink" ->
+      """SELECT n_nationkey,
+         '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}' AS js
+         FROM nation ORDER BY n_nationkey""",
+    "hash_agg_partial_final" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "window_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+         upper(substr(o_orderpriority, 1, 3)) AS pri3,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+         CAST(length(o_orderpriority) AS INT) AS pri_len,
+         o_orderstatus || '/' || o_orderpriority AS status_pri
+         FROM orders ORDER BY o_orderkey""",
+  )
+}

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.diff.{Diff, DiffOptions, Report}
+import graft.schema.Snapshot
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: schema-diff two "databases" (the sf0.001 parquet dir vs a
+    * deterministically drifted copy of its own snapshot) and emit the
+    * per-table report — the reference's `magiceye run` pipeline as one
+    * Catalyst DAG. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val base = Snapshot.fromParquetDir(spark, "/root/testdata/sf0.001")
+    // Synthetic drift: drop table `region`, drop column `l_comment`-like
+    // (o_orderpriority), retype l_quantity — the three headline finding kinds.
+    val target = base.copy(
+      tables = base.tables.filter(col("table_name") =!= "region"),
+      columns = base.columns
+        .filter(!(col("table_name") === "orders" && col("column_name") === "o_orderpriority"))
+        .withColumn("data_type",
+          when(col("table_name") === "lineitem" && col("column_name") === "l_quantity",
+            lit("decimal(12,2)")).otherwise(col("data_type"))))
+    Report.fromFindings(Diff.diff(base, target, DiffOptions()))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.diff.{CheckType, Diff, DiffOptions, Report}
+import graft.diff.Messages.{English, Korean}
+import graft.schema.Snapshot
+
+/** CLI — the reference's `magiceye run` re-expressed over Spark
+  * (reference src/main.rs:13-22, src/action/run.rs). The `init` TUI
+  * wizard (reference src/action/init.rs) is replaced by plain flags: the
+  * engine is a library first, and connection/config wiring is driver
+  * configuration, not cluster work.
+  *
+  * Usage:
+  *   graft.cli.Main diff <baseDir> <targetDir> [--lang en|ko]
+  *     [--bidirectional] [--ignore check1,check2] [--out <dir>]
+  *   graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql
+  *     [same flags]
+  *
+  * `diff` treats each directory of parquet files as a database
+  * (schema-from-footer, [[graft.schema.Snapshot.fromParquetDir]]);
+  * `diff-jdbc` introspects two live databases set-orientedly
+  * ([[graft.schema.Snapshot.fromJdbc]], 4 catalog reads per snapshot
+  * instead of the reference's 1+4N round trips).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName("magiceyespark")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); usage(); sys.exit(2)
+    }
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "diff" :: base :: target :: flags =>
+      require(new java.io.File(base).isDirectory, s"not a directory: $base")
+      require(new java.io.File(target).isDirectory, s"not a directory: $target")
+      val opts = parseFlags(flags)
+      emit(
+        Report.fromFindings(Diff.diff(
+          Snapshot.fromParquetDir(spark, base),
+          Snapshot.fromParquetDir(spark, target), opts.diff)),
+        opts)
+    case "diff-jdbc" :: base :: target :: flags =>
+      val opts = parseFlags(flags)
+      val dialect = opts.dialect.getOrElse(
+        throw new IllegalArgumentException("diff-jdbc requires --dialect postgres|mysql"))
+      emit(
+        Report.fromFindings(Diff.diff(
+          Snapshot.fromJdbc(spark, base, dialect),
+          Snapshot.fromJdbc(spark, target, dialect), opts.diff)),
+        opts)
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
+  }
+
+  private case class CliOptions(
+      diff: DiffOptions = DiffOptions(),
+      out: Option[String] = None,
+      dialect: Option[graft.dialect.Dialect] = None)
+
+  private def parseFlags(flags: List[String]): CliOptions = flags match {
+    case Nil => CliOptions()
+    case "--lang" :: v :: rest =>
+      val lang = v match {
+        case "en" => English
+        case "ko" => Korean
+        case _ => throw new IllegalArgumentException(s"--lang must be en|ko, got: $v")
+      }
+      parseFlags(rest).transformDiff(_.copy(language = lang))
+    case "--bidirectional" :: rest =>
+      parseFlags(rest).transformDiff(_.copy(bidirectional = true))
+    case "--ignore" :: v :: rest =>
+      val checks = v.split(",").map(_.trim).filter(_.nonEmpty).map { name =>
+        CheckType.values.find(_.toString.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown check type: $name (valid: ${CheckType.values.mkString(", ")})"))
+      }.toSet
+      parseFlags(rest).transformDiff(_.copy(ignore = checks))
+    case "--strict-null-defaults" :: rest =>
+      parseFlags(rest).transformDiff(_.copy(strictNullDefaults = true))
+    case "--dialect" :: v :: rest =>
+      val d = v match {
+        case "postgres" => graft.dialect.Postgres
+        case "mysql" => graft.dialect.MySql
+        case _ => throw new IllegalArgumentException(s"--dialect must be postgres|mysql, got: $v")
+      }
+      parseFlags(rest).copy(dialect = Some(d))
+    case "--out" :: v :: rest => parseFlags(rest).copy(out = Some(v))
+    case f :: _ => throw new IllegalArgumentException(s"unknown flag: $f")
+  }
+
+  private implicit class RichCli(o: CliOptions) {
+    def transformDiff(f: DiffOptions => DiffOptions): CliOptions = o.copy(diff = f(o.diff))
+  }
+
+  private def emit(report: org.apache.spark.sql.DataFrame, opts: CliOptions): Unit =
+    opts.out match {
+      case Some(dir) =>
+        val path = Report.writeJsonFile(report, dir)
+        println(s"report written: $path")
+      case None =>
+        println(Report.toJsonString(report))
+    }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.cli.Main diff <baseDir> <targetDir> [flags]
+      |       graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql [flags]
+      |flags: --lang en|ko  --bidirectional  --ignore c1,c2  --strict-null-defaults  --out <dir>
+      |check types: CommentOfColumn, CommentOfTable, TypeOfColumn, IndexOfTable""".stripMargin)
+}
