@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-layer query registry: the training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal, event
+  * analytics) wired to the driver contract, each with a DuckDB oracle
+  * that re-derives the same result independently (same md5-based
+  * hashing, same integer fixed-point math — see
+  * [[graft.ext.TextPrimitives]] for why results are bit-identical).
+  *
+  * Near-dup corpora: the testdata has no duplicate documents, so the
+  * dedup queries build a corpus of documents ∪ perturbed copies
+  * (doc_id + 1,000,000; exact copy for exact dedup, last-2-words-dropped
+  * for near-dup) — constructed identically on both engines, so the
+  * operators are exercised against KNOWN planted duplicates.
+  */
+object ExtQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  /** documents ∪ exact copies at doc_id+1e6. */
+  private def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (last two words dropped) at doc_id+1e6. */
+  private def corpusWithNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+  }
+
+  // SQL fragments shared by the oracles.
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+  private val nearCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000,
+              array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
+  private val shinglesSql = // over a relation with (doc_id, text)
+    """SELECT doc_id,
+              [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)"""
+  private def mhSql(seed: Int) = s"list_min([md5('$seed|' || x) FOR x IN sh])"
+  private def bandSql(firstSeed: Int) =
+    (firstSeed until firstSeed + 3).map(mhSql).mkString(" || ")
+  private val jaccardSql = // over (ash, bsh)
+    """CAST(len(list_distinct(ash)) + len(list_distinct(bsh))
+            - len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)"""
+  private val quantSql =
+    "SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q FROM embeddings"
+  private def qcosSql(a: String, b: String) =
+    s"""CAST(list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE)
+        / (sqrt(CAST(list_sum([$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE))
+           * sqrt(CAST(list_sum([$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]) AS DOUBLE)))"""
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(corpusWithCopies(s, dir)).orderBy("keep_id")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(corpusWithNearCopies(s, dir)).orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashBuckets(corpusWithNearCopies(s, dir)).orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, blockCols = Seq("lang", "source"))
+        .orderBy("a_id", "b_id")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("a_id", "b_id")),
+
+    "knn_bruteforce_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "knn_lsh_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, bits = 8)
+        .orderBy("q_id", "rank")
+    }),
+
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_language_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featuresFromDocuments(t(s, dir, "documents"))(s).orderBy("doc_id")),
+
+    "events_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events")).orderBy("user_id", "session_id")),
+
+    "events_window_agg" -> ((s, dir) =>
+      Events.windowAgg(t(s, dir, "events")).orderBy("window_start_us", "event_type")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH corpus AS ($corpusSql)
+         SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM corpus GROUP BY md5(text) ORDER BY keep_id""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         scored AS (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    "dedup_simhash" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))
+         SELECT doc_id, simhash,
+                CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+         FROM sig ORDER BY doc_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, lang, source,
+             [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents))
+         SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY a_id, b_id""",
+
+    "dedup_embedding_cosine" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, cosine FROM scored
+         WHERE cosine > 0.4 ORDER BY a_id, b_id""",
+
+    "knn_bruteforce_cosine" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN (SELECT * FROM q WHERE vec_id < 8) qs
+             ON qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cosine, rank FROM ranked
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "knn_lsh_bucketed" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN (SELECT * FROM q WHERE vec_id < 8) qs
+             ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, bucket, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, bucket, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+         CAST(length(text) AS INT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality_score" ->
+      """WITH c AS (
+           SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','in','to','is'))) AS n_stopwords,
+             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+             length(text) AS n_chars
+           FROM documents)
+         SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_stopwords AS INT) AS n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+             + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2
+             AS quality_score
+         FROM c ORDER BY doc_id""",
+
+    "text_language_id" ->
+      """WITH s AS (
+           SELECT doc_id, lang AS labeled_lang,
+             (length(text) - length(replace(text, 'th', '')))
+               + (length(text) - length(replace(text, 'he', ''))) AS score_en,
+             (length(text) - length(replace(text, 'ch', '')))
+               + (length(text) - length(replace(text, 'ei', ''))) AS score_de,
+             (length(text) - length(replace(text, 'os', '')))
+               + (length(text) - length(replace(text, 'ar', ''))) AS score_es,
+             (length(text) - length(replace(text, 'zh', '')))
+               + (length(text) - length(replace(text, 'ng', ''))) AS score_zh
+           FROM documents)
+         SELECT doc_id, labeled_lang,
+           CAST(score_en AS BIGINT) AS score_en, CAST(score_de AS BIGINT) AS score_de,
+           CAST(score_es AS BIGINT) AS score_es, CAST(score_zh AS BIGINT) AS score_zh,
+           CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+                WHEN score_es >= score_zh THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+         FROM s ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      """WITH sh AS (
+           SELECT doc_id, text,
+             [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+         SELECT doc_id, md5(text) AS content_md5,
+                coalesce(list_min([md5('0|' || x) FOR x IN sh]), '') AS min_shingle_hash
+         FROM sh ORDER BY doc_id""",
+
+    "multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5,
+         CAST(length(text) % 640 AS INT) AS decoded_w,
+         CAST(length(text) % 480 AS INT) AS decoded_h
+         FROM documents ORDER BY doc_id""",
+
+    "events_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         l AS (
+           SELECT *, CASE
+             WHEN lag(ts_us) OVER w IS NULL THEN 1
+             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (
+           SELECT *, CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM l)
+         SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(ts_us) AS BIGINT) AS start_us,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           CAST(sum(value_cents) AS BIGINT) AS value_cents
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "events_window_agg" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events)
+         SELECT CAST(ts_us - (ts_us % 300000000) AS BIGINT) AS window_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(value_cents) AS BIGINT) AS value_cents
+         FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+  )
+}

@@ -28,10 +28,13 @@ object SparkEntry {
     Report.fromFindings(Diff.diff(base, target, DiffOptions()))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator: SURVEY.md §2 parity keys
+    * ([[Queries]]) + the dataset-scale extension layer ([[ExtQueries]]:
+    * dedup, similarity search, text analysis, multimodal, events). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ ExtQueries.oracles
 }

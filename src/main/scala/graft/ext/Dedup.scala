@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextPrimitives._
+
+/** Dataset-scale deduplication operators — the diff engine's presence/
+  * equality primitives (SURVEY.md §2.3) generalized to row data, as a
+  * large-scale training-data pipeline needs them.
+  *
+  * Scale design (the 100 TB story):
+  *  - [[exact]] is a single hash aggregation on a 128-bit content hash —
+  *    one shuffle keyed by the hash, map-side partial aggregation, no
+  *    row text ever shuffled (only hash + id).
+  *  - [[minhashLsh]] is the shingle→minhash→band→bucket-join pipeline:
+  *    candidate generation is an equi-join on (band_id, signature), i.e.
+  *    ONE shuffle of (sig, doc_id) pairs — never the O(n²) cross join.
+  *    Bucket skew (a degenerate signature shared by millions of docs)
+  *    is the classic hazard: cap bucket width upstream or let AQE
+  *    skew-join splitting handle it.
+  *  - [[simhashBuckets]] groups by a 16-bit signature — one shuffle of
+  *    (signature, id); near-identical docs collide, Hamming-adjacent
+  *    buckets can be probed by re-grouping on signature variants.
+  *  - [[ngramJaccardPairs]] is the quadratic verifier — only ever run it
+  *    WITHIN small blocks (a blocking key) or on LSH candidates.
+  *  - [[embeddingNearDups]] brute-forces cosine over blocked pairs; the
+  *    scale path is [[Similarity.lshTopK]]'s sign-bucket partitioning.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(text); keep the minimum id as the
+    * canonical representative, count the copies. `keep_id` selection via
+    * min() makes the representative deterministic under any partitioning.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup pairs.
+    *
+    * @param k          shingle width (words)
+    * @param bands      number of LSH bands
+    * @param rowsPerBand minhashes per band (bands*rowsPerBand hashes total)
+    * @param threshold  final Jaccard cut applied to verified candidates
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("text"),
+      shingles(tokens(col("text")), k).as("sh"))
+
+    // (doc, band_id, signature) — the only thing that shuffles.
+    val sigs = sh.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b => band(col("sh"), b * rowsPerBand, rowsPerBand)): _*))
+        .as(Seq("band_id", "sig")))
+
+    // bucket join: same band + same signature, lower id on the left;
+    // distinct collapses pairs that collide in several bands.
+    val cand = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    // verify candidates with true shingle-set Jaccard.
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash buckets: per-doc 16-bit signature + how many documents
+    * share it. bucket_size > 1 flags near-dup clusters.
+    */
+  def simhashBuckets(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      simhash16(tokens(col("text"))).as("simhash"))
+    sig.withColumn("bucket_size",
+      count(lit(1)).over(Window.partitionBy("simhash")))
+  }
+
+  /** All-pairs n-gram Jaccard WITHIN blocks: the quadratic scorer,
+    * bounded by a blocking key (here the caller pre-groups; pairs are
+    * generated per equal `blockCols` value). At scale the block is an
+    * LSH bucket or a (lang, source)-style partition small enough to
+    * square.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, blockCols: Seq[String]): DataFrame = {
+    val sh = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+ shingles(tokens(col("text")), k).as("sh"): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    sh.alias("a").join(sh.alias("b"), joinCond)
+      .select(
+        blockCols.map(c => col(s"a.$c").as(c)) ++
+          Seq(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            jaccard(col("a.sh"), col("b.sh")).as("jaccard")): _*)
+  }
+
+  /** Embedding near-dup pairs: exact quantized cosine over all id-ordered
+    * pairs, keep those above `threshold`. Brute force — the O(n²)
+    * baseline; see [[Similarity]] for the bucketed scale path.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    q.alias("a").join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        qcosine(col("a.q"), col("b.q")).as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+}

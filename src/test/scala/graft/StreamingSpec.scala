@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+/** Structured Streaming specs: the streaming twins of the batch event
+  * analytics, driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Long, user: Long, value: Double): Event =
+    Event(id, new Timestamp(minute * 60000L), user, "click", value)
+
+  test("windowed counts aggregate a stream with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.windowedCounts(in.toDF(), windowMinutes = 5)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(ev(1, 0, 1, 1.0), ev(2, 3, 1, 2.0), ev(3, 7, 2, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .selectExpr("window.start", "event_type", "n_events", "value_cents")
+        .collect().sortBy(_.getTimestamp(0).getTime)
+      assert(rows.length == 2)
+      assert(rows(0).getLong(2) == 2 && rows(0).getLong(3) == 300L)
+      assert(rows(1).getLong(2) == 1 && rows(1).getLong(3) == 400L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessions close on gap and emit exact aggregates") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: two events 10 min apart, then a 40-min gap -> the first
+    // session closes when event 3 arrives; the second stays open in state.
+    in.addData(ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.50), ev(3, 50, 1, 4.00))
+    // NoTimeout + AvailableNow: drain the data, then terminate — with
+    // the production ProcessingTimeTimeout the query stays alive to
+    // evaluate idle-session timeouts and never terminates.
+    val q = Sessionize.sessions(in.toDS(), gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not terminate")
+      val sessions = spark.table("sessions").as[Session].collect()
+      assert(sessions.length == 1) // second session still open in state
+      val closed = sessions.head
+      assert(closed.user_id == 1L)
+      assert(closed.n_events == 2L)
+      assert(closed.duration_us == 10L * 60 * 1000000L)
+      assert(closed.value_cents == 375L)
+    } finally q.stop()
+  }
+}
