@@ -52,7 +52,8 @@ object ExtQueries {
     """SELECT doc_id,
               [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)"""
-  private def mhSql(seed: Int) = s"list_min([md5('$seed|' || x) FOR x IN sh])"
+  private def mhSql(seed: Int) =
+    s"list_min([substr(md5('${seed / 6}|' || x), ${(seed % 6) * 5 + 1}, 5) FOR x IN sh])"
   private def bandSql(firstSeed: Int) =
     (firstSeed until firstSeed + 3).map(mhSql).mkString(" || ")
   private val jaccardSql = // over (ash, bsh)
@@ -263,7 +264,7 @@ object ExtQueries {
              [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
            FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
          SELECT doc_id, md5(text) AS content_md5,
-                coalesce(list_min([md5('0|' || x) FOR x IN sh]), '') AS min_shingle_hash
+                coalesce(list_min([md5(x) FOR x IN sh]), '') AS min_shingle_hash
          FROM sh ORDER BY doc_id""",
 
     "multimodal_features" ->

@@ -53,12 +53,20 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // The shingle frame feeds three plan branches (signatures + both
+    // sides of the verify join); without persist each branch re-runs
+    // the md5-heavy shingling. At cluster scale this materialization
+    // would be a checkpoint to storage instead of memory. `shh` hashes
+    // each shingle ONCE — all band minhashes are substrings of it.
     val sh = docs.select(col("doc_id"), col("text"),
       shingles(tokens(col("text")), k).as("sh"))
+      .withColumn("shh", shingleHashes(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (doc, band_id, signature) — the only thing that shuffles.
     val sigs = sh.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b => band(col("sh"), b * rowsPerBand, rowsPerBand)): _*))
+      posexplode(array((0 until bands).map(b =>
+        bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
         .as(Seq("band_id", "sig")))
 
     // bucket join: same band + same signature, lower id on the left;
@@ -111,10 +119,13 @@ object Dedup {
     * baseline; see [[Similarity]] for the bucketed scale path.
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // norms once per VECTOR (n aggregates), not per pair (3·n² aggregates)
     val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
     q.alias("a").join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        qcosine(col("a.q"), col("b.q")).as("cosine"))
+        qcosinePre(col("a.q"), col("b.q"), col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 }

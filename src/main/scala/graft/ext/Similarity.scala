@@ -25,10 +25,14 @@ object Similarity {
     * for full determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+      .withColumn("n_nrm", qnorm(col("n_q")))
     val q = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
+      .withColumn("q_nrm", qnorm(col("q_q")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), qcosine(col("q_q"), col("n_q")).as("cosine"))
+      .select(col("q_id"), col("n_id"),
+        qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -39,16 +43,19 @@ object Similarity {
     * vectors in ITS bucket.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("n_id"),
       quantized(col("embedding")).as("n_q"),
       signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("n_nrm", qnorm(col("n_q")))
     val q = queries.select(col("vec_id").as("q_id"),
       quantized(col("embedding")).as("q_q"),
       signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("q_nrm", qnorm(col("q_q")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("bucket"),
-        qcosine(col("q_q"), col("n_q")).as("cosine"))
+        qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

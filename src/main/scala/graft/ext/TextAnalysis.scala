@@ -84,6 +84,6 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(col("text")).as("content_md5"),
-      coalesce(minhash(shingles(tokens(col("text")), k), seed = 0), lit(""))
+      coalesce(array_min(transform(shingles(tokens(col("text")), k), x => md5(x))), lit(""))
         .as("min_shingle_hash"))
 }

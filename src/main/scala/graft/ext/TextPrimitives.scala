@@ -25,13 +25,19 @@ object TextPrimitives {
         i => concat_ws(" ", slice(words, i + lit(1), lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash value: the lexicographic minimum of `md5(seed|shingle)`
-    * over the shingle set. Hex-string min is engine-portable (identical
-    * in any engine with md5), unlike integer-hash minima which would
-    * need a shared 64-bit hash. NULL for empty shingle sets.
+  /** One MinHash value: the lexicographic minimum over the shingle set
+    * of hash_seed(shingle), where hash_seed is a non-overlapping
+    * 5-hex-char window of `md5(k|shingle)` (seed = 6k + window). Each
+    * window of a well-mixed hash is an independent uniform hash of the
+    * shingle, so 12 seeds cost only TWO md5 evaluations per shingle
+    * instead of twelve — md5 is the dominant cost of the LSH pipeline.
+    * Hex-string min is engine-portable (identical in any engine with
+    * md5/substr), unlike integer-hash minima which would need a shared
+    * 64-bit hash. NULL for empty shingle sets.
     */
   def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, x => md5(concat(lit(s"$seed|"), x))))
+    array_min(transform(shingleCol,
+      x => md5(concat(lit(s"${seed / 6}|"), x)).substr((seed % 6) * 5 + 1, 5)))
 
   /** LSH band signature: concatenation of `rows` consecutive minhashes
     * starting at `firstSeed`. Two documents land in the same bucket for
@@ -40,6 +46,28 @@ object TextPrimitives {
     */
   def band(shingleCol: Column, firstSeed: Int, rows: Int): Column =
     concat((firstSeed until firstSeed + rows).map(s => minhash(shingleCol, s)): _*)
+
+  /** Per-shingle hash material, computed ONCE: the 64-hex concat of the
+    * two seeded md5s. All 12 minhash windows are substrings of this —
+    * crucial because Spark does NOT common-subexpression-eliminate an
+    * md5 repeated across different higher-order-function lambdas, so
+    * deriving each band directly from the shingles recomputes every
+    * md5 12×.
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol,
+      x => concat(md5(concat(lit("0|"), x)), md5(concat(lit("1|"), x))))
+
+  /** [[minhash]] over precomputed [[shingleHashes]] material (seed s →
+    * chars [(s/6)*32 + (s%6)*5 + 1, +5) — identical values).
+    */
+  def minhashFromHashes(shhCol: Column, seed: Int): Column =
+    array_min(transform(shhCol,
+      h => h.substr((seed / 6) * 32 + (seed % 6) * 5 + 1, 5)))
+
+  /** [[band]] over precomputed [[shingleHashes]] material. */
+  def bandFromHashes(shhCol: Column, firstSeed: Int, rows: Int): Column =
+    concat((firstSeed until firstSeed + rows).map(s => minhashFromHashes(shhCol, s)): _*)
 
   /** 16-bit SimHash rendered as a '0'/'1' string (portable across
     * engines; no bit-twiddling builtins needed). Bit i is the sign of
@@ -75,16 +103,38 @@ object TextPrimitives {
   def quantized(embedding: Column): Column =
     transform(embedding, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd expression ([[graft.functions.LongArrayDot]]); requires
+    * `GraftFunctions.register(spark)` (operators do this themselves).
+    * [[qdotPortable]] is the pure-built-in equivalent (allocates an
+    * intermediate array per row — ~3× slower on pairwise joins).
+    */
   def qdot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.qdotNative(a, b)
+
+  /** Built-ins-only dot product (no registration needed). */
+  def qdotPortable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Cosine similarity from quantized vectors: exact integer dot/norms,
     * one final double division (IEEE-deterministic given equal inputs).
+    * Prefer [[qcosinePre]] in pairwise joins — it takes norms
+    * precomputed once per vector instead of recomputing two full
+    * aggregates per PAIR (3× the work on an O(n²) join).
     */
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Per-vector norm for precomputation: sqrt of the exact integer
+    * self-dot. Same expression shape as inside [[qcosine]], so results
+    * are bit-identical.
+    */
+  def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))
+
+  /** Cosine from a pairwise dot + precomputed norms. */
+  def qcosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    qdot(a, b).cast("double") / (normA * normB)
 
   /** Sign-bit LSH bucket for ANN: the signs of the first `bits`
     * dimensions as a '0'/'1' string. Random-hyperplane LSH with

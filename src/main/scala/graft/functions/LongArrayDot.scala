@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact integer dot product of two `array<bigint>` columns as a native
+  * codegen'd Catalyst expression.
+  *
+  * Why not built-ins: `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, +)`
+  * is semantically identical but materializes an intermediate array per
+  * row and evaluates two lambda closures per element. On an O(n²)
+  * similarity join (12.5M pairs × 64 dims at bench sf0.1) that
+  * allocation is the bottleneck. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen — no allocation, no
+  * boxing — the (b) tier of the custom-operator preference order
+  * (compose built-ins < custom Expression < custom physical operator).
+  *
+  * Null semantics: null input array → null (nullSafe); arrays are
+  * produced by `transform` over non-null embeddings, so element nulls
+  * do not occur (elements of a null-free transform are non-null).
+  * Unequal lengths: the shorter length wins (zip semantics).
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native functions into a session's function
+  * registry — callable from SQL (`SELECT graft_qdot(a, b)`) and from
+  * the Column API via `call_function`.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_qdot" -> (args => LongArrayDot(args(0), args(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      if (!spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier(name))) {
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    }
+
+  /** Column-API handle (requires [[register]] on the session first). */
+  def qdotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_qdot", a, b)
+}
