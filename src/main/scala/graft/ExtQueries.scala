@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -119,6 +119,24 @@ object ExtQueries {
 
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(t(s, dir, "events")).orderBy("window_start_us", "event_type")),
+
+    // row-level data diff of `orders` against a deterministically
+    // perturbed copy: ~1% rows dropped (removed), ~1% totalprice
+    // bumped (changed), ~1% re-keyed copies (added)
+    "data_row_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+      DataDiff.rowDiff(o, target, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .select(col("o_orderkey"), col("diff_status"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +325,34 @@ object ExtQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(value_cents) AS BIGINT) AS value_cents
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+
+    "data_row_diff" ->
+      """WITH tgt AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 103 = 0),
+         b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders),
+         j AS (
+           SELECT coalesce(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN t.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                    OR b.o_totalprice IS DISTINCT FROM t.o_totalprice
+                    OR b.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'changed'
+                  ELSE 'same' END AS diff_status,
+             CASE WHEN b.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN
+               array_to_string(list_filter([
+                 CASE WHEN b.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 'o_orderstatus' END,
+                 CASE WHEN b.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'o_totalprice' END,
+                 CASE WHEN b.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'o_orderpriority' END
+               ], x -> x IS NOT NULL), ',')
+             ELSE '' END AS changed_cols
+           FROM b FULL OUTER JOIN tgt t ON b.o_orderkey = t.o_orderkey)
+         SELECT o_orderkey, diff_status, changed_cols
+         FROM j WHERE diff_status <> 'same' ORDER BY o_orderkey""",
   )
 }

@@ -41,6 +41,9 @@ object Main {
     catch {
       case e: IllegalArgumentException =>
         System.err.println(s"error: ${e.getMessage}"); usage(); sys.exit(2)
+      case e: java.sql.SQLException =>
+        System.err.println(s"error: database connection failed: ${e.getMessage}")
+        sys.exit(1)
     }
     finally spark.stop()
   }
@@ -64,6 +67,50 @@ object Main {
           Snapshot.fromJdbc(spark, base, dialect),
           Snapshot.fromJdbc(spark, target, dialect), opts.diff)),
         opts)
+
+    // `magiceye run` analog: diff the configured pair (reference
+    // action/run.rs; config honored incl. ignore_list + language)
+    case "run" :: flags =>
+      val opts = parseFlags(flags)
+      val cfg = graft.config.Config.load(opts.configPath
+        .map(java.nio.file.Paths.get(_)).getOrElse(graft.config.Config.defaultPath))
+      val pair = cfg.pair(opts.pairName)
+      emit(
+        Report.fromFindings(Diff.diff(
+          Snapshot.fromJdbc(spark, pair.base_connection, pair.dialect),
+          Snapshot.fromJdbc(spark, pair.target_connection, pair.dialect),
+          cfg.diffOptions)),
+        opts)
+
+    // `magiceye init` analog, non-interactive (reference action/init.rs
+    // is a TUI wizard; flags replace it — engine-scope decision, §3.2)
+    case "init" :: flags =>
+      val kv = flags.grouped(2).collect { case List(k, v) => k -> v }.toMap
+      val name = kv.getOrElse("--name",
+        throw new IllegalArgumentException("init requires --name"))
+      val pair = graft.config.DatabasePair(
+        name = name,
+        database_type = kv.getOrElse("--type",
+          throw new IllegalArgumentException("init requires --type postgres|mysql")),
+        base_connection = kv.getOrElse("--base-url",
+          throw new IllegalArgumentException("init requires --base-url")),
+        target_connection = kv.getOrElse("--target-url",
+          throw new IllegalArgumentException("init requires --target-url")))
+      pair.dialect // validate type eagerly
+      val path = kv.get("--config").map(java.nio.file.Paths.get(_))
+        .getOrElse(graft.config.Config.defaultPath)
+      val cfg = graft.config.Config.load(path)
+      val updated = cfg.copy(
+        database_pairs = cfg.database_pairs.filterNot(_.name == name) :+ pair,
+        default_database_pair = name,
+        current_language = kv.get("--lang") match {
+          case Some("ko") => "Korean"
+          case Some("en") | None => cfg.current_language
+          case Some(other) =>
+            throw new IllegalArgumentException(s"--lang must be en|ko, got: $other")
+        })
+      println(s"config written: ${graft.config.Config.save(updated, path)}")
+
     case other =>
       throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
   }
@@ -71,7 +118,9 @@ object Main {
   private case class CliOptions(
       diff: DiffOptions = DiffOptions(),
       out: Option[String] = None,
-      dialect: Option[graft.dialect.Dialect] = None)
+      dialect: Option[graft.dialect.Dialect] = None,
+      configPath: Option[String] = None,
+      pairName: Option[String] = None)
 
   private def parseFlags(flags: List[String]): CliOptions = flags match {
     case Nil => CliOptions()
@@ -101,6 +150,8 @@ object Main {
       }
       parseFlags(rest).copy(dialect = Some(d))
     case "--out" :: v :: rest => parseFlags(rest).copy(out = Some(v))
+    case "--config" :: v :: rest => parseFlags(rest).copy(configPath = Some(v))
+    case "--pair" :: v :: rest => parseFlags(rest).copy(pairName = Some(v))
     case f :: _ => throw new IllegalArgumentException(s"unknown flag: $f")
   }
 
@@ -120,6 +171,9 @@ object Main {
   private def usage(): Unit = System.err.println(
     """usage: graft.cli.Main diff <baseDir> <targetDir> [flags]
       |       graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql [flags]
+      |       graft.cli.Main run [--pair <name>] [--config <path>] [flags]
+      |       graft.cli.Main init --name <n> --type postgres|mysql --base-url <u> --target-url <u>
+      |                           [--lang en|ko] [--config <path>]
       |flags: --lang en|ko  --bidirectional  --ignore c1,c2  --strict-null-defaults  --out <dir>
       |check types: CommentOfColumn, CommentOfTable, TypeOfColumn, IndexOfTable""".stripMargin)
 }

@@ -139,6 +139,21 @@ class ExtSpec extends SparkSpec {
       Seq((0L, 2L, 300L), (300L * us, 1L, 300L)))
   }
 
+  test("row-level data diff: added/removed/changed with per-column change list") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "price")
+    val target = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0))
+      .toDF("id", "status", "price")
+    val r = DataDiff.rowDiff(base, target, Seq("id")).orderBy("id").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getSeq[String](2))).toSeq == Seq(
+      (2L, "changed", Seq("status", "price")),
+      (3L, "removed", Seq.empty),
+      (4L, "added", Seq.empty)))
+    val summary = DataDiff.diffSummary(base, target, Seq("id"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(summary == Map("changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("extension queries all run non-empty on sf0.001") {
     val dir = sf("sf0.001")
     ExtQueries.all.foreach { case (name, fn) =>
