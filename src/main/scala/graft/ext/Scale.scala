@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment of
+  * the engine's operators reaches for — key salting for skew, and
+  * bucketed table round-trips for shuffle-free co-located joins.
+  *
+  * AQE's skew-join splitting (on by default in Spark 4) handles most
+  * skew transparently; explicit salting remains the answer when one
+  * key's volume exceeds what a single split can absorb (the classic
+  * "null key" / "megacustomer" case), and for skewed AGGREGATIONS,
+  * which AQE does not split.
+  */
+object Scale {
+
+  /** Skew-safe equi-join of a large skewed frame against a smaller one.
+    *
+    * The big side gets a random-but-deterministic salt in [0, salts)
+    * (hash of the whole row, not the key — the hot KEY is exactly what
+    * must spread); the small side is exploded `salts`× so every
+    * (key, salt) bucket finds its match. Result set is identical to the
+    * plain join; the shuffle spreads each hot key over `salts`
+    * partitions.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val explodedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. Supported
+    * aggregates must be decomposable (sum/count/min/max — the partial
+    * column name is reused for the final).
+    */
+  def saltedSumAgg(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("__salt", rand_from(df, salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as(valueCol), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum(valueCol).as(valueCol), sum("__n").as("n_rows"))
+
+  // deterministic per-row "randomness" for salting aggregations: hash
+  // of all columns (monotonically_increasing_id would break retries)
+  private def rand_from(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
+  /** Write a frame as a bucketed+sorted table: subsequent equi-joins /
+    * aggregations on the bucket key among same-bucketed tables run with
+    * NO shuffle (the scan provides the required hash distribution).
+    * The repeated-snapshot diff case (§7.5) pre-buckets both snapshots
+    * on the key so every nightly diff is exchange-free.
+    *
+    * Caveat with the default in-memory catalog: table metadata dies
+    * with the session but the warehouse DIRECTORY persists, and Spark
+    * refuses to create a "new" table over an existing location
+    * (LOCATION_ALREADY_EXISTS) — `DROP TABLE IF EXISTS` in a fresh
+    * session won't clean it. Use a persistent metastore, or clear the
+    * location first.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Scale
+
+/** Scale utilities: salting preserves join/agg semantics; bucketed
+  * tables join without a shuffle.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val big = (1 to 1000).map(i => (if (i % 2 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "v") // heavy skew on key 1
+    val small = Seq((1L, "one"), (3L, "three"), (5L, "five")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Scale.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val df = (1 to 999).map(i => (if (i % 3 == 0) 7L else i.toLong, i.toLong))
+      .toDF("k", "x")
+    val plain = df.groupBy("k").agg(sum("x").as("x"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = Scale.saltedSumAgg(df, "k", "x", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with no exchange") {
+    spark.sql("DROP TABLE IF EXISTS g_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_b")
+    // in-memory catalog: warehouse dirs outlive the test JVM; DROP in a
+    // fresh session is a no-op on them -> LOCATION_ALREADY_EXISTS
+    Seq("g_bucket_a", "g_bucket_b").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) { Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete() }
+    }
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "g_bucket_a", "k", buckets = 4)
+    Scale.writeBucketed(b, "g_bucket_b", "k", buckets = 4)
+    // force a non-broadcast join so the assertion sees the shuffle (or
+    // its absence) rather than a BroadcastExchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_bucket_a").join(spark.table("g_bucket_b"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
