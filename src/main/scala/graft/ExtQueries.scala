@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsOf, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -136,6 +136,51 @@ object ExtQueries {
         .select(col("o_orderkey"), col("diff_status"),
           array_join(col("changed_cols"), ",").as("changed_cols"))
         .orderBy("o_orderkey")
+    }),
+
+    // as-of join: for each click, the latest view of the same user at
+    // or before the click's timestamp
+    "asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("value_cents"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      AsOf.asofJoin(clicks, views, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_cents"),
+          col("asof_event_id"), col("asof_ts_us"), col("asof_value_cents"))
+        .orderBy("event_id")
+    }),
+
+    // hierarchical + full grouping-sets aggregates (coalesce the group
+    // columns to 'ALL' so super-aggregate rows avoid engine-specific
+    // null ordering)
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "intersect_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        .intersect(
+          o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
     }),
   )
 
@@ -354,5 +399,54 @@ object ExtQueries {
            FROM b FULL OUTER JOIN tgt t ON b.o_orderkey = t.o_orderkey)
          SELECT o_orderkey, diff_status, changed_cols
          FROM j WHERE diff_status <> 'same' ORDER BY o_orderkey""",
+
+    "asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         u AS (
+           SELECT user_id, ts_us, 0 AS side,
+                  CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS BIGINT) AS l_value_cents,
+                  event_id AS r_event_id, ts_us AS r_ts_us, value_cents AS r_value_cents
+           FROM e WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts_us, 1, event_id, value_cents,
+                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM e WHERE event_type = 'click'),
+         m AS (
+           SELECT *,
+             last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+             last_value(r_ts_us IGNORE NULLS) OVER w AS a_ts_us,
+             last_value(r_value_cents IGNORE NULLS) OVER w AS a_value_cents
+           FROM u WINDOW w AS (
+             PARTITION BY user_id ORDER BY ts_us, side ROWS UNBOUNDED PRECEDING))
+         SELECT l_event_id AS event_id, user_id, ts_us, l_value_cents AS value_cents,
+                a_event_id AS asof_event_id, a_ts_us AS asof_ts_us,
+                a_value_cents AS asof_value_cents
+         FROM m WHERE side = 1 ORDER BY event_id""",
+
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "intersect_distinct" ->
+      """SELECT custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         ORDER BY custkey""",
   )
 }

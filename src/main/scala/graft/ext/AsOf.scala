@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the LATEST right row
+  * of the same key with `ts_right <= ts_left`. Spark has no native
+  * as-of operator; the naive formulations are a range theta-join
+  * (O(n·m) nested loop) or a per-left-row aggregation. This is the
+  * scalable composition: UNION both sides tagged, ONE shuffle on the
+  * key, and a running `last(right, ignoreNulls)` window over the
+  * merged time order — O((n+m) log(n+m)) per key group, no
+  * nested-loop, AQE-compatible.
+  *
+  * Right rows at exactly `ts_left` DO match (tag orders right before
+  * left at equal timestamps) — the usual "known at time t" semantic.
+  * Requires (key, ts) unique per side for full determinism (else the
+  * merge order among equal timestamps is tag-then-arbitrary).
+  */
+object AsOf {
+
+  /** @param left      probe side (each row gets its as-of match or nulls)
+    * @param right     reference side
+    * @param keys      equi-join key columns (same names both sides)
+    * @param tsCol     ordering column name (same name both sides)
+    * @param rightPrefix prefix for right-side payload columns in the output
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(left.schema).as("__l"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rightStructType).as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+          rightPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
+  }
+}

@@ -154,6 +154,20 @@ class ExtSpec extends SparkSpec {
     assert(summary == Map("changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("as-of join matches the latest right row at-or-before each left ts") {
+    val clicks = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
+      .toDF("event_id", "user_id", "ts_us")
+    val views = Seq((11L, 100L, 10L), (12L, 100L, 20L), (13L, 100L, 30L))
+      .toDF("event_id", "user_id", "ts_us")
+    val r = AsOf.asofJoin(clicks, views, Seq("user_id"), "ts_us")
+      .orderBy("event_id").collect()
+    // click@10 matches view@10 (equal ts counts); click@25 -> view@20;
+    // user 200 has no views -> nulls
+    assert(r(0).getLong(3) == 11L)
+    assert(r(1).getLong(3) == 12L)
+    assert(r(2).isNullAt(3))
+  }
+
   test("extension queries all run non-empty on sf0.001") {
     val dir = sf("sf0.001")
     ExtQueries.all.foreach { case (name, fn) =>
