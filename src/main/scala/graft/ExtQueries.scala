@@ -182,6 +182,25 @@ object ExtQueries {
           o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
         .orderBy("custkey")
     }),
+
+    // approximate sketches — mergeable, single-shuffle, constant
+    // memory: the 100 TB answer to COUNT(DISTINCT) and quantiles. No
+    // DuckDB oracle (HLL/KLL internals differ per engine) -> the driver
+    // records the weaker rows-only check for these two keys.
+    "approx_distinct_hll" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"))
+        .orderBy("l_returnflag")),
+
+    "approx_quantiles_kll" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
+        .orderBy("l_returnflag")),
   )
 
   val oracles: Map[String, String] = Map(

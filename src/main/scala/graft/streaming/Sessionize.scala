@@ -40,6 +40,24 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Gap-based sessions via the BUILT-IN `session_window` — the
+    * declarative twin of [[sessions]]: Spark merges overlapping
+    * per-event windows (ts, ts+gap] per key and closes a session when
+    * the watermark passes its end. Prefer this when per-session output
+    * (count/sum/bounds) is enough; drop to [[sessions]] only for
+    * custom state transitions the built-in can't express.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_cents"))
+
   /** Gap-based sessions with explicit state: a session closes when its
     * user is idle past `gapMinutes` — emitted only on close, the
     * standard flatMapGroupsWithState pattern.

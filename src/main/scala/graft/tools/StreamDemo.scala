@@ -48,10 +48,17 @@ object StreamDemo {
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination(120000)
 
+    val sessWin = Sessionize.sessionWindows(stream, gapMinutes = 30)
+    val q3 = sessWin.writeStream.format("memory").queryName("demo_session_windows")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+
     println("=== closed sessions (append mode; open sessions stay in state) ===")
     spark.table("demo_sessions").orderBy("user_id").show(false)
     println("=== windowed counts ===")
     spark.table("demo_windows").orderBy("window").show(false)
+    println("=== session_window sessions ===")
+    spark.table("demo_session_windows").orderBy("user_id", "session_start").show(false)
     spark.stop()
   }
 }

@@ -35,6 +35,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window merges gap-bounded sessions on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessionWindows(in.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: events at 0 and 10 min (one session), and 50 min (second)
+      in.addData(ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.50), ev(3, 50, 1, 4.00))
+      q.processAllAvailable()
+      val rows = spark.table("sw_sessions").orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(3) == 2 && rows(0).getLong(4) == 375L)
+      assert(rows(1).getLong(3) == 1 && rows(1).getLong(4) == 400L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions close on gap and emit exact aggregates") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
