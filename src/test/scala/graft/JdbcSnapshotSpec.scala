@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect
+import graft.diff.Diff
+import graft.schema.Snapshot
+
+/** End-to-end exercise of the JDBC snapshot path against embedded
+  * Derby (the only DBMS on this classpath). The Postgres/MySQL dialect
+  * SQL can't run on Derby, so a Derby test dialect introspects Derby's
+  * own catalog (SYS.SYSTABLES/SYSCOLUMNS) — which drives exactly the
+  * same engine path: `spark.read.jdbc(url, "(sql) graft_snap")`
+  * subquery pushdown, column-contract projection, postProcessIndexes,
+  * and the diff DAG over the result.
+  */
+class JdbcSnapshotSpec extends SparkSpec {
+
+  /** Derby introspection meeting the SchemaSnapshot column contract. */
+  private object DerbyDialect extends Dialect {
+    val name = "derby-test"
+    val tablesSql: String = """
+      SELECT TABLENAME AS table_name, '' AS table_comment
+      FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'"""
+    val columnsSql: String = """
+      SELECT t.TABLENAME AS table_name,
+             c.COLUMNNAME AS column_name,
+             c.COLUMNNUMBER AS ordinal,
+             CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS data_type,
+             '' AS default_value,
+             CASE WHEN CAST(c.COLUMNDATATYPE AS VARCHAR(128)) LIKE '%NOT NULL%'
+                  THEN FALSE ELSE TRUE END AS is_nullable,
+             '' AS comment,
+             CASE WHEN c.AUTOINCREMENTVALUE IS NULL THEN FALSE ELSE TRUE END
+               AS is_auto_increment
+      FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+      WHERE t.TABLETYPE = 'T'"""
+    val indexesSql: String = """
+      SELECT c.CONGLOMERATENAME AS index_name,
+             t.TABLENAME AS table_name,
+             1 AS ordinal,
+             '' AS columns_csv, '' AS predicate,
+             FALSE AS is_unique
+      FROM SYS.SYSCONGLOMERATES c JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID
+      WHERE c.ISINDEX AND t.TABLETYPE = 'T'"""
+    val foreignKeysSql: String = """
+      SELECT t.TABLENAME AS table_name,
+             CAST('' AS VARCHAR(128)) AS constraint_name,
+             1 AS ordinal,
+             CAST('' AS VARCHAR(128)) AS column_name,
+             CAST('' AS VARCHAR(128)) AS ref_table,
+             CAST('' AS VARCHAR(128)) AS ref_column
+      FROM SYS.SYSTABLES t WHERE 1 = 0"""
+    override def postProcessIndexes(df: DataFrame): DataFrame =
+      df.withColumn("columns", split(col("columns_csv"), ","))
+        .drop("columns_csv")
+        .select("table_name", "index_name", "ordinal", "columns", "predicate", "is_unique")
+  }
+
+  test("fromJdbc snapshots a live Derby and the diff DAG runs over it") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE USERS (ID INT NOT NULL, NAME VARCHAR(64))")
+      st.execute("CREATE TABLE ORDERS (ID INT NOT NULL, USER_ID INT, TOTAL DOUBLE)")
+      st.close()
+    } finally conn.close()
+
+    val snap = Snapshot.fromJdbc(spark, url, DerbyDialect)
+    val tables = snap.tables.select("table_name")
+      .collect().map(_.getString(0)).toSet
+    assert(tables == Set("USERS", "ORDERS"))
+    val cols = snap.columns
+      .filter(col("table_name") === "USERS")
+      .orderBy("ordinal")
+      .select("column_name", "is_nullable")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(cols.toSeq == Seq(("ID", false), ("NAME", true))) // NOT NULL honored
+
+    // the diff DAG runs over JDBC-loaded snapshots: drop a table from
+    // the "target" and expect exactly the table-missing finding
+    val target = snap.copy(tables = snap.tables.filter(col("table_name") =!= "ORDERS"),
+      columns = snap.columns.filter(col("table_name") =!= "ORDERS"))
+    val msgs = Diff.diff(snap, target)
+      .select("message").collect().map(_.getString(0)).toSeq
+    assert(msgs == Seq(
+      "Table: ORDERS exists in the base database, but not in the target database."))
+  }
+}
