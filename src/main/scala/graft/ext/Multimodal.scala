@@ -94,4 +94,33 @@ object Multimodal {
     */
   def featuresFromDocuments(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     extractFeatures(fromDocuments(docs)).toDF()
+
+  /** One sampled "frame" of a media payload: the 1-record → N-frames
+    * expansion shape (video frame sampling, audio chunking). */
+  case class MediaFrame(
+      doc_id: Long,
+      frame_index: Int,
+      frame_payload: Array[Byte])
+
+  /** Frame sampling: explode each payload into `n` evenly spaced
+    * chunks. STUB decode — chunks are byte slices standing in for
+    * decoded frames — but the dataflow is the production one: a
+    * flatMap-shaped mapPartitions (1 → N rows, no shuffle), frame
+    * payloads never wider than one frame in memory, downstream
+    * repartition ONLY on (doc_id, frame_index) projections.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      n: Int)(implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(n > 0, "frame count must be positive")
+    media.mapPartitions(_.flatMap { r =>
+      val len = r.payload.length
+      (0 until n).iterator.map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        MediaFrame(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    })
+  }
 }

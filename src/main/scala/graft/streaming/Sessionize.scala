@@ -29,6 +29,17 @@ object Sessionize {
   case class Session(user_id: Long, start_us: Long, duration_us: Long,
       n_events: Long, value_cents: Long)
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon — the ingest-time guard a
+    * training-data pipeline puts in front of at-least-once sources.
+    * State is bounded by the watermark (ids older than it are evicted),
+    * unlike plain `dropDuplicates` whose state grows forever.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling-window count/sum per event_type with a watermark for late
     * data — the canonical streaming aggregation shape.
     */

@@ -30,12 +30,18 @@ object StreamDemo {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/batch.json"),
       """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"click","value":1.25}
         |{"event_id":2,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"view","value":2.50}
+        |{"event_id":2,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"view","value":2.50}
         |{"event_id":3,"ts":"2024-01-01T00:50:00.000Z","user_id":1,"event_type":"click","value":4.00}
         |{"event_id":4,"ts":"2024-01-01T00:03:00.000Z","user_id":7,"event_type":"view","value":9.99}
         |""".stripMargin)
 
     val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
     val stream = spark.readStream.schema(schema).json(src)
+
+    val dedup = Sessionize.dedupStream(stream)
+    val q0 = dedup.writeStream.format("memory").queryName("demo_dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination(120000)
 
     val sessions = Sessionize.sessions(stream.as[Event], gapMinutes = 30,
       timeout = GroupStateTimeout.NoTimeout())
@@ -53,6 +59,8 @@ object StreamDemo {
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q3.awaitTermination(120000)
 
+    println("=== streaming dedup (event_id 2 duplicated at source) ===")
+    spark.table("demo_dedup").orderBy("event_id").select("event_id", "event_type").show(false)
     println("=== closed sessions (append mode; open sessions stay in state) ===")
     spark.table("demo_sessions").orderBy("user_id").show(false)
     println("=== windowed counts ===")

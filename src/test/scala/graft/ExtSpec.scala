@@ -154,6 +154,17 @@ class ExtSpec extends SparkSpec {
     assert(summary == Map("changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("multimodal frame sampling: 1 record -> n byte-sliced frames, no loss") {
+    implicit val s = spark
+    val d = Seq((1L, "abcdefghij", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(d), 3)
+      .collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_payload.length).sum == 10) // partition of the payload
+    assert(new String(frames.flatMap(_.frame_payload), "UTF-8") == "abcdefghij")
+  }
+
   test("as-of join matches the latest right row at-or-before each left ts") {
     val clicks = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
       .toDF("event_id", "user_id", "ts_us")

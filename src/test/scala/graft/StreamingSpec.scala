@@ -35,6 +35,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // times well past epoch 0: the initial watermark is 1970-01-01,
+      // and rows AT the watermark boundary are treated as expired
+      in.addData(ev(1, 100, 1, 1.0), ev(1, 100, 1, 1.0), ev(2, 101, 2, 2.0)) // dup id 1
+      q.processAllAvailable()
+      in.addData(ev(2, 102, 2, 2.0), ev(3, 103, 3, 3.0)) // id 2 again, cross-batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("built-in session_window merges gap-bounded sessions on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
