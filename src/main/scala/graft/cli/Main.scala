@@ -53,20 +53,18 @@ object Main {
       require(new java.io.File(base).isDirectory, s"not a directory: $base")
       require(new java.io.File(target).isDirectory, s"not a directory: $target")
       val opts = parseFlags(flags)
-      emit(
-        Report.fromFindings(Diff.diff(
-          Snapshot.fromParquetDir(spark, base),
-          Snapshot.fromParquetDir(spark, target), opts.diff)),
-        opts)
+      val progress = new graft.diff.Progress(spark)
+      try {
+        val b = progress.step("base snapshot")(Snapshot.fromParquetDir(spark, base))
+        val t = progress.step("target snapshot")(Snapshot.fromParquetDir(spark, target))
+        val report = progress.step("check")(Report.fromFindings(Diff.diff(b, t, opts.diff)))
+        progress.step("report")(emit(report, opts))
+      } finally progress.close()
     case "diff-jdbc" :: base :: target :: flags =>
       val opts = parseFlags(flags)
       val dialect = opts.dialect.getOrElse(
         throw new IllegalArgumentException("diff-jdbc requires --dialect postgres|mysql"))
-      emit(
-        Report.fromFindings(Diff.diff(
-          Snapshot.fromJdbc(spark, base, dialect),
-          Snapshot.fromJdbc(spark, target, dialect), opts.diff)),
-        opts)
+      runJdbcDiff(spark, base, target, dialect, opts)
 
     // `magiceye run` analog: diff the configured pair (reference
     // action/run.rs; config honored incl. ignore_list + language)
@@ -75,12 +73,8 @@ object Main {
       val cfg = graft.config.Config.load(opts.configPath
         .map(java.nio.file.Paths.get(_)).getOrElse(graft.config.Config.defaultPath))
       val pair = cfg.pair(opts.pairName)
-      emit(
-        Report.fromFindings(Diff.diff(
-          Snapshot.fromJdbc(spark, pair.base_connection, pair.dialect),
-          Snapshot.fromJdbc(spark, pair.target_connection, pair.dialect),
-          cfg.diffOptions)),
-        opts)
+      runJdbcDiff(spark, pair.base_connection, pair.target_connection, pair.dialect,
+        opts.copy(diff = cfg.diffOptions))
 
     // `magiceye init` analog, non-interactive (reference action/init.rs
     // is a TUI wizard; flags replace it — engine-scope decision, §3.2)
@@ -113,6 +107,30 @@ object Main {
 
     case other =>
       throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
+  }
+
+  /** The reference's 5-step `magiceye run` pipeline shape
+    * (background.rs: connect → base snapshot → target snapshot → check
+    * → report), with progress accounting per step (D20).
+    */
+  private def runJdbcDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      baseUrl: String, targetUrl: String,
+      dialect: graft.dialect.Dialect, opts: CliOptions): Unit = {
+    val progress = new graft.diff.Progress(spark)
+    try {
+      progress.step("connect") {
+        Snapshot.ping(spark, baseUrl, dialect)
+        Snapshot.ping(spark, targetUrl, dialect)
+      }
+      val base = progress.step("base snapshot")(
+        Snapshot.fromJdbc(spark, baseUrl, dialect).cached())
+      val target = progress.step("target snapshot")(
+        Snapshot.fromJdbc(spark, targetUrl, dialect).cached())
+      val report = progress.step("check")(
+        Report.fromFindings(Diff.diff(base, target, opts.diff)))
+      progress.step("report")(emit(report, opts))
+    } finally progress.close()
   }
 
   private case class CliOptions(

@@ -25,8 +25,12 @@ trait Dialect {
   def columnsSql: String
   def indexesSql: String
   def foreignKeysSql: String
-  /** Probe statement for a connection health check (reference S3). */
-  def pingSql: String = "SELECT 1"
+  /** Probe statement for a connection health check (reference S3).
+    * The literal is aliased because Spark wraps this as a subquery
+    * (`SELECT * FROM (...) x`) and some DBMSs reject unnamed derived
+    * columns.
+    */
+  def pingSql: String = "SELECT 1 AS ping"
   /** Dialect-specific fixup of the raw indexes frame (e.g. split a
     * comma-joined column list into an array). Default: identity.
     */

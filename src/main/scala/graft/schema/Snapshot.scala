@@ -22,6 +22,19 @@ object Snapshot {
     * [[graft.dialect.MySql]] for the SQL). `numPartitions` > 1 splits
     * the column read by table-name hash for very large catalogs.
     */
+  /** Connection health check (reference S3, postgres.rs:7-11: acquire a
+    * connection as a ping). One pushed-down `SELECT 1` round trip;
+    * throws the driver's SQLException on failure.
+    */
+  def ping(
+      spark: SparkSession,
+      url: String,
+      dialect: Dialect,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    spark.read.jdbc(url, s"(${dialect.pingSql}) graft_ping", props).collect()
+    ()
+  }
+
   def fromJdbc(
       spark: SparkSession,
       url: String,

@@ -60,6 +60,35 @@ class JdbcSnapshotSpec extends SparkSpec {
         .select("table_name", "index_name", "ordinal", "columns", "predicate", "is_unique")
   }
 
+  test("ping succeeds against a live database and fails against a dead one") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derbyping").toString
+    val url = s"jdbc:derby:$dbDir/pingdb;create=true"
+    DriverManager.getConnection(url).close()
+    // Derby has no DUAL/одно-row builtin reachable via bare SELECT 1;
+    // point pingSql at SYSDUMMY1 through a dialect override
+    val d = new Dialect {
+      val name = "derby-ping"
+      val tablesSql = ""; val columnsSql = ""; val indexesSql = ""; val foreignKeysSql = ""
+      override val pingSql = "SELECT 1 AS ping FROM SYSIBM.SYSDUMMY1"
+    }
+    Snapshot.ping(spark, url, d) // must not throw
+    intercept[Exception] {
+      Snapshot.ping(spark, s"jdbc:derby:$dbDir/nope_does_not_exist", d)
+    }
+  }
+
+  test("Progress reports the 5-step shape with stage/task counts") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val p = new graft.diff.Progress(spark, lines.append(_))
+    try {
+      val n = p.step("check")(spark.range(100).count())
+      assert(n == 100L)
+    } finally p.close()
+    assert(lines.length == 2)
+    assert(lines(0).contains("step 1 (check)"))
+    assert(lines(1).matches(""".*done in .* s \(\d+ stages, \d+ tasks\)"""))
+  }
+
   test("fromJdbc snapshots a live Derby and the diff DAG runs over it") {
     val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
