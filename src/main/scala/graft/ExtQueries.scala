@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOf, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -201,6 +201,21 @@ object ExtQueries {
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
         .orderBy("l_returnflag")),
+
+    // the full cleaning pipeline over a corpus seeded with exact copies
+    // (+2e6, removed by exact dedup) and near copies (+1e6, removed by
+    // LSH near-dup pruning), with a quality gate up front
+    "corpus_clean_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val corpus = d
+        .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+        .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      CorpusClean.clean(corpus)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +475,51 @@ object ExtQueries {
                 count(*) AS n_rows
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+
+    "corpus_clean_pipeline" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents),
+         q AS (
+           SELECT doc_id, text,
+             least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+               + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality_score
+           FROM corpus),
+         gated AS (SELECT * FROM q WHERE quality_score >= 0.3),
+         ek AS (
+           SELECT doc_id, text, quality_score FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+             FROM gated)
+           WHERE doc_id = keep_id),
+         sh AS (
+           SELECT doc_id,
+             [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ek)),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         losers AS (
+           SELECT DISTINCT b_id AS doc_id FROM (
+             SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           WHERE jaccard >= 0.5)
+         SELECT e.doc_id, e.quality_score
+         FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
+         WHERE l.doc_id IS NULL
+         ORDER BY e.doc_id""",
 
     "intersect_distinct" ->
       """SELECT custkey FROM (

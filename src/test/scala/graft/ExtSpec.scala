@@ -179,6 +179,21 @@ class ExtSpec extends SparkSpec {
     assert(r(2).isNullAt(3))
   }
 
+  test("corpus cleaning drops low-quality, exact-dup, and near-dup docs in order") {
+    val good = "the quick brown fox jumps over the lazy dog and runs in a field of green grass today"
+    val near = "the quick brown fox jumps over the lazy dog and runs in a field of green grass"
+    val junk = "!!! ??? ###"
+    val d = Seq(
+      (1L, good), (2L, good),  // 2 = exact dup of 1 -> dropped at stage 2
+      (3L, near),              // near dup of 1 -> dropped at stage 3 (higher id loses)
+      (4L, junk),              // fails the quality gate
+      (5L, "completely different text about spark partitions and shuffles in the big cluster")
+    ).toDF("doc_id", "text")
+    val kept = CorpusClean.clean(d).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 5L))
+  }
+
   test("extension queries all run non-empty on sf0.001") {
     val dir = sf("sf0.001")
     ExtQueries.all.foreach { case (name, fn) =>
