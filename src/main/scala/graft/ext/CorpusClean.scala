@@ -48,13 +48,17 @@ object CorpusClean {
     val gated = docs.withColumn("quality_score", quality)
       .filter(col("quality_score") >= minQuality)
 
-    // exact dedup: survivor = min doc_id per content hash
+    // exact dedup: survivor = min doc_id per content hash. Persisted:
+    // it feeds BOTH the LSH stage and the final anti-join — without it
+    // the quality gate + dedup window re-run per branch (at cluster
+    // scale this materialization is a storage checkpoint).
     val exactKept = gated
       .withColumn("text_hash", md5(col("text")))
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("keep_id"))
       .drop("text_hash", "keep_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup prune: drop the higher id of each verified LSH pair
     val nearDupLosers = Dedup.minhashLsh(
