@@ -99,6 +99,12 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "knn_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, bits = 8, probes = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -299,6 +305,30 @@ object ExtQueries {
                   ${qcosSql("qs.q", "c.q")} AS cosine
            FROM q c JOIN (SELECT * FROM q WHERE vec_id < 8) qs
              ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, bucket, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, bucket, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "knn_lsh_multiprobe" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket
+           FROM embeddings),
+         qs AS (
+           SELECT vec_id, q, unnest([
+             bucket,
+             (CASE WHEN substr(bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 2, 7),
+             substr(bucket, 1, 1) || (CASE WHEN substr(bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 3, 6)
+           ]) AS bucket
+           FROM q WHERE vec_id < 8),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN qs ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id),
          ranked AS (
            SELECT q_id, n_id, bucket, cosine,
                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank

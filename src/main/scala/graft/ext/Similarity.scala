@@ -40,17 +40,32 @@ object Similarity {
 
   /** Bucketed ANN: both sides keyed by the sign-bit bucket of their
     * first `bits` dimensions; a query is compared only against corpus
-    * vectors in ITS bucket.
+    * vectors in ITS bucket(s).
+    *
+    * @param probes how many buckets each query searches: 1 = its exact
+    *   bucket; probe i>1 additionally searches the bucket with bit i-1
+    *   flipped — the standard multi-probe recall lever (a vector near a
+    *   quantization boundary lands one bit-flip away). Query side
+    *   explodes ×probes; the corpus side is untouched, so cost scales
+    *   with probes × bucket size, never with corpus size.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(probes >= 1 && probes <= bits + 1, s"probes must be in [1, ${bits + 1}]")
     val c = corpus.select(col("vec_id").as("n_id"),
       quantized(col("embedding")).as("n_q"),
       signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("n_nrm", qnorm(col("n_q")))
+    val exact = signBucket(col("embedding"), bits)
+    def flipped(i: Int) = concat(
+      exact.substr(lit(1), lit(i - 1)),
+      when(exact.substr(lit(i), lit(1)) === "1", "0").otherwise("1"),
+      exact.substr(lit(i + 1), lit(bits - i)))
+    val probeBuckets = array(exact +: (1 until probes).map(flipped): _*)
     val q = queries.select(col("vec_id").as("q_id"),
       quantized(col("embedding")).as("q_q"),
-      signBucket(col("embedding"), bits).as("bucket"))
+      explode(probeBuckets).as("bucket"))
       .withColumn("q_nrm", qnorm(col("q_q")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))

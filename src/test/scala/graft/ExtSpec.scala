@@ -68,14 +68,18 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
-  test("LSH top-k only compares within sign buckets") {
+  test("LSH top-k only compares within sign buckets; multiprobe recovers bit-flip neighbors") {
     val e = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
       (1L, Array(0.9f, 1.0f, 1.0f, 1.0f)),   // same bucket as 0
-      (2L, Array(-1.0f, 1.0f, 1.0f, 1.0f))). // different bucket
+      (2L, Array(-0.1f, 1.0f, 1.0f, 1.0f))). // near 0 but across the dim-1 boundary
       toDF("vec_id", "embedding")
-    val r = Similarity.lshTopK(e, e.filter($"vec_id" === 0), k = 3, bits = 4).collect()
-    assert(r.map(_.getLong(1)).toSeq == Seq(1L)) // 2 is never considered
+    val r1 = Similarity.lshTopK(e, e.filter($"vec_id" === 0), k = 3, bits = 4).collect()
+    assert(r1.map(_.getLong(1)).toSeq == Seq(1L)) // 2 is never considered
+    // probing the flipped-first-bit bucket recovers the boundary neighbor
+    val r3 = Similarity.lshTopK(e, e.filter($"vec_id" === 0), k = 3, bits = 4, probes = 2)
+      .orderBy("rank").collect()
+    assert(r3.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
   test("token counts / quality / language-id / fingerprints are per-row projections") {
