@@ -117,6 +117,9 @@ object ExtQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(t(s, dir, "documents"))(s).orderBy("doc_id")),
 
@@ -393,6 +396,18 @@ object ExtQueries {
          SELECT doc_id, md5(text) AS content_md5,
                 coalesce(list_min([md5(x) FOR x IN sh]), '') AS min_shingle_hash
          FROM sh ORDER BY doc_id""",
+
+    "text_rolling_fingerprint" ->
+      """WITH c AS (
+           SELECT doc_id, [CAST(ascii(ch) AS BIGINT) FOR ch IN regexp_extract_all(text, '.')] AS codes
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(codes) >= 8 THEN
+             list_min([list_reduce(codes[i+1:i+8],
+               (a, b) -> (a * 257 + b) % 2147483647)
+               FOR i IN range(0, greatest(len(codes) - 7, 0))])
+           ELSE -1 END AS rolling_fingerprint
+         FROM c ORDER BY doc_id""",
 
     "multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,

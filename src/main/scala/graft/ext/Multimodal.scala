@@ -95,6 +95,25 @@ object Multimodal {
   def featuresFromDocuments(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     extractFeatures(fromDocuments(docs)).toDF()
 
+  /** STUB resize: declared dimensions are scaled and the payload
+    * downsampled by byte-striding — standing in for a real pixel
+    * resampler. Map-only (no shuffle), output payload strictly smaller:
+    * the shape a thumbnailing stage has.
+    */
+  def resizeStub(
+      media: Dataset[MediaRecord],
+      scalePercent: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(scalePercent > 0 && scalePercent <= 100, "scalePercent must be in (0, 100]")
+    media.mapPartitions(_.map { r =>
+      val stride = math.max(1, 100 / scalePercent)
+      r.copy(
+        payload = r.payload.indices.collect { case i if i % stride == 0 => r.payload(i) }.toArray,
+        declared_w = r.declared_w * scalePercent / 100,
+        declared_h = r.declared_h * scalePercent / 100)
+    })
+  }
+
   /** One sampled "frame" of a media payload: the 1-record → N-frames
     * expansion shape (video frame sampling, audio chunking). */
   case class MediaFrame(

@@ -80,6 +80,26 @@ object TextAnalysis {
     * winnowing-style minimum shingle hash (robust to small edits —
     * unchanged unless the edit touches the minimal shingle).
     */
+  /** Karp-Rabin rolling-hash fingerprint: the polynomial hash
+    * `((c1*257 + c2)*257 + ...) mod (2^31-1)` of every `k`-char window,
+    * reduced winnowing-style to the window minimum — robust to edits
+    * outside the minimal window, cheap to recompute incrementally at
+    * ingest. Exact integer math end to end (portable to any engine with
+    * a fold). NULL-safe: documents shorter than `k` fingerprint to -1.
+    */
+  def rollingFingerprint(docs: DataFrame, k: Int = 8): DataFrame = {
+    val m = 2147483647L // 2^31 - 1
+    val codes = transform(split(col("text"), ""), c => ascii(c))
+    val windowHashes = transform(
+      sequence(lit(0), size(codes) - k),
+      i => aggregate(slice(codes, i + lit(1), lit(k)), lit(0L),
+        (acc, c) => (acc * 257L + c) % m))
+    docs.select(
+      col("doc_id"),
+      when(size(codes) >= k, array_min(windowHashes))
+        .otherwise(lit(-1L)).as("rolling_fingerprint"))
+  }
+
   def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),

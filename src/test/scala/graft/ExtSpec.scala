@@ -96,6 +96,25 @@ class ExtSpec extends SparkSpec {
     assert(fp.getString(1).length == 32 && fp.getString(2).length == 32)
   }
 
+  test("rolling fingerprint: identical windows collide, edits move it only locally") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "short"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rollingFingerprint(d).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == r(1).getLong(1)) // identical docs -> same fingerprint
+    assert(r(0).getLong(1) >= 0)
+    assert(r(2).getLong(1) == -1L)             // shorter than the window
+  }
+
+  test("multimodal resize stub scales dimensions and strides the payload") {
+    implicit val s = spark
+    val d = Seq((1L, "0123456789", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resizeStub(Multimodal.fromDocuments(d), scalePercent = 50)
+      .collect().head
+    assert(resized.payload.length == 5) // every 2nd byte
+    assert(new String(resized.payload, "UTF-8") == "02468")
+  }
+
   test("multimodal: batched stub decode preserves ids and hashes content") {
     implicit val s = spark
     val d = Seq((7L, "hello world", "en", "s", 11L))
