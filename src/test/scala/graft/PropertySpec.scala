@@ -70,4 +70,46 @@ class PropertySpec extends SparkSpec {
       assert(messages(base, target) == messages(base, target), s"seed=$seed")
     }
   }
+
+  // --- full-entity snapshots: columns + indexes + FKs -----------------
+
+  private val genIndexes: Gen[List[IndexMeta]] =
+    Gen.listOfN(4, for {
+      t <- name; i <- Gen.oneOf("ix1", "ix2", "ix3")
+      cols <- Gen.someOf("a", "b", "c").map(_.toList)
+      uniq <- Gen.oneOf(true, false)
+    } yield IndexMeta(t, i, 1, cols, "", uniq))
+      .map(_.groupBy(x => (x.table_name, x.index_name)).values.map(_.head).toList)
+
+  private val genFks: Gen[List[ForeignKeyMeta]] =
+    Gen.listOfN(3, for {
+      t <- name; f <- Gen.oneOf("fk1", "fk2")
+      rt <- name; rc <- colName
+    } yield ForeignKeyMeta(t, f, 1, "a", rt, rc))
+      .map(_.groupBy(x => (x.table_name, x.constraint_name)).values.map(_.head).toList)
+
+  private def fullSnapshot(seed: Long): SchemaSnapshot = {
+    val cols = sample(seed)
+    val idx = genIndexes(Gen.Parameters.default, Seed(seed * 31)).getOrElse(Nil)
+      .filter(i => cols.exists(_.table_name == i.table_name))
+    val fks = genFks(Gen.Parameters.default, Seed(seed * 37)).getOrElse(Nil)
+      .filter(f => cols.exists(_.table_name == f.table_name))
+    Snapshot.fromMeta(spark,
+      cols.map(_.table_name).distinct.sorted.map(TableMeta(_, "")), cols, idx, fks)
+  }
+
+  test("full-entity invariants: self-diff empty, direction honored, deterministic") {
+    (1L to 8L).foreach { seed =>
+      val s1 = fullSnapshot(seed)
+      val s2 = fullSnapshot(seed + 777)
+      assert(Diff.diff(s1, s1).isEmpty, s"seed=$seed self-diff not empty")
+      val m1 = messages(s1, s2)
+      assert(m1 == messages(s1, s2), s"seed=$seed nondeterministic")
+      // every message names an object from the base side
+      val baseTables = s1.tables.collect().map(_.getString(0)).toSet
+      val reported = Diff.diff(s1, s2).select("table_name")
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(reported.subsetOf(baseTables), s"seed=$seed reported beyond base")
+    }
+  }
 }
