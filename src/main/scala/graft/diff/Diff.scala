@@ -74,6 +74,22 @@ object Diff {
     "table_name", "kind", "check", "object_name",
     "kind_rank", "object_ordinal", "check_rank", "direction", "message")
 
+  /** Register the diff surface as SQL temp views so downstream tooling
+    * can stay in `spark.sql`: `graft_findings` (one row per finding)
+    * and `graft_report` (grouped per table). The deferred
+    * `SCHEMA DIFF ('base','target')` parser injection (SURVEY.md §4.3)
+    * is not needed for this — views + the Dataset API cover the SQL
+    * workflow.
+    */
+  def registerViews(
+      base: SchemaSnapshot, target: SchemaSnapshot,
+      opts: DiffOptions = DiffOptions(),
+      prefix: String = "graft"): Unit = {
+    val findings = diff(base, target, opts)
+    findings.createOrReplaceTempView(s"${prefix}_findings")
+    Report.fromFindings(findings).createOrReplaceTempView(s"${prefix}_report")
+  }
+
   def diff(base: SchemaSnapshot, target: SchemaSnapshot, opts: DiffOptions = DiffOptions()): DataFrame = {
     val fwd = directional(base, target, opts, "base_to_target")
     if (!opts.bidirectional) fwd

@@ -114,6 +114,20 @@ class DiffSpec extends SparkSpec {
     assert(strict.size == 1 && strict.head.contains("different default value"))
   }
 
+  test("registerViews exposes findings and report to spark.sql") {
+    val base = users(idCol, nameCol)()()
+    val target = users(idCol)()()
+    Diff.registerViews(base, target)
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_findings WHERE check = 'column_missing'")
+      .collect().head.getLong(0)
+    assert(n == 1)
+    val rep = spark.sql(
+      "SELECT report_list[0] FROM graft_report WHERE table_name = 'users'")
+      .collect().head.getString(0)
+    assert(rep.contains("users.name exists in the base database"))
+  }
+
   test("report groups per table, ordered, empty tables dropped") {
     val base = Snapshot.fromMeta(spark,
       Seq(TableMeta("a_ok", ""), TableMeta("b_bad", ""), TableMeta("c_gone", "")),
