@@ -175,6 +175,14 @@ class ExtSpec extends SparkSpec {
     val summary = DataDiff.diffSummary(base, target, Seq("id"))
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(summary == Map("changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+
+    // value-shift pair ("a","bc") vs ("ab","c"): concatenations collide,
+    // the delimited fingerprint must not
+    val b2 = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val t2 = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val shifted = DataDiff.rowDiff(b2, t2, Seq("id")).collect()
+    assert(shifted.length == 1 && shifted.head.getString(1) == "changed")
+    assert(shifted.head.getSeq[String](2) == Seq("x", "y"))
   }
 
   test("multimodal frame sampling: 1 record -> n byte-sliced frames, no loss") {
