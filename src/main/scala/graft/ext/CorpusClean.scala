@@ -45,7 +45,9 @@ object CorpusClean {
         (lit(1.0) - least(nPunct.cast("double") / length(col("text")).cast("double") * 10.0,
           lit(1.0))) * 0.2
 
-    val gated = docs.withColumn("quality_score", quality)
+    // widen: everything downstream (quality regex, md5 dedup, LSH
+    // shingling) is per-row CPU; a narrow scan must not serialize it.
+    val gated = Scale.widen(docs).withColumn("quality_score", quality)
       .filter(col("quality_score") >= minQuality)
 
     // exact dedup: survivor = min doc_id per content hash. Persisted:

@@ -58,7 +58,9 @@ object Dedup {
     // the md5-heavy shingling. At cluster scale this materialization
     // would be a checkpoint to storage instead of memory. `shh` hashes
     // each shingle ONCE — all band minhashes are substrings of it.
-    val sh = docs.select(col("doc_id"), col("text"),
+    // widen: the md5 stage must run at cluster width even when the
+    // input scan plans few partitions (small file count).
+    val sh = Scale.widen(docs).select(col("doc_id"), col("text"),
       shingles(tokens(col("text")), k).as("sh"))
       .withColumn("shh", shingleHashes(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -90,7 +92,7 @@ object Dedup {
     * share it. bucket_size > 1 flags near-dup clusters.
     */
   def simhashBuckets(docs: DataFrame): DataFrame = {
-    val sig = docs.select(col("doc_id"),
+    val sig = Scale.widen(docs).select(col("doc_id"),
       simhash16(tokens(col("text"))).as("simhash"))
     sig.withColumn("bucket_size",
       count(lit(1)).over(Window.partitionBy("simhash")))
@@ -103,7 +105,7 @@ object Dedup {
     * square.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, blockCols: Seq[String]): DataFrame = {
-    val sh = docs.select(
+    val sh = Scale.widen(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+ shingles(tokens(col("text")), k).as("sh"): _*)
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
@@ -121,7 +123,8 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // norms once per VECTOR (n aggregates), not per pair (3·n² aggregates)
-    val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val q = Scale.widen(embeddings)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("nrm", qnorm(col("q")))
     q.alias("a").join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),

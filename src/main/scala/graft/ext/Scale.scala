@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Raise a frame's partition count to the cluster's core count before
+    * a CPU-heavy per-row derivation (md5 shingling, simhash, per-pair
+    * dot products). A scan of a small file set plans as few partitions
+    * as it has files/row-groups — a single-file table runs any
+    * downstream map stage on ONE core no matter how wide the cluster.
+    * One cheap shuffle of the raw rows buys full map-side parallelism.
+    *
+    * No-op when the input is already at least as wide as the cluster
+    * (the 100 TB case: thousands of input splits), so it never
+    * DOWN-scales a big scan or adds a shuffle where parallelism exists.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Skew-safe equi-join of a large skewed frame against a smaller one.
     *
     * The big side gets a random-but-deterministic salt in [0, salts)

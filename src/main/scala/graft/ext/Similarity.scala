@@ -26,7 +26,10 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+    // widen: the corpus side never shuffles (queries broadcast), so the
+    // per-pair dot products run at the SCAN's parallelism — widen it.
+    val c = Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
       .withColumn("n_nrm", qnorm(col("n_q")))
     val q = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
       .withColumn("q_nrm", qnorm(col("q_q")))
@@ -53,7 +56,7 @@ object Similarity {
       probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     require(probes >= 1 && probes <= bits + 1, s"probes must be in [1, ${bits + 1}]")
-    val c = corpus.select(col("vec_id").as("n_id"),
+    val c = Scale.widen(corpus).select(col("vec_id").as("n_id"),
       quantized(col("embedding")).as("n_q"),
       signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("n_nrm", qnorm(col("n_q")))
