@@ -105,6 +105,12 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 3, cells = 16, probes = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -337,6 +343,33 @@ object ExtQueries {
                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
            FROM scored)
          SELECT q_id, n_id, bucket, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "knn_ivf" ->
+      s"""WITH q AS ($quantSql),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 16),
+         assigned AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         probed AS (
+           SELECT q_id, q_q, cell_id FROM (
+             SELECT qs.vec_id AS q_id, qs.q AS q_q, c.cell_id,
+                    row_number() OVER (PARTITION BY qs.vec_id
+                      ORDER BY ${qcosSql("qs.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM (SELECT * FROM q WHERE vec_id < 8) qs CROSS JOIN cent c)
+           WHERE rn <= 3),
+         scored AS (
+           SELECT p.q_id, a.n_id, a.cell_id, ${qcosSql("p.q_q", "a.n_q")} AS cosine
+           FROM assigned a JOIN probed p ON a.cell_id = p.cell_id AND p.q_id <> a.n_id),
+         ranked AS (
+           SELECT q_id, n_id, cell_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "text_token_count" ->

@@ -59,8 +59,11 @@ object Dedup {
     // would be a checkpoint to storage instead of memory. `shh` hashes
     // each shingle ONCE — all band minhashes are substrings of it.
     // widen: the md5 stage must run at cluster width even when the
-    // input scan plans few partitions (small file count).
-    val sh = Scale.widen(docs).select(col("doc_id"), col("text"),
+    // input scan plans few partitions (small file count). The persisted
+    // frame carries only (doc_id, sh, shh) — `text` is never used
+    // downstream, and at 64 hex chars per shingle `shh` already
+    // dominates the cache footprint.
+    val sh = Scale.widen(docs).select(col("doc_id"),
       shingles(tokens(col("text")), k).as("sh"))
       .withColumn("shh", shingleHashes(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -78,4 +78,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-style ANN: a coarse quantizer of `cells` centroids partitions
+    * the corpus into inverted lists; each query scans only its `probes`
+    * nearest cells.
+    *
+    * Centroids are seeded deterministically with the `cells` lowest-id
+    * corpus vectors (k-means init; a production index would run Lloyd
+    * iterations on a sample first — the dataflow below is unchanged by
+    * better centroids, and determinism is what the oracle needs).
+    *
+    * Scale shape: the index build is ONE corpus-sized shuffle — the
+    * centroid table broadcasts, assignment is a map-side broadcast join
+    * + partial max_by, exactly the "repartition by cell_id and write
+    * the inverted lists" job a persistent IVF index runs once. The
+    * query side broadcasts (queries × probes) rows and equi-joins on
+    * cell_id, so serving cost scales with probed-cell volume, never
+    * with corpus size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
+      probes: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(cells >= 1 && probes >= 1 && probes <= cells,
+      s"need 1 <= probes <= cells, got cells=$cells probes=$probes")
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        quantized(col("embedding")).as("c_q"))
+      .withColumn("c_nrm", qnorm(col("c_q")))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+      .withColumn("n_nrm", qnorm(col("n_q")))
+    // inverted lists: nearest centroid per corpus vector (ties → lowest
+    // cell). The broadcast join explodes ×cells map-side; partial
+    // max_by collapses it back to one row per vector before the shuffle.
+    val assigned = c.join(broadcast(cent))
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cell_id"),
+          struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
+            -col("cell_id"))).as("cell_id"),
+        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
+    // probe lists: the `probes` nearest centroids per query
+    val qc = queries
+      .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
+      .withColumn("q_nrm", qnorm(col("q_q")))
+      .join(broadcast(cent))
+      .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"),
+        qcosinePre(col("q_q"), col("c_q"), col("q_nrm"), col("c_nrm")).as("c_cos"))
+    val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val probed = qc.withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= probes)
+      .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"))
+    val scored = assigned.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("cell_id"),
+        qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

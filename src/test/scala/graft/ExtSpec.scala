@@ -82,6 +82,21 @@ class ExtSpec extends SparkSpec {
     assert(r3.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("IVF top-k searches only probed cells; more probes widen recall") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid of cell 0, also the query
+      (1L, Array(0.0f, 1.0f)),   // centroid of cell 1
+      (2L, Array(0.9f, 0.1f)),   // assigned to cell 0
+      (3L, Array(0.1f, 0.9f))).  // assigned to cell 1
+      toDF("vec_id", "embedding")
+    val r1 = Similarity.ivfTopK(e, e.filter($"vec_id" === 0), k = 3, cells = 2, probes = 1)
+      .orderBy("rank").collect()
+    assert(r1.map(_.getLong(1)).toSeq == Seq(2L)) // cell-1 members invisible
+    val r2 = Similarity.ivfTopK(e, e.filter($"vec_id" === 0), k = 3, cells = 2, probes = 2)
+      .orderBy("rank").collect()
+    assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
+  }
+
   test("token counts / quality / language-id / fingerprints are per-row projections") {
     val d = Seq((1L, "the cat sat on a mat!", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
