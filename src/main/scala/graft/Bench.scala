@@ -28,16 +28,26 @@ object Bench {
           lit(0L), (a, v) => a + v).as("s"))
         .agg(count(col("h")), sum(col("s"))).collect()
     }
-    // deterministic run order so per-key numbers compare across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two full passes in deterministic key order; report the per-key
+    // MINIMUM. The host VM's effective CPU swings 2-4x run-to-run
+    // (BASELINE.md), so a single sample measures host weather, not
+    // engine cost. Caches are cleared after every key so each
+    // measurement is self-contained (a key's internal persist works;
+    // nothing leaks into the next key or the next pass).
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        name -> dt
+      }
+    val p1 = pass().toMap
+    val results = pass().map { case (k, t2) => k -> math.min(p1(k), t2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
     spark.stop()
   }
 }

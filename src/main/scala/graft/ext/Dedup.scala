@@ -46,13 +46,21 @@ object Dedup {
     * @param bands      number of LSH bands
     * @param rowsPerBand minhashes per band (bands*rowsPerBand hashes total)
     * @param threshold  final Jaccard cut applied to verified candidates
+    * @param maxBucket  skew guard: a bucket wider than this keeps only
+    *   its `maxBucket` lowest doc_ids for pair generation. A degenerate
+    *   signature (empty docs, boilerplate) can collect millions of
+    *   members whose pair expansion is quadratic — the cap bounds any
+    *   bucket's output at maxBucket², the standard LSH skew control.
+    *   Capped members lose only candidates INSIDE the hot bucket, and
+    *   such docs nearly always share several buckets.
     */
   def minhashLsh(
       docs: DataFrame,
       k: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     // The shingle frame feeds three plan branches (signatures + both
     // sides of the verify join); without persist each branch re-runs
     // the md5-heavy shingling. At cluster scale this materialization
@@ -74,13 +82,18 @@ object Dedup {
         bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
         .as(Seq("band_id", "sig")))
 
-    // bucket join: same band + same signature, lower id on the left;
-    // distinct collapses pairs that collide in several bands.
-    val cand = sigs.alias("a")
-      .join(sigs.alias("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // bucket pairs: ONE shuffle keyed by (band_id, sig) collects each
+    // bucket's members; id-ordered pairs are generated in-bucket with
+    // HOFs (a self-join would shuffle the signature frame twice for the
+    // same result). distinct collapses pairs colliding in several bands.
+    val cand = sigs
+      .groupBy(col("band_id"), col("sig"))
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("pair"))
+      .select(col("pair.a_id"), col("pair.b_id"))
       .distinct()
 
     // verify candidates with true shingle-set Jaccard.
