@@ -82,6 +82,18 @@ class ExtSpec extends SparkSpec {
     assert(r3.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("minhash maxBucket cap bounds in-bucket pair expansion") {
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val full = Dedup.minhashLsh(d).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Dedup.minhashLsh(d, maxBucket = 2).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L))) // only the 2 lowest ids per bucket pair up
+  }
+
   test("IVF top-k searches only probed cells; more probes widen recall") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),   // centroid of cell 0, also the query

@@ -31,6 +31,17 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("widen raises narrow inputs to cluster width, no-ops on wide ones") {
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      .coalesce(1)
+    assert(Scale.widen(narrow).rdd.getNumPartitions == target)
+    val wide = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      .repartition(target * 2)
+    // already wider than the cluster: must not add a repartition
+    assert(Scale.widen(wide).queryExecution.logical eq wide.queryExecution.logical)
+  }
+
   test("bucketed tables join with no exchange") {
     spark.sql("DROP TABLE IF EXISTS g_bucket_a")
     spark.sql("DROP TABLE IF EXISTS g_bucket_b")
