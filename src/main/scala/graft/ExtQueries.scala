@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -217,6 +217,20 @@ object ExtQueries {
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
         .orderBy("l_returnflag")),
 
+    // train-prep: deterministic split, sequence packing, benchmark
+    // decontamination (eval set = every 20th document, so the planted
+    // contamination is exactly the docs that appear in both sets)
+    "dataset_hash_split" -> ((s, dir) =>
+      TrainPrep.hashSplit(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "sequence_packing" -> ((s, dir) =>
+      TrainPrep.packSequences(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "decontamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TrainPrep.decontaminate(d, d.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    }),
+
     // the full cleaning pipeline over a corpus seeded with exact copies
     // (+2e6, removed by exact dedup) and near copies (+1e6, removed by
     // LSH near-dup pruning), with a quality gate up front
@@ -371,6 +385,46 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "dataset_hash_split" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_reduce(
+               [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                 regexp_extract_all(md5('split|' || CAST(doc_id AS VARCHAR)), '.')],
+               (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+
+    "sequence_packing" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 8 AS bucket,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, bucket, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS cum_tokens
+           FROM b)
+         SELECT doc_id, bucket, n_tokens, cum_tokens,
+                (cum_tokens - n_tokens) // 2048 AS pack_id
+         FROM c ORDER BY doc_id""",
+
+    "decontamination" ->
+      """WITH shingled AS (
+           SELECT doc_id,
+             [array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, greatest(len(w)-4, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM shingled WHERE doc_id % 20 = 0),
+         tr AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+         ov AS (SELECT t.doc_id, count(DISTINCT t.shingle) AS n_overlap
+                FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id)
+         SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                coalesce(o.n_overlap, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN ov o USING (doc_id) ORDER BY d.doc_id""",
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextPrimitives._
+
+/** Training-set preparation operators: deterministic dataset splitting,
+  * sequence packing, and benchmark decontamination — the last mile of a
+  * large-scale training-data pipeline after cleaning/dedup.
+  *
+  * Scale design:
+  *  - [[hashSplit]] is a pure per-row projection (zero shuffles): the
+  *    split is a function of the id alone, so it is stable under
+  *    re-runs, re-partitioning, and incremental ingest — rows never
+  *    migrate between train/val/test when the corpus grows, unlike
+  *    `randomSplit`, whose assignment depends on partitioning.
+  *  - [[packSequences]] is one window over (bucket, doc order). The
+  *    bucket key bounds each window partition to corpus/buckets — the
+  *    packer parallelizes across buckets (one training shard each) and
+  *    never materializes a global order.
+  *  - [[decontaminate]] broadcasts the eval-set shingle index (eval
+  *    suites are ~1e3-1e6 shingles — KBs to MBs); the train side is a
+  *    map-side explode + broadcast semi-probe + partial count, so the
+  *    100 TB corpus is never shuffled by shingle.
+  */
+object TrainPrep {
+
+  /** Engine-portable deterministic hash of a string column into
+    * [0, 1e9+7): polynomial fold (base 31) of the md5 hex characters.
+    * Identical in any engine with md5 + a list fold (init-0 fold equals
+    * first-element-init fold for `acc*31 + x`).
+    */
+  def portableHash(c: Column): Column =
+    aggregate(transform(split(md5(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** Deterministic train/val/test split: bucket = hash(seed|id) % 100,
+    * train = [0, trainPct), val = [trainPct, trainPct+valPct), test =
+    * the rest. Per-row projection; see scale notes above.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      seed: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must partition [0,100]: train=$trainPct val=$valPct")
+    val bucket = portableHash(concat(lit(s"$seed|"), col("doc_id").cast("string"))) % 100
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Sequence packing ("concat then chunk"): documents are streamed in
+    * id order within `buckets` independent shards; each doc is assigned
+    * to the context-window pack containing its start offset in the
+    * concatenated token stream. One window aggregation per shard.
+    *
+    * Output: (doc_id, bucket, n_tokens, cum_tokens, pack_id) — enough
+    * for a writer to emit shard/pack-partitioned training files.
+    */
+  def packSequences(
+      docs: DataFrame,
+      tokenBudget: Int = 2048,
+      buckets: Int = 8): DataFrame = {
+    require(tokenBudget > 0 && buckets > 0, "budget and buckets must be positive")
+    val nTok = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        nTok.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div ${tokenBudget.toLong}"))
+  }
+
+  /** Benchmark decontamination: per train document, how many distinct
+    * word `k`-shingles it shares with the eval corpus. A training
+    * pipeline drops (or at least audits) every `contaminated` doc so
+    * benchmark answers don't leak into the training set.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, k: Int = 5): DataFrame = {
+    val evalShingles = eval
+      .select(explode(shingles(tokens(col("text")), k)).as("shingle"))
+      .distinct()
+    val overlap = Scale.widen(train)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), k)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+}

@@ -82,6 +82,27 @@ class ExtSpec extends SparkSpec {
     assert(r3.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("hash split is a stable per-row function; packing chunks the token stream; decontaminate flags planted overlap") {
+    import graft.ext.TrainPrep
+    val d = (1L to 40L).map(i => (i, s"tok$i " * 10)).toDF("doc_id", "text")
+    val s1 = TrainPrep.hashSplit(d).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // stability: same ids -> same splits, independent of partitioning
+    val s2 = TrainPrep.hashSplit(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(s1 == s2 && s1.values.toSet.subsetOf(Set("train", "val", "test")))
+
+    // 10 tokens/doc, budget 25, 1 bucket: docs at offsets 0,10,20,30... ->
+    // packs 0,0,0,1 per floor(offset/25)
+    val p = TrainPrep.packSequences(d.filter($"doc_id" <= 4), tokenBudget = 25, buckets = 1)
+      .orderBy("doc_id").collect().map(_.getLong(4)).toSeq
+    assert(p == Seq(0L, 0L, 0L, 1L))
+
+    val eval = d.filter($"doc_id" % 4 === 0)
+    val flags = TrainPrep.decontaminate(d, eval).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert((1L to 40L).forall(i => flags(i) == (i % 4 == 0)))
+  }
+
   test("minhash maxBucket cap bounds in-bucket pair expansion") {
     val d = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"))
