@@ -79,6 +79,20 @@ object ExtQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashBuckets(corpusWithNearCopies(s, dir)).orderBy("doc_id")),
 
+    // subset corpus: a 16-bit signature space saturates around √65536
+    // docs, after which candidate volume grows quadratically — the
+    // operator's contract is "width must scale with corpus size"
+    // (production: 64-bit), and the testdata pins the 16-bit oracle
+    "dedup_simhash_hamming" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+      Dedup.simhashNearPairs(corpus).orderBy("a_id", "b_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, blockCols = Seq("lang", "source"))
         .orderBy("a_id", "b_id")),
@@ -385,6 +399,32 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "dedup_simhash_hamming" ->
+      s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM docs5
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs5)),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS ash, b.simhash AS bsh
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+              OR substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8))),
+         h AS (SELECT a_id, b_id,
+                 CAST(len(list_filter(range(1, 17), i -> ash[i] != bsh[i])) AS INT) AS hamming
+               FROM cand)
+         SELECT a_id, b_id, hamming FROM h
+         WHERE hamming <= 1 ORDER BY a_id, b_id""",
 
     "dataset_hash_split" ->
       """WITH h AS (

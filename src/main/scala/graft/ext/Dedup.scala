@@ -86,8 +86,28 @@ object Dedup {
     // bucket's members; id-ordered pairs are generated in-bucket with
     // HOFs (a self-join would shuffle the signature frame twice for the
     // same result). distinct collapses pairs colliding in several bands.
-    val cand = sigs
-      .groupBy(col("band_id"), col("sig"))
+    val cand = pairsWithinBuckets(sigs, Seq("band_id", "sig"), maxBucket)
+
+    // verify candidates with true shingle-set Jaccard.
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The LSH candidate-generation core: group rows by `bucketCols`,
+    * then expand id-ordered pairs WITHIN each bucket. One shuffle keyed
+    * by the bucket; `maxBucket` caps any degenerate bucket's quadratic
+    * expansion (keeps the lowest ids). Output: distinct (a_id, b_id)
+    * with a_id < b_id.
+    */
+  private def pairsWithinBuckets(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    df
+      .groupBy(bucketCols.map(col): _*)
       .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -96,12 +116,46 @@ object Dedup {
       .select(col("pair.a_id"), col("pair.b_id"))
       .distinct()
 
-    // verify candidates with true shingle-set Jaccard.
+  /** SimHash near-dup pairs within a Hamming radius, via multi-index
+    * (pigeonhole) search: split the 16-bit signature into
+    * `maxHamming + 1` disjoint segments — any pair within the radius
+    * must agree EXACTLY on at least one segment — bucket-join per
+    * segment, then verify the true Hamming distance on candidates.
+    * Same one-shuffle candidate shape as [[minhashLsh]]; candidate
+    * volume is governed by segment width (16/(maxHamming+1) bits), so
+    * small radii stay cheap and large radii degrade gracefully toward
+    * the quadratic verifier.
+    *
+    * Width caveat: signature entropy must scale with corpus size — a
+    * 16-bit signature saturates around √2^16 ≈ 256 documents, after
+    * which candidate volume grows quadratically in corpus size no
+    * matter how the index is built. Production corpora use 64-bit
+    * signatures (same dataflow, wider segments); 16 bits is pinned
+    * here for oracle portability.
+    */
+  def simhashNearPairs(
+      docs: DataFrame,
+      maxHamming: Int = 1,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 16, s"maxHamming in [1,15], got $maxHamming")
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
+    val sig = Scale.widen(docs).select(col("doc_id"),
+      simhash16(tokens(col("text"))).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = sig.select(col("doc_id"),
+      posexplode(array((0 until nSeg).map(i =>
+        col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
+        .as(Seq("seg_id", "seg")))
+    val cand = pairsWithinBuckets(segs, Seq("seg_id", "seg"), maxBucket)
+    val hamming = size(filter(
+      zip_with(split(col("a_sh"), ""), split(col("b_sh"), ""), (x, y) => x =!= y),
+      v => v))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash buckets: per-doc 16-bit signature + how many documents

@@ -103,6 +103,18 @@ class ExtSpec extends SparkSpec {
     assert((1L to 40L).forall(i => flags(i) == (i % 4 == 0)))
   }
 
+  test("simhash Hamming pairs: identical docs collide at distance 0") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated content about spark physical planning"))
+      .toDF("doc_id", "text")
+    val r = Dedup.simhashNearPairs(d, maxHamming = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.contains((1L, 2L, 0)))
+    assert(r.filter(_._3 == 0).toSet == Set((1L, 2L, 0)))
+  }
+
   test("minhash maxBucket cap bounds in-bucket pair expansion") {
     val d = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"))
