@@ -83,6 +83,13 @@ object ExtQueries {
     // docs, after which candidate volume grows quadratically — the
     // operator's contract is "width must scale with corpus size"
     // (production: 64-bit), and the testdata pins the 16-bit oracle
+    // pairs -> transitive clusters -> canonical keep-list: the step a
+    // dedup pipeline needs after ANY pairwise detector
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = corpusWithNearCopies(s, dir)
+      Dedup.dupClusters(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
+    }),
+
     "dedup_simhash_hamming" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
@@ -399,6 +406,30 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r AS (
+           SELECT doc_id AS node, doc_id AS m FROM corpus
+           UNION
+           SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node)
+         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         FROM clusters ORDER BY doc_id""",
 
     "dedup_simhash_hamming" ->
       s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -186,6 +186,54 @@ object Dedup {
             jaccard(col("a.sh"), col("b.sh")).as("jaccard")): _*)
   }
 
+  /** Duplicate clusters: connected components over a near-dup pair list
+    * (from [[minhashLsh]] / [[simhashNearPairs]] / [[embeddingNearDups]]),
+    * labeling every document with the minimum doc_id reachable through
+    * pair edges. A dedup pipeline keeps `is_canonical` rows and drops
+    * the rest — pairs alone under-delete (transitive dups A~B~C must
+    * all collapse to A even when (A,C) was never emitted as a pair).
+    *
+    * Implementation: iterated min-label propagation — per round, each
+    * node takes the min of its own label and its neighbors' labels; one
+    * equi-join + one aggregation per round, converging in
+    * graph-diameter rounds (near-dup components are shallow — dup
+    * chains rarely exceed a handful of hops; production CC at huge
+    * diameter would switch to large-star/small-star for O(log n)
+    * rounds, same join primitives). The loop is structural driver-side
+    * control flow (bounded rounds + a convergence probe), not per-row
+    * driver work; lineage is truncated each round so plans stay flat.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // each node's neighbors push their LABELS; node takes the min
+      val propagated = labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val updated = labels
+        .join(propagated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = updated.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = updated
+      round += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: exact quantized cosine over all id-ordered
     * pairs, keep those above `threshold`. Brute force — the O(n²)
     * baseline; see [[Similarity]] for the bucketed scale path.

@@ -103,6 +103,16 @@ class ExtSpec extends SparkSpec {
     assert((1L to 40L).forall(i => flags(i) == (i % 4 == 0)))
   }
 
+  test("dup clusters: transitive pairs collapse to the min id; singletons self-label") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val r = Dedup.dupClusters(docs, pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
+    assert(r == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (20L, 20L, true)))
+  }
+
   test("simhash Hamming pairs: identical docs collide at distance 0") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
