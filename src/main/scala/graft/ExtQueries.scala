@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, Similarity, TextAnalysis, TrainPrep}
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -152,6 +152,22 @@ object ExtQueries {
 
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events")).orderBy("user_id", "session_id")),
+
+    // interval-containment join, binned to an equi-join: each click ->
+    // the session interval containing it (1 h bins over integer µs)
+    "range_join_binned" -> ((s, dir) => {
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val sessions = Events.sessionize(t(s, dir, "events"))
+        .select(col("user_id"), col("session_id"), col("start_us"),
+          (col("start_us") + col("duration_us")).as("end_us"))
+      RangeJoin.binnedIntervalJoin(clicks, sessions, Seq("user_id"),
+          "ts_us", "start_us", "end_us", binWidth = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("session_id"), col("start_us"), col("end_us"))
+        .orderBy("event_id", "session_id")
+    }),
 
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(t(s, dir, "events")).orderBy("window_start_us", "event_type")),
@@ -574,6 +590,36 @@ object ExtQueries {
          CAST(length(text) % 640 AS INT) AS decoded_w,
          CAST(length(text) % 480 AS INT) AS decoded_h
          FROM documents ORDER BY doc_id""",
+
+    "range_join_binned" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events),
+         l AS (
+           SELECT *, CASE
+             WHEN lag(ts_us) OVER w IS NULL THEN 1
+             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (
+           SELECT *, CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM l),
+         sess AS (
+           SELECT user_id, session_id,
+             CAST(min(ts_us) AS BIGINT) AS start_us,
+             CAST(max(ts_us) AS BIGINT) AS end_us
+           FROM s GROUP BY user_id, session_id),
+         clicks AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts_us,
+                ss.session_id, ss.start_us, ss.end_us
+         FROM clicks c JOIN sess ss
+           ON c.user_id = ss.user_id
+          AND c.ts_us BETWEEN ss.start_us AND ss.end_us
+         ORDER BY event_id, session_id""",
 
     "events_sessionize" ->
       """WITH e AS (

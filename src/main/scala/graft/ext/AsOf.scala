@@ -63,3 +63,40 @@ object AsOf {
           rightPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
 }
+
+/** Interval-containment (range) join — for each point row, the interval
+  * rows of the same key with `start <= point <= end`. Spark plans the
+  * naive theta-join as a nested loop (O(n·m) per key group); the scale
+  * formulation BINS the domain: points hash to their bin, intervals
+  * explode to every bin they overlap, and the join becomes an EQUI-join
+  * on (keys, bin) + an exact containment filter. Shuffle volume is
+  * points + intervals×(avg bins per interval); bin width trades
+  * interval fan-out against bucket selectivity — pick it near the
+  * median interval length.
+  */
+object RangeJoin {
+
+  /** @param points    each row has `pointCol` (long, non-negative)
+    * @param intervals each row has `startCol`/`endCol` (long, inclusive)
+    * @param keys      equi-key columns present on both sides
+    * @param binWidth  bin size in the point column's units
+    */
+  def binnedIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", expr(s"$pointCol div ${binWidth}L"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div ${binWidth}L"), expr(s"$endCol div ${binWidth}L"))))
+    // a point lives in exactly ONE bin, so containment matches are
+    // already unique — no post-join distinct needed
+    p.join(iv, keys :+ "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

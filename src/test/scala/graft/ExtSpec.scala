@@ -103,6 +103,17 @@ class ExtSpec extends SparkSpec {
     assert((1L to 40L).forall(i => flags(i) == (i % 4 == 0)))
   }
 
+  test("binned interval join matches inclusive bounds across bin boundaries") {
+    import graft.ext.RangeJoin
+    val points = Seq((1L, 5L, "a"), (1L, 25L, "b"), (1L, 26L, "c"), (2L, 10L, "d"))
+      .toDF("k", "p", "tag")
+    val intervals = Seq((1L, 100L, 5L, 25L)).toDF("k", "iv_id", "s", "e")
+    val r = RangeJoin.binnedIntervalJoin(points, intervals, Seq("k"), "p", "s", "e",
+        binWidth = 10L)
+      .select("tag", "iv_id").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(r == Set(("a", 100L), ("b", 100L))) // inclusive ends; c outside, d wrong key
+  }
+
   test("dup clusters: transitive pairs collapse to the min id; singletons self-label") {
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
