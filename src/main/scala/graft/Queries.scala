@@ -383,6 +383,137 @@ object Queries {
         concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_pri"))
       .orderBy("o_orderkey")
 
+  /** Pivot: long→wide conditional aggregation. Explicit value list so
+    * the plan is a single pass (no extra distinct-values job) and the
+    * output schema is static — the form that scales.
+    */
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .sum("price_c")
+      .na.fill(0L, Seq("F", "O", "P"))
+      .withColumnRenamed("F", "f_total")
+      .withColumnRenamed("O", "o_total")
+      .withColumnRenamed("P", "p_total")
+      .orderBy("o_orderpriority")
+
+  /** GROUPING SETS: detail + per-flag subtotal + grand total in one
+    * shuffle (Spark expands sets map-side, single exchange).
+    */
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+             count(*) AS n_rows
+      FROM v_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rf, ls""")
+  }
+
+  /** Window lag/lead: previous/next order per customer. One shuffle on
+    * the partition key; sort within partitions only.
+    */
+  private def windowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Window running sum: cumulative fixed-point revenue per customer —
+    * ROWS UNBOUNDED PRECEDING frame over a unique ordering, so the
+    * prefix sums are deterministic.
+    */
+  private def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("price_c")).over(w).as("running_total_c"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** explode/unnest: one row per whitespace token of p_type (Generate
+    * stays inside whole-stage codegen; no shuffle).
+    */
+  private def explodeUnnest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))
+      .orderBy("p_partkey", "word")
+
+  /** Skew-mitigating two-phase aggregation: salt the grouping key with a
+    * deterministic hash, partially aggregate per (key, salt), then
+    * merge per key. At scale this bounds any single reducer's input to
+    * 1/16 of the hottest key; the result is identical to the plain
+    * aggregate (the oracle).
+    */
+  private def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .withColumn("qty_l", round(col("l_quantity")).cast("long"))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(sum(col("qty_l")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("s")).as("sum_qty"), sum(col("c")).as("n_rows"))
+      .orderBy("l_suppkey")
+
+  /** Explicit broadcast-hash join: dimension side hinted, no shuffle of
+    * the fact table (the plan PlanSpec asserts on).
+    */
+  private def broadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))
+      .orderBy("n_name")
+
+  /** JSON scalar functions: render a JSON document then extract fields
+    * by path (get_json_object ≡ DuckDB json_extract_string).
+    */
+  private def jsonFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        concat(lit("{\"id\":"), col("n_nationkey"),
+          lit(",\"name\":\""), col("n_name"), lit("\"}")).as("js"))
+      .select(col("n_nationkey"),
+        get_json_object(col("js"), "$.name").as("jname"),
+        get_json_object(col("js"), "$.id").cast("int").as("jid"))
+      .orderBy("n_nationkey")
+
+  /** EXCEPT ALL: multiset difference (bag semantics — duplicates
+    * subtract one-for-one, unlike the distinct EXCEPT in
+    * bidirectional_except).
+    */
+  private def exceptAllMultiset(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** Deterministic stratified sampling: per-stratum rates via modular
+    * arithmetic on the key (not rand()), so the sample is reproducible
+    * across engines, retries, and task re-execution — the property that
+    * matters for training-data splits at scale.
+    */
+  private def stratifiedSampleDeterministic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(10)) <
+        when(col("o_orderstatus") === "F", 2)
+          .when(col("o_orderstatus") === "O", 1)
+          .otherwise(5))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,6 +547,16 @@ object Queries {
     "limit_topk" -> limitTopk _,
     "window_topk_per_key" -> windowTopkPerKey _,
     "scalar_functions" -> scalarFunctions _,
+    "pivot_agg" -> pivotAgg _,
+    "grouping_sets_agg" -> groupingSetsAgg _,
+    "window_lag_lead" -> windowLagLead _,
+    "window_running_sum" -> windowRunningSum _,
+    "explode_unnest" -> explodeUnnest _,
+    "skew_salted_agg" -> skewSaltedAgg _,
+    "broadcast_join" -> broadcastJoin _,
+    "json_functions" -> jsonFunctions _,
+    "except_all_multiset" -> exceptAllMultiset _,
+    "stratified_sample_deterministic" -> stratifiedSampleDeterministic _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -569,5 +710,58 @@ object Queries {
          CAST(length(o_orderpriority) AS INT) AS pri_len,
          o_orderstatus || '/' || o_orderpriority AS status_pri
          FROM orders ORDER BY o_orderkey""",
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_total,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_total,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "grouping_sets_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY rf, ls""",
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_orderkey, 1) OVER w AS prev_order,
+         lead(o_orderkey, 1) OVER w AS next_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_c
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "explode_unnest" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+         FROM part ORDER BY p_partkey, word""",
+    "skew_salted_agg" ->
+      """SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "broadcast_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "json_functions" ->
+      """SELECT n_nationkey,
+         json_extract_string('{"id":' || n_nationkey || ',"name":"' || n_name || '"}', '$.name') AS jname,
+         CAST(json_extract_string('{"id":' || n_nationkey || ',"name":"' || n_name || '"}', '$.id') AS INT) AS jid
+         FROM nation ORDER BY n_nationkey""",
+    "except_all_multiset" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "stratified_sample_deterministic" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey % 10 <
+           CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 1 ELSE 5 END
+         ORDER BY o_orderkey""",
   )
 }

@@ -82,6 +82,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_qdot"), s"native dot product not in plan:\n$p")
   }
 
+  test("broadcast_join keeps the fact side shuffle-free before aggregation") {
+    val p = q("broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join must not sort-merge:\n$p")
+  }
+
+  test("skew_salted_agg is two aggregation levels with partial phases") {
+    val p = q("skew_salted_agg")
+    // (key, salt) pre-agg + key merge, each with its own partial phase
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected two-level (>=4 HashAggregate nodes) plan, got $aggs:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("pivot_agg is a single-pass aggregate (no distinct-values job)") {
+    val p = q("pivot_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"pivot must partial-aggregate:\n$p")
+  }
+
+  test("explode_unnest keeps Generate outside any shuffle") {
+    val p = q("explode_unnest")
+    assert(p.contains("Generate"), s"expected Generate node:\n$p")
+    // the only exchange is the final presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"explode should not hash-shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
