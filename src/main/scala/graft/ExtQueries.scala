@@ -147,6 +147,20 @@ object ExtQueries {
     "text_rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-000"), col("doc_id")).as("raw"))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("raw")).as("clean"))
+        .orderBy("doc_id")),
+
+    "ngram_topk" -> ((s, dir) =>
+      TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
+
+    "fuzzy_levenshtein_join" -> ((s, dir) =>
+      TextAnalysis.fuzzyNamePairs(t(s, dir, "part"), "p_name", 3)),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(t(s, dir, "documents"))(s).orderBy("doc_id")),
 
@@ -582,6 +596,32 @@ object ExtQueries {
                FOR i IN range(0, greatest(len(codes) - 7, 0))])
            ELSE -1 END AS rolling_fingerprint
          FROM c ORDER BY doc_id""",
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(
+           substr(text, 1, 40) || ' contact user' || doc_id || '@example.com or +1-555-000' || doc_id,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\- ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+
+    "ngram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+               FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t)
+         SELECT bigram, count(*) AS n_occ FROM b
+         GROUP BY bigram ORDER BY n_occ DESC, bigram LIMIT 20""",
+
+    "fuzzy_levenshtein_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM n a JOIN n b
+           ON string_split(a.name, ' ')[-1] = string_split(b.name, ' ')[-1]
+          AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 3
+         ORDER BY name_a, name_b""",
 
     "multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,

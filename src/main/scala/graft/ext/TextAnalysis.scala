@@ -100,6 +100,57 @@ object TextAnalysis {
         .otherwise(lit(-1L)).as("rolling_fingerprint"))
   }
 
+  /** PII redaction: scrub email addresses then phone-like digit runs
+    * (email first — the phone pattern would otherwise eat an email's
+    * local-part digits). Patterns are deliberately conservative char
+    * classes that behave identically under Java regex and RE2, so the
+    * scrub is reproducible across engines. Pure projection — scan-speed
+    * at 100 TB, no shuffle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Top-k character-boundary bigrams across the corpus: adjacent-word
+    * pairs via zip_with over two array slices (no self-join, no
+    * positional explode), then a count aggregation and a top-k. One
+    * shuffle for the count; TakeOrderedAndProject for the k.
+    */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .where(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (x, y) => concat_ws(" ", x, y))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Fuzzy duplicate detection over a value domain: DISTINCT first (the
+    * scalable move — the quadratic compare runs on the value domain,
+    * not the row count), block on the last token, then Levenshtein
+    * within blocks. At 100 TB the distinct is one shuffle over a
+    * usually-tiny domain; the pair compare is per-block quadratic only.
+    */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int = 3): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("name").as("name_a"), col("block"))
+    val b = names.select(col("name").as("name_b"), col("block"))
+    a.join(b, Seq("block"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),

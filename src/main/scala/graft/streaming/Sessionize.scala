@@ -51,6 +51,16 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (batch) dimension frame. The static side is broadcast — each
+    * micro-batch joins map-side with no shuffle of the stream and no
+    * streaming state at all (unlike stream-stream joins). This is the
+    * shape for decorating an ingest stream with reference data
+    * (user→segment, doc→license) at 100 TB/day rates.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Gap-based sessions via the BUILT-IN `session_window` — the
     * declarative twin of [[sessions]]: Spark merges overlapping
     * per-event windows (ts, ts+gap] per key and closes a session when

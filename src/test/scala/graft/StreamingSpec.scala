@@ -35,6 +35,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val in = MemoryStream[Event]
+    val q = Sessionize.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 100, 1, 1.0), ev(2, 101, 2, 2.0), ev(3, 102, 9, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("event_id", "segment")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
