@@ -514,6 +514,50 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"))
       .orderBy("o_orderkey")
 
+  /** Higher-order array functions: aggregate / filter / exists /
+    * transform over a per-group collected array — all codegen-adjacent
+    * lambda builtins, no UDF.
+    */
+  private def arrayHof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(round(col("l_quantity")).cast("long"))).as("qtys"))
+      .select(col("l_orderkey"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("qty_sum"),
+        size(filter(col("qtys"), _ > 25)).as("n_big"),
+        exists(col("qtys"), _ === 50).as("has_50"),
+        concat_ws(",", transform(col("qtys"), x => (x * 2).cast("string"))).as("doubled_csv"))
+      .orderBy("l_orderkey")
+
+  /** MapType round-trip: per-customer status→count map built with
+    * map_from_entries, then exploded back to rows (proves the map
+    * representation carries through shuffle + codegen; the oracle is
+    * the plain flat aggregate the round-trip must reproduce).
+    */
+  private def mapFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(col("o_custkey"), explode(col("m")).as(Seq("status", "n")))
+      .orderBy("o_custkey", "status")
+
+  /** from_csv: parse delimited text into typed columns — the
+    * schema-on-read path for ingesting raw text corpora.
+    */
+  private def csvParse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    t(s, dir, "nation")
+      .select(concat_ws(",", col("n_nationkey"), col("n_name")).as("line"))
+      .select(from_csv(col("line"), schema, Map.empty[String, String]).as("p"))
+      .select(col("p.id").as("id"), col("p.name").as("name"))
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -557,6 +601,9 @@ object Queries {
     "json_functions" -> jsonFunctions _,
     "except_all_multiset" -> exceptAllMultiset _,
     "stratified_sample_deterministic" -> stratifiedSampleDeterministic _,
+    "array_hof" -> arrayHof _,
+    "map_functions" -> mapFunctions _,
+    "csv_parse" -> csvParse _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,5 +810,24 @@ object Queries {
          WHERE o_orderkey % 10 <
            CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 1 ELSE 5 END
          ORDER BY o_orderkey""",
+    "array_hof" ->
+      """WITH q AS (SELECT l_orderkey,
+             list_sort(list(CAST(round(l_quantity) AS BIGINT))) AS qtys
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey,
+           CAST(list_sum(qtys) AS BIGINT) AS qty_sum,
+           CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
+           list_contains(qtys, 50) AS has_50,
+           array_to_string(list_transform(qtys, x -> x * 2), ',') AS doubled_csv
+         FROM q ORDER BY l_orderkey""",
+    "map_functions" ->
+      """SELECT o_custkey, o_orderstatus AS status, count(*) AS n
+         FROM orders GROUP BY o_custkey, o_orderstatus
+         ORDER BY o_custkey, status""",
+    "csv_parse" ->
+      """SELECT CAST(string_split(line, ',')[1] AS INT) AS id,
+                string_split(line, ',')[2] AS name
+         FROM (SELECT n_nationkey || ',' || n_name AS line FROM nation)
+         ORDER BY id""",
   )
 }

@@ -112,4 +112,46 @@ class PropertySpec extends SparkSpec {
       assert(reported.subsetOf(baseTables), s"seed=$seed reported beyond base")
     }
   }
+
+  test("salted two-phase aggregation equals the plain aggregate on random skewed data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genRows: Gen[List[(Long, Long)]] = Gen.listOfN(400, for {
+      k <- Gen.frequency(8 -> Gen.const(1L), 2 -> Gen.choose(2L, 9L)) // hot key 1
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (k, v))
+    (1L to 5L).foreach { seed =>
+      val rows = genRows(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = rows.toDF("k", "v")
+      val salted = df
+        .withColumn("salt", pmod(xxhash64(col("v"), col("k")), lit(7)))
+        .groupBy(col("k"), col("salt")).agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .groupBy(col("k")).agg(sum("s").as("sum_v"), sum("c").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = df.groupBy(col("k")).agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted == plain, s"seed=$seed")
+    }
+  }
+
+  test("PII redaction is idempotent and leaves no matches behind") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val genDoc: Gen[String] = for {
+      pre <- Gen.alphaLowerStr.map(_.take(12))
+      user <- Gen.alphaNumStr.map(s => if (s.isEmpty) "u1" else s.take(8))
+      digits <- Gen.listOfN(8, Gen.choose(0, 9)).map(_.mkString)
+      post <- Gen.alphaLowerStr.map(_.take(12))
+    } yield s"$pre $user@mail-host.com call +1-$digits $post"
+    val docs = (1L to 30L).flatMap(seed =>
+      genDoc(Gen.Parameters.default, Seed(seed))).toDF("text")
+    val once = docs.select(TextAnalysis.redactPii(col("text")).as("r"))
+    val twice = once.select(TextAnalysis.redactPii(col("r")).as("r"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+    val leftover = once.where(
+      col("r").rlike(TextAnalysis.EmailRe) || col("r").rlike(TextAnalysis.PhoneRe))
+    assert(leftover.isEmpty, s"unredacted PII: ${leftover.collect().mkString(";")}")
+  }
 }
