@@ -91,7 +91,11 @@ object TextPrimitives {
     val na = size(array_distinct(a))
     val nb = size(array_distinct(b))
     val nu = size(array_distinct(concat(a, b)))
-    (na + nb - nu).cast("double") / nu.cast("double")
+    // two empty sets (docs shorter than the shingle width) define 0.0,
+    // not 0/0: such docs must not near-dup-pair via shingles — exact
+    // dedup owns identical-empty handling
+    when(nu === 0, lit(0.0))
+      .otherwise((na + nb - nu).cast("double") / nu.cast("double"))
   }
 
   /** Embedding quantized to exact 1e-6 fixed-point longs. All cosine

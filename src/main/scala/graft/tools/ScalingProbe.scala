@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** Scaling-curve probe: run the heavy dedup operators on 1×/4×/16×
+  * self-multiplied corpora and print per-multiple wall times, so the
+  * "would this hold at 1000× the data" question gets measured evidence
+  * instead of an argument (results recorded in SCALING.md).
+  *
+  * Each extra copy gets every word suffixed with the copy index, so
+  * copies share NO shingles/signatures with each other — the workload
+  * grows linearly in rows with no artificial cross-copy duplicate
+  * blow-up (exact copies would inflate LSH buckets quadratically and
+  * measure the skew guard, not the operator).
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+
+    def corpus(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        base.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "([a-z]+)", "$1" + i.toString).as("text"))
+      }.reduce(_ unionByName _)
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      ("dedup_exact", d => Dedup.exact(d).count()),
+      ("dedup_minhash_lsh", d => Dedup.minhashLsh(d).count()),
+      ("dedup_simhash_hamming", d => Dedup.simhashNearPairs(d).count()))
+
+    val results = for (mult <- Seq(1, 4, 16); (name, op) <- ops) yield {
+      val d = corpus(mult)
+      val rows = d.count() // materialize input cost outside the timing
+      val t0 = System.nanoTime()
+      val out = op(d)
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"""{"op":"$name","mult":$mult,"rows":$rows,"out":$out,"sec":$sec%.2f}""")
+      (name, mult, rows, sec)
+    }
+
+    println("== scaling summary (sec per 1x/4x/16x; linear op => ~4x steps) ==")
+    results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      val byMult = rs.sortBy(_._2).map(r => f"${r._2}x=${r._4}%.2f").mkString(" ")
+      println(s"$name: $byMult")
+    }
+    spark.stop()
+  }
+}

@@ -21,6 +21,30 @@ class ExtSpec extends SparkSpec {
     assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("edge cases: unicode, empty, and sub-shingle-width docs don't break dedup/text ops") {
+    val d = docsDf(
+      1L -> "héllo wörld 한글 텍스트 données мир",
+      2L -> "héllo wörld 한글 텍스트 données мир", // exact unicode dup
+      3L -> "",
+      4L -> "solo",
+      5L -> "two words")
+    // exact dedup groups the unicode pair byte-identically
+    val ex = Dedup.exact(d).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(ex(1L) == 2L)
+    // shingle-based ops must not crash on docs shorter than the width
+    assert(Dedup.minhashLsh(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L)))
+    assert(Dedup.simhashNearPairs(d).count() >= 1) // the unicode pair at least
+    // bigrams: empty + single-word docs contribute nothing, no crash
+    val bg = TextAnalysis.topBigrams(d, 10).collect()
+    assert(bg.map(_.getString(0)).contains("two words"))
+    assert(!bg.map(_.getString(0)).exists(_.contains("solo")))
+    // PII redaction is a no-op on PII-free unicode text
+    val red = d.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSet
+    assert(red.contains("héllo wörld 한글 텍스트 données мир"))
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again" // -1 word
