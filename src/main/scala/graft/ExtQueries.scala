@@ -100,6 +100,16 @@ object ExtQueries {
       Dedup.simhashNearPairs(corpus).orderBy("a_id", "b_id")
     }),
 
+    "dedup_simhash64" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+      Dedup.simhashNearPairs64(corpus).orderBy("a_id", "b_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, blockCols = Seq("lang", "source"))
         .orderBy("a_id", "b_id")),
@@ -189,6 +199,17 @@ object ExtQueries {
     // row-level data diff of `orders` against a deterministically
     // perturbed copy: ~1% rows dropped (removed), ~1% totalprice
     // bumped (changed), ~1% re-keyed copies (added)
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    "events_retention" -> ((s, dir) =>
+      Events.retention(t(s, dir, "events"))
+        // DATE columns don't round-trip the hash compare; format as ISO
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_n"), col("n_users"))
+        .orderBy("cohort", "day_n")),
+
     "data_row_diff" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val target = o.filter(col("o_orderkey") % 97 =!= 0)
@@ -461,6 +482,37 @@ object ExtQueries {
          SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          FROM clusters ORDER BY doc_id""",
 
+    "dedup_simhash64" ->
+      s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM docs5
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs5)),
+         m AS (
+           SELECT doc_id, [md5(t) || md5('1|' || t) FOR t IN string_split(text, ' ')] AS mat
+           FROM corpus),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END FOR h IN mat])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 65)], '') AS simhash
+           FROM m),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS ash, b.simhash AS bsh
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+              OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+              OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+              OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))),
+         h AS (SELECT a_id, b_id,
+                 CAST(len(list_filter(range(1, 65), i -> ash[i] != bsh[i])) AS INT) AS hamming
+               FROM cand)
+         SELECT a_id, b_id, hamming FROM h
+         WHERE hamming <= 3 ORDER BY a_id, b_id""",
+
     "dedup_simhash_hamming" ->
       s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
          corpus AS (
@@ -693,6 +745,32 @@ object ExtQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(value_cents) AS BIGINT) AS value_cents
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         s0 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts_us) AS t_click FROM e
+                JOIN s0 ON s0.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s0.t_view
+                GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s1.t_click
+                GROUP BY e.user_id)
+         SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase
+         FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id
+         LEFT JOIN s2 ON s2.user_id = s0.user_id
+         ORDER BY s0.user_id""",
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+         SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+                CAST(date_diff('day', c.cohort, e.day) AS INT) AS day_n,
+                count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c ON c.user_id = e.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "data_row_diff" ->
       """WITH tgt AS (

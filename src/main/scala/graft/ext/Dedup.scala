@@ -158,6 +158,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 64-bit SimHash near-dup pairs — the production-width variant of
+    * [[simhashNearPairs]] (SCALING.md records the measured 16-bit
+    * saturation: bucket width grows with corpus size, so 16 bits is
+    * for oracle portability only). Same dataflow, wider signature:
+    * with 64 bits and `maxHamming` 3, candidates must agree on one of
+    * four 16-char segments — collision probability stays tiny at any
+    * realistic corpus size.
+    *
+    * Per-token hash material (two md5s = 64 hex chars) is PERSISTED
+    * before the 64 bit-votes: projection collapse would otherwise
+    * inline the md5s into all 64 aggregate lambdas (HOFs defeat
+    * subexpression elimination), recomputing each hash 64×.
+    */
+  def simhashNearPairs64(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 64, s"maxHamming in [1,63], got $maxHamming")
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(i => i * 64 / nSeg)
+    val mat = Scale.widen(docs).select(col("doc_id"),
+      transform(tokens(col("text")), t =>
+        concat(md5(t), md5(concat(lit("1|"), t)))).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = mat.select(col("doc_id"), concat_ws("",
+      (1 to 64).map(i =>
+        when(aggregate(col("m"), lit(0),
+          (acc, h) => acc + when(h.substr(i, 1) >= "8", 1).otherwise(-1)) >= 0, lit("1"))
+          .otherwise(lit("0"))): _*).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = sig.select(col("doc_id"),
+      posexplode(array((0 until nSeg).map(i =>
+        col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
+        .as(Seq("seg_id", "seg")))
+    val cand = pairsWithinBuckets(segs, Seq("seg_id", "seg"), maxBucket)
+    val hamming = size(filter(
+      zip_with(split(col("a_sh"), ""), split(col("b_sh"), ""), (x, y) => x =!= y),
+      v => v))
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash buckets: per-doc 16-bit signature + how many documents
     * share it. bucket_size > 1 flags near-dup clusters.
     */

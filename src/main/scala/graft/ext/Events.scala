@@ -47,6 +47,43 @@ object Events {
         sum("value_cents").as("value_cents"))
   }
 
+  /** Ordered funnel: per user, the earliest time of each step that
+    * happens strictly AFTER the previous step's time (first view, then
+    * first click after that view, then first purchase after that
+    * click). One min-aggregate + one broadcast-size join per step —
+    * never a per-user sort of the whole event log; at 100 TB each step
+    * is a shuffle keyed by user_id and the per-user state is one long.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val e = events.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    var acc = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as(s"t_${steps.head}"))
+    steps.sliding(2).foreach {
+      case Seq(prev, st) =>
+        val next = e.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(s"t_$prev")), Seq("user_id"))
+          .where(col("ts_us") > col(s"t_$prev"))
+          .groupBy("user_id").agg(min("ts_us").as(s"t_$st"))
+        acc = acc.join(next, Seq("user_id"), "left")
+      case _ => // single step: nothing to chain
+    }
+    acc
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for each
+    * (cohort, day-offset) the distinct users active that day. Two
+    * shuffles total (first-seen aggregate, retention aggregate).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      to_date(timestamp_micros(tsUs)).as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Tumbling-window aggregation: fixed windows of `windowMinutes` by
     * event type. Integer bucket arithmetic (`div`) so any engine agrees
     * on window assignment exactly.
