@@ -558,6 +558,82 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Exact distributed median without collecting: rank each value in
+    * its group (unique tie-break), take the one-or-two middle ranks,
+    * sum them — `median_x2` is integer-exact (2× the median) on any
+    * engine, and the plan is one shuffle + window, no driver-side data.
+    */
+  private def exactMedianWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      // integer division: Column./ is DOUBLE division, which would
+      // compare row_number against 3.5-style values and match nothing
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("qty")).as("median_x2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Aggregate FILTER clause: per-group conditional aggregation without
+    * self-joins or pivots.
+    */
+  private def filteredAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders_fa")
+    s.sql("""
+      SELECT o_custkey,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS p_total_c
+      FROM v_orders_fa GROUP BY o_custkey ORDER BY o_custkey""")
+  }
+
+  /** min_by / max_by: the argmin/argmax aggregates, made deterministic
+    * under ties by ordering on a (value, key) struct.
+    */
+  private def argminArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("priciest_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey")))
+          .as("cheapest_order"))
+      .orderBy("o_custkey")
+
+  /** unionByName with missing columns: schema-mediated union (columns
+    * matched by NAME, absent ones null-filled) — the ingest shape for
+    * merging heterogeneous corpus drops.
+    */
+  private def unionByNameMissing(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("f_side").as("side"))
+    val b = o.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_orderpriority"), lit("p_side").as("side"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey", "side")
+  }
+
+  /** ntile / percent_rank / cume_dist: the ranking-window family over a
+    * per-group unique ordering.
+    */
+  private def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,6 +680,11 @@ object Queries {
     "array_hof" -> arrayHof _,
     "map_functions" -> mapFunctions _,
     "csv_parse" -> csvParse _,
+    "exact_median_window" -> exactMedianWindow _,
+    "filtered_agg" -> filteredAgg _,
+    "argmin_argmax" -> argminArgmax _,
+    "union_by_name_missing" -> unionByNameMissing _,
+    "window_ntile" -> windowNtile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -829,5 +910,51 @@ object Queries {
                 string_split(line, ',')[2] AS name
          FROM (SELECT n_nationkey || ',' || n_name AS line FROM nation)
          ORDER BY id""",
+    "exact_median_window" ->
+      """WITH r AS (
+           SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_quantity) AS BIGINT), l_orderkey, l_linenumber, l_partkey) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS median_x2
+         FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "filtered_agg" ->
+      """SELECT o_custkey,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS p_total_c
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "argmin_argmax" ->
+      """WITH rmax AS (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         rmin AS (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+           FROM orders)
+         SELECT a.o_custkey, a.o_orderkey AS priciest_order, b.o_orderkey AS cheapest_order
+         FROM rmax a JOIN rmin b ON a.o_custkey = b.o_custkey AND a.rn = 1 AND b.rn = 1
+         ORDER BY a.o_custkey""",
+    "union_by_name_missing" ->
+      """SELECT o_orderkey, o_totalprice, 'f_side' AS side, NULL AS o_orderpriority
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, NULL, 'p_side', o_orderpriority
+         FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_orderkey, side""",
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
   )
 }
