@@ -138,6 +138,7 @@ object Dedup {
       maxHamming: Int = 1,
       maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 16, s"maxHamming in [1,15], got $maxHamming")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val nSeg = maxHamming + 1
     val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
     val sig = Scale.widen(docs).select(col("doc_id"),
@@ -148,9 +149,9 @@ object Dedup {
         col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
         .as(Seq("seg_id", "seg")))
     val cand = pairsWithinBuckets(segs, Seq("seg_id", "seg"), maxBucket)
-    val hamming = size(filter(
-      zip_with(split(col("a_sh"), ""), split(col("b_sh"), ""), (x, y) => x =!= y),
-      v => v))
+    // native byte-wise scorer: the zip_with/split formulation allocates
+    // four arrays per candidate pair (see graft.functions.StringHamming)
+    val hamming = graft.functions.GraftFunctions.hammingNative(col("a_sh"), col("b_sh"))
     cand
       .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))
@@ -176,6 +177,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 64, s"maxHamming in [1,63], got $maxHamming")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val nSeg = maxHamming + 1
     val bounds = (0 to nSeg).map(i => i * 64 / nSeg)
     val mat = Scale.widen(docs).select(col("doc_id"),
@@ -193,9 +195,9 @@ object Dedup {
         col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
         .as(Seq("seg_id", "seg")))
     val cand = pairsWithinBuckets(segs, Seq("seg_id", "seg"), maxBucket)
-    val hamming = size(filter(
-      zip_with(split(col("a_sh"), ""), split(col("b_sh"), ""), (x, y) => x =!= y),
-      v => v))
+    // native byte-wise scorer: the zip_with/split formulation allocates
+    // four arrays per candidate pair (see graft.functions.StringHamming)
+    val hamming = graft.functions.GraftFunctions.hammingNative(col("a_sh"), col("b_sh"))
     cand
       .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))

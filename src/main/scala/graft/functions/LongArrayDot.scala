@@ -76,7 +76,8 @@ case class LongArrayDot(left: Expression, right: Expression)
 object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_qdot" -> (args => LongArrayDot(args(0), args(1))))
+    "graft_qdot" -> (args => LongArrayDot(args(0), args(1))),
+    "graft_hamming" -> (args => StringHamming(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -91,4 +92,8 @@ object GraftFunctions {
   /** Column-API handle (requires [[register]] on the session first). */
   def qdotNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_qdot", a, b)
+
+  /** Column-API handle (requires [[register]] on the session first). */
+  def hammingNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hamming", a, b)
 }

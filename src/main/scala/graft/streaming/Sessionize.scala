@@ -61,6 +61,57 @@ object Sessionize {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks within the preceding `windowMinutes`. Both sides are
+    * watermarked and the join condition bounds event time on both
+    * sides, so Spark evicts join state once the watermark passes the
+    * interval — state is O(active interval), not O(stream).
+    */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Incremental deduplicated ingest via foreachBatch: every
+    * micro-batch is exact-deduped within itself AND against everything
+    * already written, then appended — the merge pattern for building a
+    * dedup'd gold table from an at-least-once stream. The anti-join
+    * reads only the (text_hash) column of the existing table (column
+    * pruning), so the probe cost scales with table row count, not
+    * payload bytes; at warehouse scale the target would be a bucketed
+    * table on text_hash making the probe exchange-free.
+    */
+  def dedupedIngest(docs: DataFrame, outDir: String, checkpoint: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val hashed = batch.withColumn("text_hash", md5(col("text")))
+          .dropDuplicates("text_hash")
+        val fresh =
+          if (new java.io.File(outDir).exists())
+            hashed.join(spark.read.parquet(outDir).select("text_hash"),
+              Seq("text_hash"), "left_anti")
+          else hashed
+        fresh.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Gap-based sessions via the BUILT-IN `session_window` — the
     * declarative twin of [[sessions]]: Spark merges overlapping
     * per-event windows (ts, ts+gap] per key and closes a session when

@@ -24,9 +24,36 @@ class ExtensionsSpec extends SparkSpec {
       val r = s2.sql("SELECT graft_qdot(array(2L, 3L), array(10L, 100L)) AS d")
         .collect().head.getLong(0)
       assert(r == 320L)
+      val h = s2.sql(
+        "SELECT graft_hamming('0110', '0011') AS h").collect().head.getInt(0)
+      assert(h == 2)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("graft_hamming: exact distance, length surplus counted, null-safe, in codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      ("0000", "0000", 0), ("1111", "0000", 4), ("0101", "0100", 1),
+      ("010101", "0101", 2), // surplus bytes count as distance
+      ("", "", 0)).toDF("a", "b", "want")
+    val got = df.select(
+      graft.functions.GraftFunctions.hammingNative(col("a"), col("b")).as("h"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null-safe
+    val n = Seq((Option("01"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.hammingNative(col("a"), col("b")).as("h"))
+      .collect().head
+    assert(n.isNullAt(0))
+    // the simhash verify path uses the native expression
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val plan = graft.ext.Dedup.simhashNearPairs(d).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hamming"), plan)
   }
 }

@@ -51,6 +51,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Sessionize.attribution(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(ev(10, 100, 1, 0.0), ev(11, 200, 1, 0.0), ev(12, 100, 2, 0.0))
+      purchases.addData(ev(20, 120, 1, 9.0), // within 30m of click 10 only
+        ev(21, 215, 1, 5.0), // within 30m of click 11 only
+        ev(22, 300, 2, 7.0)) // no click within 30m
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L), (21L, 11L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch deduped ingest appends only never-seen texts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, String)]
+    val q = Sessionize.dedupedIngest(in.toDS().toDF("doc_id", "text"), out, ckpt)
+    try {
+      in.addData(1L -> "alpha", 2L -> "alpha", 3L -> "beta") // in-batch dup
+      q.processAllAvailable()
+      in.addData(4L -> "beta", 5L -> "gamma") // cross-batch dup
+      q.processAllAvailable()
+      val texts = spark.read.parquet(out).select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
