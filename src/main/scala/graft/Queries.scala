@@ -634,6 +634,19 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Skew-safe salted equi-join ([[graft.ext.Scale.saltedJoin]]): the
+    * big side is salted by a deterministic row hash and the small side
+    * exploded `salts`×, so a hot join key spreads over `salts` shuffle
+    * partitions instead of hot-spotting one reducer. Result is
+    * IDENTICAL to the plain join — the oracle is the unsalted join.
+    */
+  private def skewSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Scale.saltedJoin(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "o_custkey", salts = 8)
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -685,6 +698,7 @@ object Queries {
     "argmin_argmax" -> argminArgmax _,
     "union_by_name_missing" -> unionByNameMissing _,
     "window_ntile" -> windowNtile _,
+    "skew_salted_join" -> skewSaltedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -956,5 +970,9 @@ object Queries {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderkey""",
+    "skew_salted_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, c.c_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
   )
 }

@@ -96,6 +96,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation:\n$p")
   }
 
+  test("skew_salted_join joins on (key, salt) so a hot key spreads") {
+    val p = q("skew_salted_join")
+    assert(p.contains("__salt"), s"expected the salt in the join keys:\n$p")
+  }
+
   test("pivot_agg is a single-pass aggregate (no distinct-values job)") {
     val p = q("pivot_agg")
     assert(p.contains("HashAggregate") && p.contains("partial_"),
