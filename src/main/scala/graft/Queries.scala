@@ -647,6 +647,21 @@ object Queries {
       "o_custkey", salts = 8)
       .orderBy("o_orderkey")
 
+  /** Bloom-pruned semi-join ([[graft.ext.Scale.bloomPrunedSemiJoin]]):
+    * lineitem rows whose order is high-value, with the fact side
+    * bloom-filtered before its shuffle. Exact — the oracle is the plain
+    * IN-subquery semi-join.
+    */
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val highValue = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    graft.ext.Scale.bloomPrunedSemiJoin(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("qty_l")),
+      highValue, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .orderBy("l_orderkey", "l_linenumber", "qty_l")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -699,6 +714,7 @@ object Queries {
     "union_by_name_missing" -> unionByNameMissing _,
     "window_ntile" -> windowNtile _,
     "skew_salted_join" -> skewSaltedJoin _,
+    "bloom_semi_join" -> bloomSemiJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,5 +990,10 @@ object Queries {
       """SELECT o.o_custkey, o.o_orderkey, c.c_name
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_orderkey""",
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty_l
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY l_orderkey, l_linenumber, qty_l""",
   )
 }

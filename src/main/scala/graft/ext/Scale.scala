@@ -74,6 +74,40 @@ object Scale {
   private def rand_from(df: DataFrame, salts: Int): Column =
     pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
 
+  /** Bloom-pruned exact semi-join: build a bloom filter over the small
+    * side's key (a distributed treeAggregate; the driver holds only the
+    * ~`1.2·n·log2(1/fpp)`-bit filter), filter the big side with it
+    * BEFORE the shuffle, then exact left-semi join the survivors.
+    *
+    * The result is exactly `big ⋉ small`: bloom filters have no false
+    * negatives, and the semi-join removes the ≤`fpp` false positives.
+    * What changes is the shuffle volume — at 100 TB, a selective small
+    * side means the exchange moves ~`sel + fpp` of the fact table
+    * instead of all of it. This is the explicit, always-on form of
+    * Spark's planner-gated runtime bloom filter.
+    *
+    * Keys must be bigint on both sides (see
+    * [[graft.functions.BloomMightContain]]).
+    */
+  def bloomPrunedSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(big.sparkSession)
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    big.filter(org.apache.spark.sql.functions.call_function(
+      "graft_bloom_might_contain", col(bigKey), lit(bytes)))
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
+  }
+
   /** Write a frame as a bucketed+sorted table: subsequent equi-joins /
     * aggregations on the bucket key among same-bucketed tables run with
     * NO shuffle (the scan provides the required hash distribution).

@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), s"expected the salt in the join keys:\n$p")
   }
 
+  test("bloom_semi_join probes the bloom filter below the join") {
+    val p = q("bloom_semi_join")
+    assert(p.contains("graft_bloom_might_contain"), s"no bloom probe:\n$p")
+    val probeAt = p.indexOf("graft_bloom_might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe must sit under the join (prune before shuffle):\n$p")
+  }
+
   test("pivot_agg is a single-pass aggregate (no distinct-values job)") {
     val p = q("pivot_agg")
     assert(p.contains("HashAggregate") && p.contains("partial_"),

@@ -21,6 +21,24 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("bloom-pruned semi-join is exactly the plain semi-join") {
+    val big = (1L to 5000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = (1L to 5000L).filter(_ % 37 == 0).map(i => (i, "x")).toDF("sk", "x")
+    val plain = big.join(small.select(col("sk").as("k")), Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bloomed = Scale.bloomPrunedSemiJoin(big, small, "k", "sk",
+      expectedItems = 1000L, fpp = 0.05)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomed == plain && plain.size == 5000 / 37)
+    // the probe runs in generated code over the deserialized filter
+    // (range input: a LocalRelation would be filter-folded by the
+    // optimizer and hide the probe; PlanSpec asserts the parquet shape)
+    val bigPhysical = spark.range(1, 5001).toDF("k")
+    val plan = Scale.bloomPrunedSemiJoin(bigPhysical, small, "k", "sk", 1000L, 0.05)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), plan)
+  }
+
   test("salted aggregation matches plain aggregation") {
     val df = (1 to 999).map(i => (if (i % 3 == 0) 7L else i.toLong, i.toLong))
       .toDF("k", "x")
