@@ -108,6 +108,25 @@ object Scale {
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 
+  /** Range-clustered parquet layout: `repartitionByRange` assigns each
+    * output file a DISJOINT range of `sortCol` (sampled boundaries →
+    * near-equal file sizes), and sorting within partitions narrows
+    * every parquet row-group's min/max span. A downstream range
+    * predicate on `sortCol` then skips whole row-groups via parquet
+    * statistics — at 100 TB, a time- or score-range query reads the few
+    * files covering its range instead of the full table. The
+    * single-column analog of Z-ordering; combine with `partitionBy` on
+    * a low-cardinality column for two-level pruning.
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Write a frame as a bucketed+sorted table: subsequent equi-joins /
     * aggregations on the bucket key among same-bucketed tables run with
     * NO shuffle (the scan provides the required hash distribution).

@@ -134,6 +134,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom-pruned semi-join equals the plain semi-join on random key sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genKeys: Gen[(List[Long], List[Long])] = for {
+      big <- Gen.listOfN(300, Gen.choose(0L, 500L))
+      small <- Gen.listOfN(40, Gen.choose(0L, 500L))
+    } yield (big, small)
+    (1L to 5L).foreach { seed =>
+      val (bigKeys, smallKeys) = genKeys(Gen.Parameters.default, Seed(seed))
+        .getOrElse((Nil, Nil))
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+      val small = smallKeys.toDF("sk")
+      val plain = big.join(small.select(col("sk").as("k")), Seq("k"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val bloomed = graft.ext.Scale.bloomPrunedSemiJoin(big, small, "k", "sk",
+        expectedItems = 64L, fpp = 0.2) // high fpp: exactness must not depend on it
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(bloomed == plain, s"seed=$seed")
+    }
+  }
+
   test("PII redaction is idempotent and leaves no matches behind") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -39,6 +39,33 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_might_contain"), plan)
   }
 
+  test("range-clustered layout writes disjoint per-file ranges, pushdown intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toFile
+    val df = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Scale.writeRangeClustered(df, dir.getPath, "o_totalprice", partitions = 4)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, "expected multiple range files")
+    // range partitioning ⇒ per-file [min,max] spans are disjoint
+    // (up to shared boundary values) — the property row-group skipping
+    // and file-level stat pruning rely on
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("o_totalprice"), max("o_totalprice")).collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $aMax > $bMin")
+      case _ =>
+    }
+    // the range predicate still reaches the scan as a pushed filter
+    val plan = spark.read.parquet(dir.getPath)
+      .where(col("o_totalprice") > 100000.0 && col("o_totalprice") < 120000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"), plan)
+  }
+
   test("salted aggregation matches plain aggregation") {
     val df = (1 to 999).map(i => (if (i % 3 == 0) 7L else i.toLong, i.toLong))
       .toDF("k", "x")
