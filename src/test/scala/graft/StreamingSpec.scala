@@ -89,6 +89,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor diffs each streamed snapshot drop against the base") {
+    implicit val s = spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    val watch = new java.io.File(dir, "drops").getPath
+    val out = new java.io.File(dir, "findings").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val base = graft.schema.Snapshot.fromMeta(spark,
+      tables = Seq(graft.schema.TableMeta("t1", ""), graft.schema.TableMeta("t2", "")),
+      columns = Seq(
+        graft.schema.ColumnMeta("t1", "id", 1, "bigint", "", false, "", false),
+        graft.schema.ColumnMeta("t1", "name", 2, "text", "", true, "", false),
+        graft.schema.ColumnMeta("t2", "id", 1, "bigint", "", false, "", false)))
+    // drop s1: t1.name retyped, t2 entirely absent
+    Seq(
+      ("s1", "t1", "id", 1, "bigint", "", false, "", false),
+      ("s1", "t1", "name", 2, "varchar(10)", "", true, "", false))
+      .toDF(graft.streaming.DriftMonitor.dropSchema.fieldNames: _*)
+      .write.parquet(watch)
+    val q = graft.streaming.DriftMonitor.watch(base, watch, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val findings = spark.read.parquet(out)
+      .select("snapshot_id", "kind", "check", "table_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(findings.contains(("s1", "column", "column_type", "t1")), findings.toString)
+    assert(findings.contains(("s1", "table", "table_missing", "t2")), findings.toString)
+    // no spurious index/FK drift from a columns-only drop
+    assert(!findings.exists { case (_, k, _, _) => k == "index" || k == "fk" },
+      findings.toString)
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
