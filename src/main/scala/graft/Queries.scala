@@ -662,6 +662,83 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber", "qty_l")
   }
 
+  // --- TPC-H headline shapes (exact integer money arithmetic:
+  // cents = round(x*100); discount/tax as integer percents so
+  // disc_price/charge stay exact bigints in cents·1e2 / cents·1e4) ----
+
+  private def priceC = round(col("l_extendedprice") * 100).cast("long")
+  private def discPct = round(col("l_discount") * 100).cast("long")
+  private def taxPct = round(col("l_tax") * 100).cast("long")
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregation over ~all of
+    * lineitem — partial (map-side) aggregation collapses 60M rows/SF to
+    * 6 groups before the shuffle.
+    */
+  private def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty_l"),
+        priceC.as("price_c"), discPct.as("disc_pct"), taxPct.as("tax_pct"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_l")).as("sum_qty"),
+        sum(col("price_c")).as("sum_base_c"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("sum_disc_e4"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))
+          * (lit(100L) + col("tax_pct"))).as("sum_charge_e6"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: selective dimension filter → two joins → grouped
+    * revenue → tie-broken top-10 (TakeOrderedAndProject, not a full
+    * sort).
+    */
+  private def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"),
+        (priceC * (lit(100L) - discPct)).as("rev_e4"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: six-way star join (region/nation broadcast) with
+    * the local-supplier condition, revenue per nation.
+    */
+  private def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (priceC * (lit(100L) - discPct)).as("rev_e4"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -715,6 +792,9 @@ object Queries {
     "window_ntile" -> windowNtile _,
     "skew_salted_join" -> skewSaltedJoin _,
     "bloom_semi_join" -> bloomSemiJoin _,
+    "tpch_q1_pricing_summary" -> tpchQ1 _,
+    "tpch_q3_shipping_priority" -> tpchQ3 _,
+    "tpch_q5_local_supplier" -> tpchQ5 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -995,5 +1075,47 @@ object Queries {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
          ORDER BY l_orderkey, l_linenumber, qty_l""",
+    "tpch_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))
+             * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3_shipping_priority" ->
+      """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+           AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+         GROUP BY l.l_orderkey, o_date
+         ORDER BY revenue_e4 DESC, l.l_orderkey
+         LIMIT 10""",
+    "tpch_q5_local_supplier" ->
+      """SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue_e4 DESC, n.n_name""",
   )
 }

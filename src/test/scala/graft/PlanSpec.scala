@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must sit under the join (prune before shuffle):\n$p")
   }
 
+  test("tpch_q1 partial-aggregates map-side; tpch_q3 top-10 avoids a full sort") {
+    val q1 = q("tpch_q1_pricing_summary")
+    assert(q1.contains("HashAggregate") && q1.contains("partial_"),
+      s"Q1 must partial-aggregate before the shuffle:\n$q1")
+    val q3 = q("tpch_q3_shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"),
+      s"Q3 LIMIT 10 must be top-k, not a global sort:\n$q3")
+  }
+
   test("pivot_agg is a single-pass aggregate (no distinct-values job)") {
     val p = q("pivot_agg")
     assert(p.contains("HashAggregate") && p.contains("partial_"),
