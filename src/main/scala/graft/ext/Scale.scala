@@ -127,6 +127,42 @@ object Scale {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ordered parquet layout: two-dimensional generalization of
+    * [[writeRangeClustered]]. Each dimension is bucketed to 16-bit ids
+    * with `width_bucket` over its (min, max) — one tiny stats
+    * aggregate — then the bucket ids are Morton-interleaved
+    * ([[graft.functions.ZOrderInterleave]]) and the frame is
+    * range-partitioned + sorted by the z-value. Every file then covers
+    * a bounded SQUARE-ish region of (a, b) space, so a predicate box on
+    * either or both columns skips most files/row-groups — where a
+    * single-column sort leaves the second dimension spanning the full
+    * range in every file.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      partitions: Int,
+      buckets: Int = 65536): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val stats = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
+    def bucket(c: String, lo: Double, hi: Double) =
+      least(greatest(
+        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(buckets)) - 1,
+        lit(0L)), lit(buckets - 1L))
+    val z = org.apache.spark.sql.functions.call_function("graft_zorder",
+      bucket(colA, stats.getDouble(0), stats.getDouble(1)),
+      bucket(colB, stats.getDouble(2), stats.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write a frame as a bucketed+sorted table: subsequent equi-joins /
     * aggregations on the bucket key among same-bucketed tables run with
     * NO shuffle (the scan provides the required hash distribution).

@@ -78,7 +78,8 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_qdot" -> (args => LongArrayDot(args(0), args(1))),
     "graft_hamming" -> (args => StringHamming(args(0), args(1))),
-    "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))))
+    "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))),
+    "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

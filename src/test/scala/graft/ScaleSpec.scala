@@ -66,6 +66,34 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"), plan)
   }
 
+  test("z-ordered layout bounds both dimensions per file") {
+    import graft.functions.ZOrderInterleave.interleave
+    // known Morton values: a on even bits, b on odd
+    assert(interleave(0L, 0L) == 0L && interleave(1L, 0L) == 1L)
+    assert(interleave(0L, 1L) == 2L && interleave(3L, 5L) == 39L)
+    assert(interleave(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    val df = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Scale.writeZOrdered(df, dir.getPath, "o_custkey", "o_totalprice", partitions = 4)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3, s"expected >=3 z-range files, got ${files.length}")
+    // a query box over the lowest quarter of BOTH dimensions must not
+    // touch every file — the property a single-column sort cannot give
+    // for the second dimension
+    val s = df.agg(min("o_custkey"), max("o_custkey"),
+      min("o_totalprice"), max("o_totalprice")).collect().head
+    val cCut = s.getLong(0) + (s.getLong(1) - s.getLong(0)) / 4
+    val pCut = s.getDouble(2) + (s.getDouble(3) - s.getDouble(2)) / 4
+    val box = col("o_custkey") <= cCut && col("o_totalprice") <= pCut
+    val total = df.where(box).count()
+    assert(total > 0, "query box must match some rows")
+    val hit = files.count(f => spark.read.parquet(f.getPath).where(box).count() > 0)
+    assert(hit < files.length,
+      s"z-order should confine the box to a file subset: $hit/${files.length}")
+  }
+
   test("salted aggregation matches plain aggregation") {
     val df = (1 to 999).map(i => (if (i % 3 == 0) 7L else i.toLong, i.toLong))
       .toDF("k", "x")
