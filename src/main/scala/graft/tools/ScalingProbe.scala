@@ -38,13 +38,32 @@ object ScalingProbe {
           regexp_replace(col("text"), "([a-z]+)", "$1" + i.toString).as("text"))
       }.reduce(_ unionByName _)
 
+    // scan-heavy relational twin: TPC-H Q1 over a self-multiplied
+    // lineitem (keys shifted per copy — group count stays 6, so the
+    // probe measures the scan+partial-agg path, which must scale
+    // linearly with near-zero shuffle growth)
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    def lineitemX(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        lineitem.withColumn("l_orderkey", col("l_orderkey") + i.toLong * 100000000L)
+      }.reduce(_ unionByName _)
+    def q1(d: DataFrame): Long =
+      d.filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+          count(lit(1)).as("n_rows"))
+        .count()
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       ("dedup_exact", d => Dedup.exact(d).count()),
       ("dedup_minhash_lsh", d => Dedup.minhashLsh(d).count()),
-      ("dedup_simhash_hamming", d => Dedup.simhashNearPairs(d).count()))
+      ("dedup_simhash_hamming", d => Dedup.simhashNearPairs(d).count()),
+      ("dedup_simhash64", d => Dedup.simhashNearPairs64(d).count()),
+      ("tpch_q1", q1))
 
     val results = for (mult <- Seq(1, 4, 16); (name, op) <- ops) yield {
-      val d = corpus(mult)
+      val d = if (name == "tpch_q1") lineitemX(mult) else corpus(mult)
       val rows = d.count() // materialize input cost outside the timing
       val t0 = System.nanoTime()
       val out = op(d)
