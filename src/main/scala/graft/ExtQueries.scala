@@ -90,6 +90,12 @@ object ExtQueries {
       Dedup.dupClusters(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
     }),
 
+    // same clustering contract, O(log n)-round star-contraction CC
+    "dedup_clusters_star" -> ((s, dir) => {
+      val corpus = corpusWithNearCopies(s, dir)
+      Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
+    }),
+
     "dedup_simhash_hamming" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
@@ -319,7 +325,7 @@ object ExtQueries {
     }),
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH corpus AS ($corpusSql)
          SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -895,4 +901,9 @@ object ExtQueries {
            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
          ORDER BY custkey""",
   )
+
+  // star-contraction CC computes the same component-min labels — the
+  // recursive reachability oracle is shared verbatim
+  val oracles: Map[String, String] =
+    oraclesBase + ("dedup_clusters_star" -> oraclesBase("dedup_clusters"))
 }

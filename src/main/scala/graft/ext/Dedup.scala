@@ -281,6 +281,71 @@ object Dedup {
     labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014) — the O(log n)-round scale path [[dupClusters]]' label
+    * propagation documents for deep components: propagation needs
+    * O(diameter) rounds, star contraction collapses long chains
+    * exponentially. Same output contract as [[dupClusters]]:
+    * (doc_id, cluster_id = component-min, is_canonical).
+    *
+    * Each round is one window-aggregate + projection per phase (no
+    * join): large-star hangs every neighbor bigger than `u` off the
+    * neighborhood minimum; small-star (on edges oriented big→small)
+    * re-hangs the small side. The edge set REPLACES itself each phase
+    * and shrinks toward stars rooted at component minima; convergence
+    * is detected by an order-insensitive (count, hash-sum) checksum.
+    */
+  def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src")
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      val withMin = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .withColumn("m", least(min(col("dst")).over(w), col("src")))
+      withMin.select(col("dst").as("v"), col("m"))
+        .union(withMin.select(col("src").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // order-insensitive, overflow-free set fingerprint (edges are
+    // distinct, so XOR cancellation needs a genuine duplicate)
+    def checksum(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint(true)
+    var prev = (-1L, 0L)
+    var round = 0
+    var cur = checksum(edges)
+    while (cur != prev && round < maxRounds) {
+      prev = cur
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      cur = checksum(edges)
+      round += 1
+    }
+    // converged: edges = (node, component-min) stars; isolated docs self-label
+    docs.select(col("doc_id"))
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: exact quantized cosine over all id-ordered
     * pairs, keep those above `threshold`. Brute force — the O(n²)
     * baseline; see [[Similarity]] for the bucketed scale path.

@@ -176,6 +176,35 @@ class ExtSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false), (20L, 20L, true)))
   }
 
+  test("star-contraction CC equals label propagation, incl. a 64-hop chain") {
+    // a long chain (diameter 64) + a clique + singletons: propagation's
+    // worst case, star contraction's showcase
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val docs = ((0L to 65L) ++ (100L to 105L) ++ Seq(999L)).toDF("doc_id")
+    val pairs = (chain ++ clique).toDF("a_id", "b_id")
+    val star = Dedup.dupClustersStar(docs, pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
+    val prop = Dedup.dupClusters(docs, pairs, maxRounds = 100).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
+    assert(star == prop, s"star=$star\nprop=$prop")
+    assert(star.contains((64L, 0L, false)) && star.contains((999L, 999L, true)))
+    // random graphs: same labels for every seed
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 60L
+      val es = (1 to 80).map(_ => (rnd.nextInt(n.toInt).toLong, rnd.nextInt(n.toInt).toLong))
+        .filter { case (a, b) => a != b }
+      val ds = (0L until n).toDF("doc_id")
+      val ps = es.toDF("a_id", "b_id")
+      val s2 = Dedup.dupClustersStar(ds, ps).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val p2 = Dedup.dupClusters(ds, ps, maxRounds = 100).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(s2 == p2)
+    }
+  }
+
   test("simhash Hamming pairs: identical docs collide at distance 0") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
