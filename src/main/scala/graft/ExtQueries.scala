@@ -209,6 +209,16 @@ object ExtQueries {
       Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    "events_top_paths" -> ((s, dir) =>
+      Events.topPaths(t(s, dir, "events"))),
+
+    // postings rendered as a comma string: the oracle hash-compare does
+    // not support array cells
+    "text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))
+        .select(col("term"), concat_ws(",", col("postings")).as("postings"), col("df"))
+        .orderBy("term")),
+
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))
         // DATE columns don't round-trip the hash compare; format as ISO
@@ -893,6 +903,23 @@ object ExtQueries {
          FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
          WHERE l.doc_id IS NULL
          ORDER BY e.doc_id""",
+
+    "events_top_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
+
+    "text_inverted_index" ->
+      """SELECT term, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
+                count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY term ORDER BY term""",
 
     "intersect_distinct" ->
       """SELECT custkey FROM (

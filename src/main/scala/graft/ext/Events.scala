@@ -71,6 +71,29 @@ object Events {
     acc
   }
 
+  /** Top user journeys: each user's first `maxSteps` events (by time,
+    * event_id tie-break) joined into a `a>b>c` path string, then the
+    * `k` most common paths. One window pass (shuffle on user_id), one
+    * aggregate per user, one aggregate keyed by path — the path-count
+    * shuffle carries one short string per user, and top-k is
+    * TakeOrderedAndProject. Ordered collect is
+    * `sort_array(collect_list(struct(rn, ...)))` — never input order.
+    */
+  def topPaths(events: DataFrame, maxSteps: Int = 5, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxSteps)
+      .groupBy("user_id")
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x("event_type"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: users grouped by first-seen day; for each
     * (cohort, day-offset) the distinct users active that day. Two
     * shuffles total (first-seen aggregate, retention aggregate).

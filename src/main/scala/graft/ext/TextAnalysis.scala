@@ -151,6 +151,23 @@ object TextAnalysis {
       .orderBy("name_a", "name_b")
   }
 
+  /** Inverted index: term → sorted distinct posting list + document
+    * frequency. The search-index build: per-doc `array_distinct` before
+    * the explode (shuffle carries one row per (doc, distinct term), not
+    * per occurrence), then ONE shuffle keyed by term; postings
+    * aggregated as `sort_array(collect_list)` so the list is
+    * deterministic under shuffle. Skew: stopwords are hot keys AND
+    * giant postings — production drops terms above a df ceiling (they
+    * carry no retrieval signal); pass `maxDf` to cap.
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Long = Long.MaxValue): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+
   def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),
