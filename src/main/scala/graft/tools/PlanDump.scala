@@ -18,6 +18,7 @@ object PlanDump {
     dump("diff_dag", graft.diff.Diff.diff(base, base))
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
     dump("lsh_ann", graft.ext.Similarity.lshTopK(e, e.limit(4), k = 3))
+    dump("tpch_q5", graft.SparkEntry.queries("tpch_q5_local_supplier")(spark, dir))
     spark.stop()
   }
 }
