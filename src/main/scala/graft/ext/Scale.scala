@@ -149,10 +149,19 @@ object Scale {
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
+    // degenerate guards: an empty frame has null stats (plain write —
+    // nothing to cluster); a constant column makes width_bucket NULL
+    // (min==max), which would null every z-value and collapse the
+    // range partitioner to ONE file — coalesce pins such rows to
+    // bucket 0, degrading that dimension gracefully to "no signal"
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def bucket(c: String, lo: Double, hi: Double) =
-      least(greatest(
+      coalesce(least(greatest(
         width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(buckets)) - 1,
-        lit(0L)), lit(buckets - 1L))
+        lit(0L)), lit(buckets - 1L)), lit(0L))
     val z = org.apache.spark.sql.functions.call_function("graft_zorder",
       bucket(colA, stats.getDouble(0), stats.getDouble(1)),
       bucket(colB, stats.getDouble(2), stats.getDouble(3)))

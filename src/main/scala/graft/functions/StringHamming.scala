@@ -37,29 +37,28 @@ case class StringHamming(left: Expression, right: Expression)
   override def prettyName: String = "graft_hamming"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[UTF8String].getBytes
-    val y = b.asInstanceOf[UTF8String].getBytes
-    val n = math.min(x.length, y.length)
-    var acc = math.abs(x.length - y.length)
+    // index via getByte on the UTF8String itself — getBytes COPIES
+    // whenever the string shares its UnsafeRow buffer (i.e. always, in
+    // the simhash verify loop this expression exists for)
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val n = math.min(x.numBytes, y.numBytes)
+    var acc = math.abs(x.numBytes - y.numBytes)
     var i = 0
-    while (i < n) { if (x(i) != y(i)) acc += 1; i += 1 }
+    while (i < n) { if (x.getByte(i) != y.getByte(i)) acc += 1; i += 1 }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xb = ctx.freshName("xb")
-      val yb = ctx.freshName("yb")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |byte[] $xb = $a.getBytes();
-         |byte[] $yb = $b.getBytes();
-         |int $n = java.lang.Math.min($xb.length, $yb.length);
-         |int $acc = java.lang.Math.abs($xb.length - $yb.length);
+         |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+         |int $acc = java.lang.Math.abs($a.numBytes() - $b.numBytes());
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($xb[$i] != $yb[$i]) $acc++;
+         |  if ($a.getByte($i) != $b.getByte($i)) $acc++;
          |}
          |${ev.value} = $acc;
        """.stripMargin

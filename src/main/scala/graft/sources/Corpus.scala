@@ -9,8 +9,11 @@ import org.apache.spark.sql.types.StructType
   * Explicit schemas are non-negotiable at scale: schema inference runs
   * an extra full scan of the input before the real job, and drifts
   * silently when a late file adds a field. With a `StructType` the read
-  * is single-pass and `columnNameOfCorruptRecord` rows are quarantined
-  * instead of failing the pipeline (PERMISSIVE, the default).
+  * is single-pass; under PERMISSIVE (the default) a corrupt line
+  * becomes an ALL-NULL row rather than failing the pipeline — filter
+  * on a required column (`isNotNull`) to drop them, or add a
+  * `_corrupt_record` StringType field to the schema to capture the
+  * raw line for quarantine routing.
   */
 object Corpus {
 

@@ -28,8 +28,11 @@ import graft.schema.SchemaSnapshot
   * Scale: each drop is KB-MB of metadata even for huge catalogs; the
   * diff DAG broadcasts the drop side against the cached base, so a
   * monitor watching thousands of databases is bounded by base-snapshot
-  * size, not drop count. File-source streaming checkpoints which drops
-  * were processed — restarts resume exactly-once per drop.
+  * size, not drop count. `foreachBatch` is at-least-once, so each
+  * snapshot's findings are written by OVERWRITING its own
+  * `snapshot_id=` partition directory — a replayed batch rewrites the
+  * same bytes instead of appending duplicates, making the sink
+  * effectively exactly-once per drop across restarts.
   */
 object DriftMonitor {
 
@@ -64,20 +67,27 @@ object DriftMonitor {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val ids = batch.select("snapshot_id").distinct()
+        // persisted: the batch feeds one distinct-id pass plus one
+        // filtered pass per snapshot — without it each pass re-reads
+        // the drop files (N+1 scans)
+        val pinned = batch.persist()
+        val ids = pinned.select("snapshot_id").distinct()
           .collect().map(_.getString(0)).sorted
         ids.foreach { id =>
-          val cols = batch.filter(col("snapshot_id") === id).drop("snapshot_id")
+          val cols = pinned.filter(col("snapshot_id") === id).drop("snapshot_id")
           val target = SchemaSnapshot(
             tables = cols.select(col("table_name")).distinct()
               .withColumn("table_comment", lit("")),
             columns = cols,
             indexes = fixedBase.indexes,
             foreignKeys = fixedBase.foreignKeys)
+          // overwrite THIS snapshot's partition dir: idempotent under
+          // foreachBatch's at-least-once replay (read the root with
+          // partition discovery — snapshot_id comes from the dir name)
           Diff.diff(fixedBase, target, opts)
-            .withColumn("snapshot_id", lit(id))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/snapshot_id=$id")
         }
+        pinned.unpersist()
         ()
       }
       .start()

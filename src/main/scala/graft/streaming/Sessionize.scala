@@ -102,8 +102,15 @@ object Sessionize {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val hashed = batch.withColumn("text_hash", md5(col("text")))
           .dropDuplicates("text_hash")
+        // existence via the Hadoop FS of the path's scheme — a bare
+        // java.io.File check is always false on hdfs:///s3a:// and
+        // would silently disable the cross-batch dedup
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val exists = outPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(outPath)
         val fresh =
-          if (new java.io.File(outDir).exists())
+          if (exists)
             hashed.join(spark.read.parquet(outDir).select("text_hash"),
               Seq("text_hash"), "left_anti")
           else hashed

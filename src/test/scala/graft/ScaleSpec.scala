@@ -94,6 +94,19 @@ class ScaleSpec extends SparkSpec {
       s"z-order should confine the box to a file subset: $hit/${files.length}")
   }
 
+  test("z-order degenerate inputs: constant column and empty frame still write") {
+    val dirs = (1 to 2).map(_ => java.nio.file.Files.createTempDirectory("graft_zdeg").toFile)
+    // constant column: width_bucket would be NULL (min==max); the
+    // coalesce guard pins it to bucket 0 instead of nulling every z
+    val const = spark.range(100).toDF("k").withColumn("c", lit(5L))
+    Scale.writeZOrdered(const, dirs(0).getPath, "c", "k", partitions = 4)
+    assert(spark.read.parquet(dirs(0).getPath).count() == 100)
+    // empty frame: null stats -> plain write, no NPE
+    val empty = spark.range(0).toDF("k").withColumn("c", lit(5L))
+    Scale.writeZOrdered(empty, dirs(1).getPath, "c", "k", partitions = 4)
+    assert(spark.read.parquet(dirs(1).getPath).count() == 0)
+  }
+
   test("salted aggregation matches plain aggregation") {
     val df = (1 to 999).map(i => (if (i % 3 == 0) 7L else i.toLong, i.toLong))
       .toDF("k", "x")
