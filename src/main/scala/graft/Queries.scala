@@ -712,6 +712,18 @@ object Queries {
       .limit(10)
   }
 
+  /** TPC-H Q6 shape: pure scan filter → single global aggregate. Every
+    * predicate reaches the parquet scan as a pushed filter; the
+    * "shuffle" carries exactly one partial sum per task.
+    */
+  private def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+        round(col("l_discount") * 100).cast("long").between(5L, 7L) &&
+        col("l_quantity") < 24.0)
+      .agg(sum(priceC * discPct).as("revenue_e4"), count(lit(1)).as("n_rows"))
+
   /** TPC-H Q5 shape: six-way star join (region/nation broadcast) with
     * the local-supplier condition, revenue per nation.
     */
@@ -795,6 +807,7 @@ object Queries {
     "tpch_q1_pricing_summary" -> tpchQ1 _,
     "tpch_q3_shipping_priority" -> tpchQ3 _,
     "tpch_q5_local_supplier" -> tpchQ5 _,
+    "tpch_q6_forecast_revenue" -> tpchQ6 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1117,5 +1130,15 @@ object Queries {
            AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
          GROUP BY n.n_name
          ORDER BY revenue_e4 DESC, n.n_name""",
+    "tpch_q6_forecast_revenue" ->
+      """SELECT
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""",
   )
 }
