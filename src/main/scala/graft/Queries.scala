@@ -724,6 +724,51 @@ object Queries {
         col("l_quantity") < 24.0)
       .agg(sum(priceC * discPct).as("revenue_e4"), count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q10 shape: returned-item revenue per customer in a quarter —
+    * selective filters on both fact inputs, two joins, grouped revenue,
+    * tie-broken top-20.
+    */
+  private def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1996-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), (priceC * (lit(100L) - discPct)).as("rev_e4"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("acctbal_c"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"), col("n_name"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join build
+    * side (big orders), then customer attribution and tie-broken
+    * top-100. The having-aggregate shuffles (l_orderkey, qty) pairs
+    * once; the detail join re-reads lineitem only for surviving orders.
+    */
+  private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 150L)
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+      round(col("o_totalprice") * 100).cast("long").as("totalprice_c"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_date"), col("totalprice_c"), col("sum_qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q5 shape: six-way star join (region/nation broadcast) with
     * the local-supplier condition, revenue per nation.
     */
@@ -808,6 +853,8 @@ object Queries {
     "tpch_q3_shipping_priority" -> tpchQ3 _,
     "tpch_q5_local_supplier" -> tpchQ5 _,
     "tpch_q6_forecast_revenue" -> tpchQ6 _,
+    "tpch_q10_returned_items" -> tpchQ10 _,
+    "tpch_q18_large_orders" -> tpchQ18 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1187,32 @@ object Queries {
            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
            AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
            AND l_quantity < 24""",
+    "tpch_q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+           CAST(round(c.c_acctbal*100) AS BIGINT) AS acctbal_c, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+         GROUP BY c.c_custkey, c.c_name, acctbal_c, n.n_name
+         ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20""",
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(round(o.o_totalprice*100) AS BIGINT) AS totalprice_c,
+           big.sum_qty
+         FROM orders o
+         JOIN big ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY totalprice_c DESC, o.o_orderkey LIMIT 100""",
   )
 }
