@@ -61,6 +61,7 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // The shingle frame feeds three plan branches (signatures + both
     // sides of the verify join); without persist each branch re-runs
     // the md5-heavy shingling. At cluster scale this materialization
@@ -88,11 +89,14 @@ object Dedup {
     // same result). distinct collapses pairs colliding in several bands.
     val cand = pairsWithinBuckets(sigs, Seq("band_id", "sig"), maxBucket)
 
-    // verify candidates with true shingle-set Jaccard.
+    // verify candidates with true shingle-set Jaccard (native one-pass
+    // scorer — the built-in formulation builds 4 arrays per pair, see
+    // graft.functions.ArrayJaccard; identical value, oracle-exact)
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -222,6 +226,7 @@ object Dedup {
     * square.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, blockCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = Scale.widen(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+ shingles(tokens(col("text")), k).as("sh"): _*)
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -230,7 +235,8 @@ object Dedup {
       .select(
         blockCols.map(c => col(s"a.$c").as(c)) ++
           Seq(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            jaccard(col("a.sh"), col("b.sh")).as("jaccard")): _*)
+            graft.functions.GraftFunctions.jaccardNative(col("a.sh"), col("b.sh"))
+              .as("jaccard")): _*)
   }
 
   /** Duplicate clusters: connected components over a near-dup pair list

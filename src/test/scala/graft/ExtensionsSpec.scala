@@ -33,6 +33,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_jaccard equals the built-in distinct-count formula; used by LSH verify") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // 2/4
+      (Seq("a", "a", "b"), Seq("a")), // in-array dups: sets {a,b},{a} -> 1/2
+      (Seq.empty[String], Seq.empty[String]), // 0.0 by convention, not 0/0
+      (Seq("x"), Seq.empty[String]), // 0/1
+      (Seq("ü ü", "ß"), Seq("ß", "ü ü"))) // unicode, order-insensitive -> 1.0
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.GraftFunctions.jaccardNative(col("a"), col("b")).as("j"),
+      graft.ext.TextPrimitives.jaccard(col("a"), col("b")).as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = graft.ext.Dedup.minhashLsh(d).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_jaccard"), plan)
+  }
+
   test("graft_hamming: exact distance, length surplus counted, null-safe, in codegen") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
