@@ -119,6 +119,14 @@ class PlanSpec extends SparkSpec {
       s"Q3 LIMIT 10 must be top-k, not a global sort:\n$q3")
   }
 
+  test("tpch_q18 having-aggregate partials map-side; top-100 is top-k") {
+    val p = q("tpch_q18_large_orders")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"Q18 quantity aggregate must partial map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Q18 LIMIT 100 must be top-k, not a global sort:\n$p")
+  }
+
   test("pivot_agg is a single-pass aggregate (no distinct-values job)") {
     val p = q("pivot_agg")
     assert(p.contains("HashAggregate") && p.contains("partial_"),
