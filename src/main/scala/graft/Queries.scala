@@ -769,6 +769,27 @@ object Queries {
       .limit(100)
   }
 
+  /** TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    * promo revenue share in a month. The share is ONE double division
+    * of two exact bigints, so it is bit-identical cross-engine (no
+    * summation-order sensitivity, no multi-op float chains).
+    */
+  private def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-02-01").cast("date"))
+      .select(col("l_partkey"), (priceC * (lit(100L) - discPct)).as("rev_e4"))
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(0L)).as("promo_rev_e4"),
+        sum(col("rev_e4")).as("total_rev_e4"))
+      .select(col("promo_rev_e4"), col("total_rev_e4"),
+        (col("promo_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+          .as("promo_share"))
+  }
+
   /** TPC-H Q5 shape: six-way star join (region/nation broadcast) with
     * the local-supplier condition, revenue per nation.
     */
@@ -854,6 +875,7 @@ object Queries {
     "tpch_q5_local_supplier" -> tpchQ5 _,
     "tpch_q6_forecast_revenue" -> tpchQ6 _,
     "tpch_q10_returned_items" -> tpchQ10 _,
+    "tpch_q14_promo_share" -> tpchQ14 _,
     "tpch_q18_large_orders" -> tpchQ18 _,
   )
 
@@ -1201,6 +1223,20 @@ object Queries {
            AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
          GROUP BY c.c_custkey, c.c_name, acctbal_c, n.n_name
          ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20""",
+    "tpch_q14_promo_share" ->
+      """WITH j AS (
+           SELECT CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_e4,
+                  p.p_type = 'PROMO' AS is_promo
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l.l_shipdate AS DATE) < DATE '1996-02-01')
+         SELECT
+           CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+           CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE) AS promo_share
+         FROM j""",
     "tpch_q18_large_orders" ->
       """WITH big AS (
            SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
