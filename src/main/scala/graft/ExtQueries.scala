@@ -212,6 +212,16 @@ object ExtQueries {
     "events_top_paths" -> ((s, dir) =>
       Events.topPaths(t(s, dir, "events"))),
 
+    // JSON path extraction over a REAL data column (events.props is a
+    // JSON string per event), aggregated in exact integers
+    "events_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // postings rendered as a comma string: the oracle hash-compare does
     // not support array cells
     "text_inverted_index" -> ((s, dir) =>
@@ -903,6 +913,12 @@ object ExtQueries {
          FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
          WHERE l.doc_id IS NULL
          ORDER BY e.doc_id""",
+
+    "events_props_extract" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "events_top_paths" ->
       """WITH r AS (
