@@ -44,10 +44,31 @@ object Bench {
       }
     val p1 = pass().toMap
     val results = pass().map { case (k, t2) => k -> math.min(p1(k), t2) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
+    // Full per-key map goes to a FILE (and an early log line): the
+    // driver captures only the last ~2000 chars of stdout, and a
+    // 100-key JSON line is ~4 KB — round 1's summary line was
+    // decapitated mid-line and recorded as unparseable. The FINAL
+    // stdout line is therefore a compact summary (slowest keys
+    // detailed, remainder rolled up) sized to survive tail capture.
+    val full = results.map { case (k, v) => s"\"$k\":${s3(v)}" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$full,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var restN = 0
+    var restSec = 0.0
+    var len = 0
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val e = s"\"$k\":${s3(v)}"
+      if (len + e.length <= 1100) { entries += e; len += e.length + 1 }
+      else { restN += 1; restSec += v }
+    }
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"rest_keys":$restN,"rest_sec":${s3(restSec)},"n_keys":${results.size},"sf":"$sfDir","passes":2,"agg":"min","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -297,22 +297,39 @@ object ExtQueries {
     }),
 
     // approximate sketches — mergeable, single-shuffle, constant
-    // memory: the 100 TB answer to COUNT(DISTINCT) and quantiles. No
-    // DuckDB oracle (HLL/KLL internals differ per engine) -> the driver
-    // records the weaker rows-only check for these two keys.
+    // memory: the 100 TB answer to COUNT(DISTINCT) and quantiles.
+    // Sketch INTERNALS differ per engine, so the oracle contract is a
+    // tolerance check: emit the exact answer (oracle-comparable) plus a
+    // boolean asserting the sketch landed within its error bound — the
+    // DuckDB side asserts TRUE. A sketch drifting out of tolerance now
+    // FAILS the hash gate instead of hiding behind a rows-only check.
     "approx_distinct_hll" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"))
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("hll_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("hll_supps"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("hll_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("hll_parts_ok"),
+          (abs(col("hll_supps") - col("exact_supps")) <=
+            col("exact_supps") * 0.05).as("hll_supps_ok"))
         .orderBy("l_returnflag")),
 
     "approx_quantiles_kll" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("qs")(0) - col("ex")(0)) <= col("ex")(0) * 0.01).as("p50_ok"),
+          (abs(col("qs")(1) - col("ex")(1)) <= col("ex")(1) * 0.01).as("p95_ok"),
+          (abs(col("qs")(2) - col("ex")(2)) <= col("ex")(2) * 0.01).as("p99_ok"))
         .orderBy("l_returnflag")),
 
     // train-prep: deterministic split, sequence packing, benchmark
@@ -346,6 +363,21 @@ object ExtQueries {
   )
 
   private val oraclesBase: Map[String, String] = Map(
+    // sketch keys: the oracle pins the EXACT answers and asserts the
+    // tolerance booleans are all TRUE (the Spark side computes them
+    // against its own sketch estimates)
+    "approx_distinct_hll" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS hll_parts_ok, TRUE AS hll_supps_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "approx_quantiles_kll" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "dedup_exact" ->
       s"""WITH corpus AS ($corpusSql)
          SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,

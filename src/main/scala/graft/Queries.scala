@@ -602,7 +602,7 @@ object Queries {
       .agg(
         max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
           .as("priciest_order"),
-        min_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey")))
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
           .as("cheapest_order"))
       .orderBy("o_custkey")
 

@@ -194,6 +194,14 @@ object Dedup {
           (acc, h) => acc + when(h.substr(i, 1) >= "8", 1).otherwise(-1)) >= 0, lit("1"))
           .otherwise(lit("0"))): _*).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the token-hash material is only an input to `sig`: materialize the
+    // signatures now and release it, so repeated calls in a long-lived
+    // session don't accumulate dead cache (`sig` itself stays cached for
+    // the segment explode + two verify joins below; it is the one cache
+    // the returned plan still needs — callers doing many dedup passes
+    // should clearCache between them)
+    sig.count()
+    mat.unpersist()
     val segs = sig.select(col("doc_id"),
       posexplode(array((0 until nSeg).map(i =>
         col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
@@ -345,7 +353,18 @@ object Dedup {
       cur = checksum(edges)
       round += 1
     }
-    // converged: edges = (node, component-min) stars; isolated docs self-label
+    // Converged: edges = (node, component-min) stars; isolated docs
+    // self-label. If the loop hit maxRounds BEFORE the checksum fixed
+    // point, a node may still carry several tentative roots — collapse
+    // to the minimum per node so the left join below stays key-unique
+    // (labels may then be a refinement of the true components, but the
+    // output never duplicates doc_ids).
+    if (cur != prev) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClustersStar: stopped at maxRounds=$maxRounds before convergence; " +
+          "collapsing tentative roots with min() — labels may split true components")
+      edges = edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
+    }
     docs.select(col("doc_id"))
       .join(edges.select(col("src").as("doc_id"), col("dst").as("root")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))

@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * built-in expressions can't express bit interleaving without a
   * 32-term shift/mask chain, hence a native expression (tier (b)).
   *
-  * Inputs are BUCKET IDS (non-negative, < 2^32), not raw values —
+  * Inputs are BUCKET IDS (non-negative, < 2^31), not raw values —
   * produce them with `width_bucket` over the column's min/max (see
-  * [[graft.ext.Scale.writeZOrdered]]). Only the low 32 bits of each
-  * input participate. Null if either side is null.
+  * [[graft.ext.Scale.writeZOrdered]]). Only the low 31 bits of each
+  * input participate — the cap keeps the interleaved value's sign bit
+  * clear, so a plain (signed) sort by `z` preserves the clustering
+  * contract. Null if either side is null.
   */
 case class ZOrderInterleave(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,9 +54,12 @@ case class ZOrderInterleave(left: Expression, right: Expression)
 
 object ZOrderInterleave {
 
-  /** Spread the low 32 bits of `v` to even bit positions (0,2,4,…62). */
+  /** Spread the low 31 bits of `v` to even bit positions (0,2,4,…60).
+    * 31, not 32: bit 31 of the second input would land at bit 63 — the
+    * SIGN bit — making large z-values sort before small ones.
+    */
   def spread(v: Long): Long = {
-    var x = v & 0xFFFFFFFFL
+    var x = v & 0x7FFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
     x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
     x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL

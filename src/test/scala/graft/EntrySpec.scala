@@ -8,12 +8,11 @@ class EntrySpec extends SparkSpec {
     assert(rows.map(_.getString(0)).contains("region")) // dropped table reported
   }
 
-  test("every oracle key has a query; only the sketch keys lack oracles") {
-    // approx sketches are rows-only by design: HLL/KLL internals are
-    // engine-specific, so no DuckDB oracle can hash-match them
-    val intentionallyOracleLess = Set("approx_distinct_hll", "approx_quantiles_kll")
+  test("every query key has an oracle and vice versa") {
+    // the sketch keys are oracle-backed too: they emit exact answers
+    // plus within-tolerance booleans, and DuckDB asserts TRUE
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == intentionallyOracleLess)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == Set.empty)
   }
 
   test("all queries run non-empty on sf0.001") {

@@ -71,7 +71,11 @@ class ScaleSpec extends SparkSpec {
     // known Morton values: a on even bits, b on odd
     assert(interleave(0L, 0L) == 0L && interleave(1L, 0L) == 1L)
     assert(interleave(0L, 1L) == 2L && interleave(3L, 5L) == 39L)
-    assert(interleave(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    // inputs are masked to 31 bits so z never sets the SIGN bit — a
+    // signed sort by z must equal the unsigned one
+    assert(interleave(0xFFFFFFFFL, 0L) == 0x1555555555555555L)
+    assert(interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
+    assert(interleave(0xFFFFFFFFL, 0xFFFFFFFFL) > 0L)
 
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
     val df = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
