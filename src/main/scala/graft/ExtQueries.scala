@@ -229,6 +229,10 @@ object ExtQueries {
         .select(col("term"), concat_ws(",", col("postings")).as("postings"), col("df"))
         .orderBy("term")),
 
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"))
+        .orderBy("doc_id", "rnk")),
+
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))
         // DATE columns don't round-trip the hash compare; format as ISO
@@ -968,6 +972,26 @@ object ExtQueries {
                 count(DISTINCT doc_id) AS df
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
          GROUP BY term ORDER BY term""",
+
+    "text_tfidf_topk" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT)
+               AS score_e6
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score_e6,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_e6 DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, tf, df, score_e6 FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
     "intersect_distinct" ->
       """SELECT custkey FROM (

@@ -268,12 +268,19 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate over edge-touched nodes only — singletons can't change
+    // label, so they rejoin once at the end instead of being dragged
+    // through every round's shuffle
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // each node's neighbors push their LABELS; node takes the min
+      // each node's neighbors push their LABELS; node takes the min.
+      // The change flag rides along INSIDE the checkpointed frame, so
+      // the convergence probe is a scan of materialized partitions —
+      // not a second labels-vs-labels join per round.
       val propagated = labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label"))
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("doc_id"))
@@ -282,17 +289,18 @@ object Dedup {
         .join(propagated, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("nbr_label") < col("cluster_id")).as("changed"))
         .localCheckpoint(true)
-      converged = updated.alias("n")
-        .join(labels.alias("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       round += 1
     }
     edges.unpersist()
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "root"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Connected components via alternating large-star/small-star

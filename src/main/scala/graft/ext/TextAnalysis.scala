@@ -168,6 +168,38 @@ object TextAnalysis {
         count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
 
+  /** TF-IDF top-k terms per document: term frequency per (doc, term),
+    * document frequency per term, score = tf · ln(N/df), keep the k
+    * best terms per doc. Two shuffles total (one keyed by (doc, term)
+    * for tf, one by term for df) and a broadcast of the scalar corpus
+    * size — the df side is the classic stopword-skew hot spot, but the
+    * per-term aggregate is a partial-agg count, so hot terms collapse
+    * map-side before the shuffle.
+    *
+    * The score is emitted in fixed-point (`floor(score·1e6)` as
+    * bigint) so ranking and hashing are engine-portable; ties break on
+    * the term string.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_e6",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score_e6"))
+  }
+
   def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),
