@@ -196,6 +196,65 @@ object Queries2 {
       .orderBy("o_orderkey")
   }
 
+  /** Sliding ROWS frame: 5-row moving sum/count per customer — the
+    * bounded-frame sibling of the running (unbounded) sum key. Exact
+    * cents; the average is a single int/int division (bit-identical
+    * across engines).
+    */
+  private def windowMovingAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .withColumn("mov_sum_c",
+        expr("""sum(price_c) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
+      .withColumn("mov_n",
+        expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
+      .select(col("o_orderkey"), col("o_custkey"), col("mov_sum_c"), col("mov_n"),
+        (col("mov_sum_c").cast("double") / col("mov_n")).as("mov_avg_c"))
+      .orderBy("o_orderkey")
+
+  /** first_value / last_value / nth_value over the full partition
+    * frame (explicit UNBOUNDED FOLLOWING — the default frame would
+    * make last_value degenerate to the current row).
+    */
+  private def windowFirstLastNth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("first_key",
+        expr("""first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+      .withColumn("last_key",
+        expr("""last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+      .withColumn("second_key",
+        expr("""nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+      .orderBy("o_orderkey")
+
+  /** Time-series gap fill: hourly event counts per type, with missing
+    * (type, hour) cells materialized as zero via a generated dense
+    * hour grid (sequence + explode) left-joined to the sparse counts.
+    * The grid is hours × types (tiny — broadcast side); the counts
+    * aggregate is the only real shuffle.
+    */
+  private def timeseriesGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        date_trunc("hour", graft.sources.Tables.eventTs(col("ts"))).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+    val grid = span
+      .select(explode(expr("sequence(h_min, h_max, interval 1 hour)")).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   // --- source-format round-trips: write the engine's sink format, read
   // it back through the matching source, aggregate — proves the
   // schema/value fidelity of each connector (oracle aggregates the
@@ -263,6 +322,9 @@ object Queries2 {
     "latest_record_per_key" -> latestRecordPerKey _,
     "cross_join_dims" -> crossJoinDims _,
     "merge_upsert" -> mergeUpsert _,
+    "window_moving_avg" -> windowMovingAvg _,
+    "window_first_last_nth" -> windowFirstLastNth _,
+    "timeseries_gap_fill" -> timeseriesGapFill _,
     "json_source_roundtrip" -> jsonSourceRoundtrip _,
     "csv_source_roundtrip" -> csvSourceRoundtrip _,
     "orc_source_roundtrip" -> orcSourceRoundtrip _,
@@ -362,6 +424,45 @@ object Queries2 {
                 ELSE 'update' END AS action
          FROM base FULL OUTER JOIN updates ON b_key = u_key
          ORDER BY o_orderkey""",
+
+    "window_moving_avg" ->
+      """SELECT o_orderkey, o_custkey, mov_sum_c, mov_n,
+           CAST(mov_sum_c AS DOUBLE) / mov_n AS mov_avg_c
+         FROM (
+           SELECT o_orderkey, o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_sum_c,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_n
+           FROM orders) ORDER BY o_orderkey""",
+
+    "window_first_last_nth" ->
+      """SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+
+    "timeseries_gap_fill" ->
+      """WITH ev AS (
+           SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+         counts AS (
+           SELECT event_type, h, count(*) AS n FROM ev GROUP BY event_type, h),
+         span AS (SELECT min(h) AS h_min, max(h) AS h_max FROM ev),
+         grid AS (
+           SELECT t.event_type, g.h
+           FROM span, unnest(generate_series(span.h_min, span.h_max, INTERVAL 1 HOUR)) AS g(h)
+           CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
+         SELECT grid.event_type,
+           strftime(grid.h, '%Y-%m-%d %H:00') AS hour,
+           coalesce(counts.n, 0) AS n
+         FROM grid LEFT JOIN counts
+           ON grid.event_type = counts.event_type AND grid.h = counts.h
+         ORDER BY grid.event_type, hour""",
 
     "json_source_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

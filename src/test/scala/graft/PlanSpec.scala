@@ -141,6 +141,36 @@ class PlanSpec extends SparkSpec {
       s"explode should not hash-shuffle:\n$p")
   }
 
+  test("NOT IN over a nullable inner plans the null-aware anti join") {
+    val p = q("null_aware_anti_join")
+    // Spark's single-column null-aware path: broadcast + isNullAwareAntiJoin
+    // (never a plain shuffled left_anti, which would drop the 3VL semantics)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast-side null-aware anti join:\n$p")
+    assert(p.toLowerCase.contains("anti"), s"expected anti join:\n$p")
+  }
+
+  test("exists/not-exists rewrite to semi and anti joins (no subquery at runtime)") {
+    val p = q("exists_correlated")
+    assert(p.toLowerCase.contains("semi") && p.toLowerCase.contains("anti"),
+      s"expected semi+anti join pair:\n$p")
+  }
+
+  test("latest_record_per_key: one hash shuffle, in-partition sort, no global sort before filter") {
+    val p = q("latest_record_per_key")
+    // the row_number partition sort must be a local Sort under one
+    // hashpartitioning exchange of the key — the final orderBy is the
+    // only range exchange
+    assert(p.contains("hashpartitioning(o_custkey"), s"expected key shuffle:\n$p")
+    assert("rangepartitioning".r.findAllIn(p).size <= 1,
+      s"more than the final ORDER BY's range exchange:\n$p")
+  }
+
+  test("timeseries_gap_fill broadcasts the dense grid side") {
+    val p = q("timeseries_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), s"expected grid broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
