@@ -271,7 +271,13 @@ object Queries {
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy("o_orderkey")
 
-  /** D15: two-column STRUCT inequality (SelectColumn !=, check.rs:358-380). */
+  /** D15: two-column STRUCT inequality (SelectColumn !=, check.rs:358-380).
+    * Stays a self-join on `(l_orderkey, linenumber + 1)`: the pairing
+    * is many-to-many ((l_orderkey, l_linenumber) is NOT unique in this
+    * testdata), which a `lead()` window cannot express — lead yields
+    * one successor per row, the join yields the full cross of
+    * duplicate line numbers (verified: 2859 vs 1687 rows at sf0.001).
+    */
   private def fkTargetMismatch(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
     l.alias("a").join(l.alias("b"),
@@ -558,24 +564,37 @@ object Queries {
       .orderBy("id")
   }
 
-  /** Exact distributed median without collecting: rank each value in
-    * its group (unique tie-break), take the one-or-two middle ranks,
-    * sum them — `median_x2` is integer-exact (2× the median) on any
-    * engine, and the plan is one shuffle + window, no driver-side data.
+  /** Exact distributed median without collecting: count rows per
+    * (group, value) — the only shuffle the full data passes through,
+    * and it partial-aggregates map-side — then rank the VALUE
+    * HISTOGRAM (group × distinct-value rows, tiny) with a cumulative
+    * window and pick the value(s) covering the middle positions.
+    * `median_x2` is integer-exact (2× the median) on any engine.
+    *
+    * Deliberately NOT a row-level window partitioned by the group: 3
+    * groups would force 600k-row single-threaded partition sorts (the
+    * few-groups window hazard); the histogram form scales with
+    * distinct values, not rows.
     */
   private def exactMedianWindow(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        round(col("l_quantity")).cast("long").as("qty"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val counts = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
       // integer division: Column./ is DOUBLE division, which would
-      // compare row_number against 3.5-style values and match nothing
-      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      // compare positions against 3.5-style values and match nothing
+      .withColumn("p1", expr("(n + 1) div 2"))
+      .withColumn("p2", expr("n div 2 + 1"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("qty")).as("median_x2"))
+      .agg((
+        sum(when(col("cum") - col("c") < col("p1") && col("p1") <= col("cum"), col("qty"))
+          .otherwise(0L)) +
+        sum(when(col("cum") - col("c") < col("p2") && col("p2") <= col("cum"), col("qty"))
+          .otherwise(0L))).as("median_x2"))
       .orderBy("l_returnflag")
   }
 

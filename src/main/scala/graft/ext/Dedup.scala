@@ -265,8 +265,13 @@ object Dedup {
     * driver work; lineage is truncated each round so plans stay flat.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // symmetrize via explode, NOT union-of-two-selects: a union would
+    // carry the (unpersisted) pair-detector subtree twice, computing
+    // the whole LSH pipeline once per branch on materialization
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // iterate over edge-touched nodes only — singletons can't change
     // label, so they rejoin once at the end instead of being dragged
