@@ -100,6 +100,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash+LSH in the INTEGER domain — the production/scale variant
+    * of [[minhashLsh]]. The oracle-pinned variant pays for DuckDB
+    * portability with md5 hex strings (one 32-char digest per shingle
+    * cached and min-compared as text); here each shingle costs two
+    * codegen'd `xxhash64` longs, the `bands × rows` minhash family is
+    * derived by double hashing (`h1 + i·h2` — Kirsch–Mitzenmacher),
+    * and a band's bucket key is one more xxhash64 over its row minima,
+    * so everything that shuffles is a long, not a string.
+    *
+    * Output contract is identical (verified (a_id, b_id, jaccard)
+    * pairs, a_id < b_id): candidates are still verified with the exact
+    * shingle-set Jaccard, so precision is exact and only candidate
+    * RECALL depends on the hash family (spec pins >= 0.95 of the md5
+    * variant's pairs on the seeded corpus).
+    */
+  def minhashLshFast(
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = Scale.widen(docs).select(col("doc_id"),
+      shingles(tokens(col("text")), k).as("sh"))
+      // top-32-bit halves: `h1 + i·h2` must stay inside a long under
+      // ANSI mode (no wrap-around), and 32-bit minhash entropy is ample
+      .withColumn("h1", transform(col("sh"), x => shiftrightunsigned(xxhash64(x), 32)))
+      .withColumn("h2", transform(col("sh"),
+        x => shiftrightunsigned(xxhash64(x, lit(0x9e3779b9L)), 32)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def minhash(i: Int) = coalesce(
+      array_min(zip_with(col("h1"), col("h2"), (a, b) => a + lit(i.toLong) * b)),
+      lit(Long.MinValue)) // shingle-less docs collapse into one capped bucket
+    val sigs = sh.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((0 until rowsPerBand).map(r => minhash(b * rowsPerBand + r)): _*)): _*))
+        .as(Seq("band_id", "sig")))
+    val cand = pairsWithinBuckets(sigs, Seq("band_id", "sig"), maxBucket)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The LSH candidate-generation core: group rows by `bucketCols`,
     * then expand id-ordered pairs WITHIN each bucket. One shuffle keyed
     * by the bucket; `maxBucket` caps any degenerate bucket's quadratic

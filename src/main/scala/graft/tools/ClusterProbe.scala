@@ -28,6 +28,11 @@ object ClusterProbe {
     val cl = graft.ext.Dedup.dupClusters(corpus, pairs)
     time("cluster total")(cl.count())
     time("with orderBy")(graft.ext.Dedup.dupClusters(corpus, graft.ext.Dedup.minhashLsh(corpus)).orderBy("doc_id").count())
+    time("fast lsh warmup")(graft.ext.Dedup.minhashLshFast(corpus).count())
+    spark.sharedState.cacheManager.clearCache()
+    time("fast lsh")(graft.ext.Dedup.minhashLshFast(corpus).count())
+    spark.sharedState.cacheManager.clearCache()
+    time("md5 lsh")(graft.ext.Dedup.minhashLsh(corpus).count())
     spark.stop()
   }
 }

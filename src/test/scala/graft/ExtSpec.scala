@@ -82,6 +82,27 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("integer-domain minhash (fast variant) matches the md5 variant's pairs on a seeded corpus") {
+    // seeded near-copies over real testdata: every doc + its 2-words-
+    // shorter twin. Precision is exact by construction (both variants
+    // verify candidates with true Jaccard); candidate recall depends on
+    // the hash family, so pin >= 0.95 of the oracle variant's pairs.
+    val d = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val corpus = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = pairSet(Dedup.minhashLsh(corpus))
+    val fast = pairSet(Dedup.minhashLshFast(corpus))
+    assert(slow.nonEmpty)
+    val recall = (slow & fast).size.toDouble / slow.size
+    assert(recall >= 0.95, s"fast-variant recall $recall (${slow.size} oracle pairs)")
+    // soundness: every emitted fast pair clears the same verified threshold
+    assert(Dedup.minhashLshFast(corpus).filter(col("jaccard") < 0.5).isEmpty)
+  }
+
   test("simhash: identical docs share a bucket; signature is 16 bits") {
     val d = docsDf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "unrelated content entirely different")
