@@ -196,6 +196,28 @@ object Queries2 {
       .orderBy("o_orderkey")
   }
 
+  /** Change log → SCD-2 dimension: per key ordered by change time,
+    * each record's validity interval is [its own date, the next
+    * record's date), open-ended (and flagged current) for the latest.
+    * One hash shuffle + in-partition sort (lead window) — the
+    * standard warehouse history-table build, sibling of
+    * latest_record_per_key which keeps only the final state.
+    */
+  private def scd2FromChanges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_date"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        col("next_date").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   /** Sliding ROWS frame: 5-row moving sum/count per customer — the
     * bounded-frame sibling of the running (unbounded) sum key. Exact
     * cents; the average is a single int/int division (bit-identical
@@ -322,6 +344,7 @@ object Queries2 {
     "latest_record_per_key" -> latestRecordPerKey _,
     "cross_join_dims" -> crossJoinDims _,
     "merge_upsert" -> mergeUpsert _,
+    "scd2_from_changes" -> scd2FromChanges _,
     "window_moving_avg" -> windowMovingAvg _,
     "window_first_last_nth" -> windowFirstLastNth _,
     "timeseries_gap_fill" -> timeseriesGapFill _,
@@ -424,6 +447,18 @@ object Queries2 {
                 ELSE 'update' END AS action
          FROM base FULL OUTER JOIN updates ON b_key = u_key
          ORDER BY o_orderkey""",
+
+    "scd2_from_changes" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(next_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+           next_date IS NULL AS is_current
+         FROM (
+           SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_date
+           FROM orders)
+         ORDER BY o_custkey, valid_from, o_orderkey""",
 
     "window_moving_avg" ->
       """SELECT o_orderkey, o_custkey, mov_sum_c, mov_n,

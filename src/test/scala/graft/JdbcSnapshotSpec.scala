@@ -89,6 +89,26 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(lines(1).matches(""".*done in .* s \(\d+ stages, \d+ tasks\)"""))
   }
 
+  test("JDBC sink round-trip: Spark writes a table over JDBC, snapshot + read see it") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derbysink").toString
+    val url = s"jdbc:derby:$dbDir/sinkdb;create=true"
+    DriverManager.getConnection(url).close()
+    import spark.implicits._
+    val src = Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0))
+      .toDF("ID", "NAME", "TOTAL")
+    src.write.mode("overwrite")
+      .jdbc(url, "SINK_DOCS", new java.util.Properties())
+    // the written table is visible to the catalog snapshot path...
+    val snap = Snapshot.fromJdbc(spark, url, DerbyDialect)
+    assert(snap.tables.select("table_name").collect().map(_.getString(0))
+      .contains("SINK_DOCS"))
+    // ...and round-trips values through the JDBC source
+    val back = spark.read.jdbc(url, "SINK_DOCS", new java.util.Properties())
+    assert(back.count() == 3)
+    assert(back.agg(sum($"TOTAL")).collect().head.getDouble(0) == 60.75)
+    assert(back.schema.fieldNames.toSet == Set("ID", "NAME", "TOTAL"))
+  }
+
   test("fromJdbc snapshots a live Derby and the diff DAG runs over it") {
     val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
