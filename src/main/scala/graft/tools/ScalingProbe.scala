@@ -55,15 +55,28 @@ object ScalingProbe {
           count(lit(1)).as("n_rows"))
         .count()
 
-    val ops: Seq[(String, DataFrame => Long)] = Seq(
-      ("dedup_exact", d => Dedup.exact(d).count()),
-      ("dedup_minhash_lsh", d => Dedup.minhashLsh(d).count()),
-      ("dedup_simhash_hamming", d => Dedup.simhashNearPairs(d).count()),
-      ("dedup_simhash64", d => Dedup.simhashNearPairs64(d).count()),
-      ("tpch_q1", q1))
+    def exactMedian(d: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      d.select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))))
+        .count()
+    }
 
-    val results = for (mult <- Seq(1, 4, 16); (name, op) <- ops) yield {
-      val d = if (name == "tpch_q1") lineitemX(mult) else corpus(mult)
+    // (name, input is the lineitem twin, op)
+    val ops: Seq[(String, Boolean, DataFrame => Long)] = Seq(
+      ("dedup_exact", false, d => Dedup.exact(d).count()),
+      ("dedup_minhash_lsh", false, d => Dedup.minhashLsh(d).count()),
+      ("dedup_minhash_lsh_fast", false, d => Dedup.minhashLshFast(d).count()),
+      ("dedup_simhash_hamming", false, d => Dedup.simhashNearPairs(d).count()),
+      ("dedup_simhash64", false, d => Dedup.simhashNearPairs64(d).count()),
+      ("text_tfidf_topk", false, d => graft.ext.TextAnalysis.tfidfTopK(d).count()),
+      ("exact_median_histogram", true, exactMedian),
+      ("tpch_q1", true, q1))
+
+    val results = for (mult <- Seq(1, 4, 16); (name, useLineitem, op) <- ops) yield {
+      val d = if (useLineitem) lineitemX(mult) else corpus(mult)
       val rows = d.count() // materialize input cost outside the timing
       val t0 = System.nanoTime()
       val out = op(d)
