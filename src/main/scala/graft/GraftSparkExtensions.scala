@@ -14,17 +14,19 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * Programmatic sessions can equivalently call
   * `GraftFunctions.register(spark)` (the `graft.ext` operators do so
-  * themselves). This is the standard injection point for the engine's
-  * custom Catalyst surface; parser/rule/strategy injections would go
-  * here too if an operator ever needs one (none does today —
-  * SURVEY.md §4.3).
+  * themselves). Also injects the [[GraftSqlParser]], adding the
+  * flagship statement `SCHEMA DIFF ('base', 'target') [LANG ko]` to
+  * the session's SQL surface (everything else delegates to Spark's
+  * parser).
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[graft.functions.LongArrayDot].getName, name),
         builder))
     }
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+  }
 }

@@ -196,6 +196,53 @@ object Queries2 {
       .orderBy("o_orderkey")
   }
 
+  /** rank / dense_rank side by side (ties on o_totalprice cents make
+    * them diverge — rank skips, dense_rank doesn't).
+    */
+  private def rankDenseRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_c").desc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .orderBy("o_orderkey")
+  }
+
+  /** Exact integer moments: n, Σx, Σx² per group over the small-domain
+    * quantity column — the building blocks of mean/variance/stddev,
+    * kept in bigint so the distributed partial aggregation is
+    * bit-exact regardless of partition order (float moment aggregates
+    * are famously non-associative).
+    */
+  private def statsMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("sum_x"),
+        sum(col("qty") * col("qty")).as("sum_x2"),
+        min(col("qty")).as("min_x"),
+        max(col("qty")).as("max_x"))
+      .orderBy("l_returnflag")
+
+  /** explode_outer: rows with EMPTY arrays survive as a null element —
+    * the 1-row-minimum contract a flattening ingest needs (plain
+    * explode silently drops empty-array parents).
+    */
+  private def explodeOuterEmpty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      // every 7th doc gets an empty token array to exercise the outer branch
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+          .otherwise(slice(split(col("text"), " "), 1, 3)).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("tok")).as("n_toks"))
+      .orderBy("doc_id")
+
   /** Change log → SCD-2 dimension: per key ordered by change time,
     * each record's validity interval is [its own date, the next
     * record's date), open-ended (and flagged current) for the latest.
@@ -344,6 +391,9 @@ object Queries2 {
     "latest_record_per_key" -> latestRecordPerKey _,
     "cross_join_dims" -> crossJoinDims _,
     "merge_upsert" -> mergeUpsert _,
+    "rank_dense_rank" -> rankDenseRank _,
+    "stats_moments" -> statsMoments _,
+    "explode_outer_empty" -> explodeOuterEmpty _,
     "scd2_from_changes" -> scd2FromChanges _,
     "window_moving_avg" -> windowMovingAvg _,
     "window_first_last_nth" -> windowFirstLastNth _,
@@ -447,6 +497,36 @@ object Queries2 {
                 ELSE 'update' END AS action
          FROM base FULL OUTER JOIN updates ON b_key = u_key
          ORDER BY o_orderkey""",
+
+    "rank_dense_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+         ORDER BY o_orderkey""",
+
+    "stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_x,
+           sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sum_x2,
+           min(CAST(round(l_quantity) AS BIGINT)) AS min_x,
+           max(CAST(round(l_quantity) AS BIGINT)) AS max_x
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "explode_outer_empty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+           FROM documents),
+         x AS (SELECT doc_id, unnest(
+                 CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+               FROM t)
+         SELECT doc_id, count(*) AS n_rows, count(tok) AS n_toks
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
 
     "scd2_from_changes" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,

@@ -33,6 +33,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SCHEMA DIFF SQL statement runs the flagship pipeline via the injected parser") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // base vs itself: empty report
+      val same = s2.sql(
+        "SCHEMA DIFF ('/root/testdata/sf0.001', '/root/testdata/sf0.001')")
+      assert(same.columns.toSeq == Seq("table_name", "report_list"))
+      assert(same.count() == 0)
+      // drifted copy (fewer tables on the target side): findings appear,
+      // and LANG ko selects the Korean templates
+      val drift = java.nio.file.Files.createTempDirectory("graft_sqldiff").toString
+      for (t <- Seq("nation", "orders")) {
+        val src = java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet")
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$drift/$t.parquet"))
+      }
+      val rep = s2.sql(s"SCHEMA DIFF ('/root/testdata/sf0.001', '$drift') LANG ko")
+        .collect()
+      assert(rep.nonEmpty)
+      val msgs = rep.flatMap(_.getSeq[String](1))
+      assert(msgs.exists(_.contains("데이터베이스에는 없습니다")), msgs.mkString("\n"))
+      // ordinary SQL still parses through the delegate
+      assert(s2.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("graft_jaccard equals the built-in distinct-count formula; used by LSH verify") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
