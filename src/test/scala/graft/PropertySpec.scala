@@ -175,4 +175,103 @@ class PropertySpec extends SparkSpec {
       col("r").rlike(TextAnalysis.EmailRe) || col("r").rlike(TextAnalysis.PhoneRe))
     assert(leftover.isEmpty, s"unredacted PII: ${leftover.collect().mkString(";")}")
   }
+
+  test("SCD-2 intervals chain per key, and exactly the latest row is current") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val genRows: Gen[List[(Long, Long, String)]] = Gen.listOfN(120, for {
+      k <- Gen.choose(1L, 12L)
+      day <- Gen.choose(0L, 400L)
+      st <- Gen.oneOf("A", "B", "C")
+    } yield (k, day, st))
+    (1L to 5L).foreach { seed =>
+      val rows = genRows(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+        .zipWithIndex.map { case ((k, day, st), i) => (k, i.toLong, day, st) }
+      val df = rows.toDF("key", "id", "day", "state")
+        .select(col("key"), col("id"),
+          expr("timestamp '2020-01-01 00:00:00' + make_interval(0, 0, 0, day)").as("ts"),
+          col("state"))
+      val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+      val scd = df.withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("key"), col("id"), col("ts").as("valid_from"),
+          col("next_ts").as("valid_to"), col("next_ts").isNull.as("is_current"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      // exactly one current row per key; it is the (ts, id)-max row
+      scd.groupBy(_._1).foreach { case (k, rs) =>
+        assert(rs.count(_._5) == 1, s"seed=$seed key=$k current-count")
+        val latest = rs.maxBy(r => (r._3.getTime, r._2))
+        assert(latest._5, s"seed=$seed key=$k latest not current")
+        // intervals chain: each non-current row's valid_to appears as a
+        // valid_from in the same key, and intervals never invert
+        rs.filterNot(_._5).foreach { r =>
+          assert(!r._4.get.before(r._3), s"seed=$seed inverted interval")
+          assert(rs.exists(o => o._3 == r._4.get),
+            s"seed=$seed key=$k broken chain at ${r._4.get}")
+        }
+      }
+    }
+  }
+
+  test("merge-upsert output is exactly base ∪ updates with update precedence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genKeys: Gen[(Set[Long], Set[Long])] = for {
+      b <- Gen.listOf(Gen.choose(1L, 60L)).map(_.toSet)
+      u <- Gen.listOf(Gen.choose(1L, 60L)).map(_.toSet)
+    } yield (b, u)
+    (1L to 5L).foreach { seed =>
+      val (bk, uk) = genKeys(Gen.Parameters.default, Seed(seed))
+        .getOrElse((Set.empty[Long], Set.empty[Long]))
+      val base = bk.toSeq.sorted.toDF("b_key")
+        .select(col("b_key"), (col("b_key") * 10).as("b_price"))
+      val updates = uk.toSeq.sorted.toDF("u_key")
+        .select(col("u_key"), (col("u_key") * 100).as("u_price"))
+      val merged = base.join(updates, col("b_key") === col("u_key"), "full_outer")
+        .select(coalesce(col("b_key"), col("u_key")).as("key"),
+          coalesce(col("u_price"), col("b_price")).as("price"),
+          when(col("b_key").isNull, "insert")
+            .when(col("u_key").isNull, "keep").otherwise("update").as("action"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(merged.map(_._1).toSet == (bk ++ uk), s"seed=$seed keys")
+      merged.foreach { case (k, p, a) =>
+        val want = if (uk(k)) ("u", k * 100) else ("b", k * 10)
+        assert(p == want._2, s"seed=$seed key=$k price")
+        val wantAction =
+          if (bk(k) && uk(k)) "update" else if (uk(k)) "insert" else "keep"
+        assert(a == wantAction, s"seed=$seed key=$k action")
+      }
+    }
+  }
+
+  test("histogram median equals the directly computed middle elements on random data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val genVals: Gen[List[(String, Long)]] = Gen.listOfN(300, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.choose(1L, 40L)
+    } yield (g, v))
+    (1L to 5L).foreach { seed =>
+      val rows = genVals(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val got = rows.toDF("g", "qty")
+        .groupBy(col("g"), col("qty")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("qty"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+        .withColumn("p1", expr("(n + 1) div 2"))
+        .withColumn("p2", expr("n div 2 + 1"))
+        .groupBy(col("g"))
+        .agg((sum(when(col("cum") - col("c") < col("p1") && col("p1") <= col("cum"),
+          col("qty")).otherwise(0L)) +
+          sum(when(col("cum") - col("c") < col("p2") && col("p2") <= col("cum"),
+            col("qty")).otherwise(0L))).as("median_x2"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val s = vs.map(_._2).sorted
+        g -> (s((s.size - 1) / 2) + s(s.size / 2))
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
