@@ -35,6 +35,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftSparkExtensions()) // graft_* fns + SCHEMA DIFF
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toList)
@@ -60,6 +61,18 @@ object Main {
         val report = progress.step("check")(Report.fromFindings(Diff.diff(b, t, opts.diff)))
         progress.step("report")(emit(report, opts))
       } finally progress.close()
+    // one-shot SQL, including the injected SCHEMA DIFF statement and
+    // the graft_* native functions
+    case "sql" :: stmt :: flags =>
+      val opts = parseFlags(flags)
+      val df = spark.sql(stmt)
+      opts.out match {
+        case Some(dir) =>
+          df.coalesce(1).write.mode("overwrite").json(dir)
+          println(s"result written: $dir")
+        case None => df.show(100, truncate = false)
+      }
+
     case "diff-jdbc" :: base :: target :: flags =>
       val opts = parseFlags(flags)
       val dialect = opts.dialect.getOrElse(
@@ -188,6 +201,7 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage: graft.cli.Main diff <baseDir> <targetDir> [flags]
+      |       graft.cli.Main sql "<statement>" [--out <dir>]   (incl. SCHEMA DIFF ('b','t') [LANG ko])
       |       graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql [flags]
       |       graft.cli.Main run [--pair <name>] [--config <path>] [flags]
       |       graft.cli.Main init --name <n> --type postgres|mysql --base-url <u> --target-url <u>
