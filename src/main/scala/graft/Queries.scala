@@ -1121,6 +1121,10 @@ object Queries {
                 string_split(line, ',')[2] AS name
          FROM (SELECT n_nationkey || ',' || n_name AS line FROM nation)
          ORDER BY id""",
+    // odd n: both middle positions land on the SAME row, which must
+    // count twice for median_x2 to stay 2x the median (a bare
+    // two-position filter would sum it once — caught at sf0.1, where a
+    // group count is odd; sf0.001/sf0.01 groups are all even)
     "exact_median_window" ->
       """WITH r AS (
            SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
@@ -1128,9 +1132,10 @@ object Queries {
                ORDER BY CAST(round(l_quantity) AS BIGINT), l_orderkey, l_linenumber, l_partkey) AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n
            FROM lineitem)
-         SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS median_x2
-         FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
+         SELECT l_returnflag,
+           CAST(sum(qty * (CAST(rn = (n + 1) // 2 AS INT) + CAST(rn = n // 2 + 1 AS INT))) AS BIGINT)
+             AS median_x2
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     "filtered_agg" ->
       """SELECT o_custkey,
          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
