@@ -171,6 +171,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected grid broadcast:\n$p")
   }
 
+  test("exact median histogram: raw rows pass through ONE partial-aggregated shuffle") {
+    val p = q("exact_median_window")
+    // two HashAggregate levels (partial before the exchange) for the
+    // (group, value) count; the cumulative window runs on the tiny
+    // histogram, never on raw rows
+    assert(p.contains("HashAggregate"), p)
+    assert(p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"),
+      s"expected partial+final aggregate levels:\n$p")
+  }
+
+  test("merge_upsert full-outer join sorts both sides on the merge key (SMJ)") {
+    val p = q("merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer sort-merge join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
