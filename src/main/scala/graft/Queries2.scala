@@ -196,6 +196,35 @@ object Queries2 {
       .orderBy("o_orderkey")
   }
 
+  /** Exact 3σ outlier flagging without floating point: |x−μ| > 3σ is
+    * cross-multiplied into (n·x − S)² > 9·(n·Q − S²) over integer
+    * cents (S=Σx, Q=Σx²), evaluated in DECIMAL(38,0) — bit-exact on
+    * any engine and any partitioning, where a float mean/stddev pair
+    * would be neither. One partial-agg'd shuffle for the per-group
+    * moments, broadcast back over the fact. (Decimal38 holds the
+    * cross-terms up to ~1e12 rows per group at cents scale; beyond
+    * that, widen to the two-pass float form with a tolerance.)
+    */
+  private def eventsOutlier3Sigma(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"),
+        sum(col("v_c") * col("v_c")).as("q"))
+    val d = "decimal(38,0)"
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("lhs",
+        (col("n").cast(d) * col("v_c").cast(d) - col("s").cast(d)) *
+        (col("n").cast(d) * col("v_c").cast(d) - col("s").cast(d)))
+      .withColumn("rhs",
+        lit(9).cast(d) * (col("n").cast(d) * col("q").cast(d) -
+          col("s").cast(d) * col("s").cast(d)))
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        (col("lhs") > col("rhs")).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   /** rank / dense_rank side by side (ties on o_totalprice cents make
     * them diverge — rank skips, dense_rank doesn't).
     */
@@ -391,6 +420,7 @@ object Queries2 {
     "latest_record_per_key" -> latestRecordPerKey _,
     "cross_join_dims" -> crossJoinDims _,
     "merge_upsert" -> mergeUpsert _,
+    "events_outlier_3sigma" -> eventsOutlier3Sigma _,
     "rank_dense_rank" -> rankDenseRank _,
     "stats_moments" -> statsMoments _,
     "explode_outer_empty" -> explodeOuterEmpty _,
@@ -497,6 +527,22 @@ object Queries2 {
                 ELSE 'update' END AS action
          FROM base FULL OUTER JOIN updates ON b_key = u_key
          ORDER BY o_orderkey""",
+
+    "events_outlier_3sigma" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+           FROM events),
+         st AS (
+           SELECT event_type, count(*) AS n, sum(v_c) AS s, sum(v_c * v_c) AS q
+           FROM ev GROUP BY event_type)
+         SELECT ev.event_id, ev.event_type, ev.v_c,
+           (CAST(st.n AS HUGEINT) * ev.v_c - CAST(st.s AS HUGEINT))
+             * (CAST(st.n AS HUGEINT) * ev.v_c - CAST(st.s AS HUGEINT))
+             > 9 * (CAST(st.n AS HUGEINT) * CAST(st.q AS HUGEINT)
+                    - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT)) AS is_outlier
+         FROM ev JOIN st USING (event_type)
+         ORDER BY event_id""",
 
     "rank_dense_rank" ->
       """SELECT o_orderkey, o_orderpriority,
