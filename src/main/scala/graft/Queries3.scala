@@ -171,6 +171,165 @@ object Queries3 {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  // Q11 — important stock: per-part supply value restricted to one
+  // nation's suppliers, kept if above a fraction of the total (scalar
+  // subquery → broadcast of a 1-row aggregate; the HAVING filter runs
+  // post-shuffle on the already-aggregated tiny table).
+  private def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val supp5 = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = t(s, dir, "lineitem")
+      .join(broadcast(supp5), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(priceC).as("value_c"))
+    val total = value.agg(sum(col("value_c")).as("total_c"))
+    value.join(broadcast(total))
+      .filter(col("value_c") > col("total_c") / 1000L)
+      .select(col("l_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("l_partkey"))
+  }
+
+  // Q12 — late-shipment priority counts grouped by l_returnflag (the
+  // schema has no l_shipmode): one fact-side join orders⋈lineitem with
+  // the late predicate, then a 3-group aggregate of two CASE sums.
+  private def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  // Q13 — customer order-count distribution: left outer join with a
+  // join-level filter (priority), two stacked aggregations. The
+  // distribution agg input is one row per customer — tiny.
+  private def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // Q15 — top supplier: quarterly revenue per supplier, keep the
+  // max-revenue supplier(s) via a 1-row scalar max broadcast back.
+  private def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(priceC * (lit(100L) - discPct)).as("total_rev_e4"))
+    val maxRev = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev))
+      .filter(col("total_rev_e4") === col("max_rev_e4"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+      .orderBy("s_suppkey")
+  }
+
+  // Q17 — small-quantity revenue: per-part average quantity as a
+  // grouped subquery re-joined to the fact; the avg compare stays in
+  // integers (5*qty*cnt < sum ⇔ qty < avg/5 — no float division).
+  private def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#5")
+      .select(col("p_partkey"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), qtyL.as("qty"), priceC.as("price_c"))
+    val stats = l.groupBy(col("l_partkey").as("st_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    l.join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(stats), col("l_partkey") === col("st_partkey"))
+      .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
+      .agg(sum(col("price_c")).as("total_c"), count(lit(1)).as("n_rows"))
+  }
+
+  // Q19 — disjunctive predicate pushdown: OR-of-ANDs over part
+  // attributes and line quantities, single equi-join on partkey with
+  // the residual disjunction evaluated post-join (Catalyst pushes the
+  // per-side conjuncts common to all branches into the scans).
+  private def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), qtyL.as("qty"),
+        (priceC * (lit(100L) - discPct)).as("rev_e4"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("qty").between(20, 30)))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_rows"))
+  }
+
+  // Q21 — suppliers who kept orders waiting: the classic double
+  // correlation (EXISTS other supplier / NOT EXISTS other late
+  // supplier) expressed as ONE per-order aggregate — n_supp and
+  // n_late_supp distinct counts — then a semi filter. One shuffle of
+  // the filtered fact instead of three correlated scans; at 100 TB the
+  // per-order aggregate is the same shuffle key as the join.
+  private def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90)).as("is_late"))
+    val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    val natSup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    l.filter(col("is_late"))
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  // Q22 — global sales opportunity: rich-but-inactive customers.
+  // Country code adapted to c_custkey % 7 (no c_phone column); the
+  // positive-balance average is a broadcast scalar; "inactive" means
+  // no orders since 2000 (every customer has SOME order in this
+  // testdata) — a left-anti join against the filtered orders.
+  private def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), (col("c_custkey") % 7L).cast("int").as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+    val avgPos = c.filter(col("acctbal_c") > 0L)
+      .agg(sum(col("acctbal_c")).as("sum_c"), count(lit(1)).as("n_c"))
+    val o = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    c.join(broadcast(avgPos))
+      .filter(col("acctbal_c") * col("n_c") > col("sum_c"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("acctbal_c")).as("totacctbal_c"))
+      .orderBy("cntrycode")
+  }
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,6 +338,14 @@ object Queries3 {
     "tpch_q7_volume_shipping" -> tpchQ7 _,
     "tpch_q8_market_share" -> tpchQ8 _,
     "tpch_q9_product_profit" -> tpchQ9 _,
+    "tpch_q11_important_stock" -> tpchQ11 _,
+    "tpch_q12_priority_shipments" -> tpchQ12 _,
+    "tpch_q13_order_distribution" -> tpchQ13 _,
+    "tpch_q15_top_supplier" -> tpchQ15 _,
+    "tpch_q17_small_quantity" -> tpchQ17 _,
+    "tpch_q19_disjunctive_join" -> tpchQ19 _,
+    "tpch_q21_waiting_supplier" -> tpchQ21 _,
+    "tpch_q22_sales_opportunity" -> tpchQ22 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +439,122 @@ object Queries3 {
          JOIN nation n ON s.s_nationkey = n.n_nationkey
          WHERE p.p_name LIKE '%red%'
          GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    "tpch_q11_important_stock" ->
+      """WITH value AS (
+           SELECT l.l_partkey,
+                  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                    AS value_c
+           FROM lineitem l
+           WHERE l.l_suppkey IN (
+             SELECT s.s_suppkey FROM supplier s
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+             WHERE n.n_name = 'NATION_5')
+           GROUP BY 1)
+         SELECT l_partkey, value_c FROM value
+         WHERE value_c > (SELECT sum(value_c) FROM value) // 1000
+         ORDER BY value_c DESC, l_partkey""",
+
+    "tpch_q12_priority_shipments" ->
+      """SELECT l.l_returnflag,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+           AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+         GROUP BY 1 ORDER BY 1""",
+
+    "tpch_q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c
+           LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+                    AS total_rev_e4
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+         ORDER BY s.s_suppkey""",
+
+    "tpch_q17_small_quantity" ->
+      """WITH l AS (
+           SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+           FROM lineitem),
+         stats AS (
+           SELECT l_partkey AS st_partkey, sum(qty) AS sum_qty, count(*) AS cnt
+           FROM l GROUP BY 1)
+         SELECT CAST(sum(l.price_c) AS BIGINT) AS total_c, count(*) AS n_rows
+         FROM l
+         JOIN stats st ON l.l_partkey = st.st_partkey
+         WHERE l.l_partkey IN
+             (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')
+           AND l.qty * 5 * st.cnt < st.sum_qty""",
+
+    "tpch_q19_disjunctive_join" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+                  AS revenue_e4,
+                count(*) AS n_rows
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)""",
+
+    "tpch_q21_waiting_supplier" ->
+      """WITH l AS (
+           SELECT li.l_orderkey, li.l_suppkey,
+                  CAST(li.l_shipdate AS DATE)
+                    > CAST(o.o_orderdate AS DATE) + 90 AS is_late
+           FROM lineitem li
+           JOIN orders o ON li.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F'),
+         per_order AS (
+           SELECT l_orderkey AS po_orderkey,
+                  count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+           FROM l GROUP BY 1)
+         SELECT s.s_name, count(DISTINCT l.l_orderkey) AS numwait
+         FROM l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN per_order po ON l.l_orderkey = po.po_orderkey
+         WHERE l.is_late AND n.n_name = 'NATION_7'
+           AND po.n_supp >= 2 AND po.n_late_supp = 1
+         GROUP BY 1 ORDER BY numwait DESC, s_name""",
+
+    "tpch_q22_sales_opportunity" ->
+      """WITH c AS (
+           SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS cntrycode,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c
+           FROM customer),
+         avg_pos AS (
+           SELECT sum(acctbal_c) AS sum_c, count(*) AS n_c
+           FROM c WHERE acctbal_c > 0)
+         SELECT c.cntrycode, count(*) AS numcust,
+                CAST(sum(c.acctbal_c) AS BIGINT) AS totacctbal_c
+         FROM c CROSS JOIN avg_pos a
+         WHERE c.acctbal_c * a.n_c > a.sum_c
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+         GROUP BY 1 ORDER BY 1""",
   )
 }
