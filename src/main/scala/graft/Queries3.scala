@@ -89,12 +89,15 @@ object Queries3 {
       .orderBy("o_orderpriority")
   }
 
-  // Q7 — volume shipping between two nations, both directions, by
-  // ship year. Supplier nation via lineitem, customer nation via
-  // orders; both nation lookups broadcast.
+  // Q7 — volume shipping between two REGIONS (nation-level pairs are
+  // empty at sf0.001: only 10 suppliers exist), both directions, by
+  // ship year. Supplier region via lineitem, customer region via
+  // orders; both dim lookups broadcast.
   private def tpchQ7(s: SparkSession, dir: String): DataFrame = {
-    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
-    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    def natRegion(nk: String, out: String) =
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as(nk), col("r_name").as(out))
     val l = t(s, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
         to_date(col("l_shipdate")) < lit("1998-01-01").cast("date"))
@@ -107,13 +110,13 @@ object Queries3 {
     l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .join(broadcast(natRegion("s_nkey", "supp_region")), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(natRegion("c_nkey", "cust_region")), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
       .agg(sum(col("rev_e4")).as("revenue_e4"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
+      .orderBy("supp_region", "cust_region", "l_year")
   }
 
   // Q8 — national market share: of the PROMO-part revenue bought by
@@ -177,8 +180,9 @@ object Queries3 {
   // post-shuffle on the already-aggregated tiny table).
   private def tpchQ11(s: SparkSession, dir: String): DataFrame = {
     val supp5 = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val value = t(s, dir, "lineitem")
       .join(broadcast(supp5), col("l_suppkey") === col("s_suppkey"), "left_semi")
@@ -296,8 +300,9 @@ object Queries3 {
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
     val natSup = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
     l.filter(col("is_late"))
       .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
@@ -331,6 +336,91 @@ object Queries3 {
   }
 
   // -------------------------------------------------------------------
+  // Coverage batch beyond TPC-H: unpivot/melt, lateral top-n join,
+  // BM25 ranking, Markov transition matrix.
+
+  // Wide→long unpivot (melt) of part's numeric attributes via the
+  // Dataset.unpivot API (plans as Expand — one pass, no shuffle, no
+  // join; at 100 TB this is the only sane melt: k× row fan-out with
+  // zero exchange).
+  private def unpivotMelt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("size_l"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_c"))
+      .unpivot(Array(col("p_partkey")), Array(col("size_l"), col("retail_c")),
+        "attr", "value")
+      .orderBy("p_partkey", "attr")
+
+  // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 richest
+  // customers per nation. Catalyst decorrelates the limit into a
+  // per-key row_number — i.e. the distributed window top-k — instead
+  // of N correlated scans.
+  private def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("q3_nation")
+    t(s, dir, "customer").createOrReplaceTempView("q3_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.acctbal_c
+      FROM q3_nation n,
+      LATERAL (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM q3_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY acctbal_c DESC, c.c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.acctbal_c DESC, t.c_custkey""")
+  }
+
+  // BM25 document ranking for a fixed query term set (k1=1.2, b=0.75).
+  // Every input to the float formula is an exact integer (tf, df, N,
+  // dl, Σdl); the per-term score is floored to 1e-6 fixed point BEFORE
+  // the cross-term sum, so the final ordering compare is pure integer
+  // (same convention as text_tfidf_topk). One term-keyed shuffle for
+  // tf/df; df and corpus stats broadcast back.
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("q3_documents")
+    s.sql("""
+      WITH tok AS (
+        SELECT doc_id, explode(split(text, ' ')) AS term FROM q3_documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      n AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(1e6 *
+            ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                / (CAST(n.sum_dl AS DOUBLE) / n.n_docs)))) AS BIGINT)
+            AS term_score_e6
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n)
+      SELECT doc_id, CAST(sum(term_score_e6) AS BIGINT) AS score_e6,
+             count(*) AS n_terms
+      FROM scored GROUP BY doc_id
+      ORDER BY score_e6 DESC, doc_id LIMIT 10""")
+  }
+
+  // First-order Markov transition matrix over per-user event
+  // sequences: lag window → pair counts → per-source probability in
+  // exact parts-per-million (integer floor division both sides).
+  private def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("curr"))
+      .withColumn("prev", lag(col("curr"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("curr")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev").as("t_prev")).agg(sum(col("n")).as("total"))
+    counts.join(broadcast(totals), col("prev") === col("t_prev"))
+      .select(col("prev"), col("curr"), col("n"),
+        ((col("n") * 1000000L) / col("total")).cast("long").as("p_ppm"))
+      .orderBy("prev", "curr")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2_min_cost_supplier" -> tpchQ2 _,
@@ -346,6 +436,10 @@ object Queries3 {
     "tpch_q19_disjunctive_join" -> tpchQ19 _,
     "tpch_q21_waiting_supplier" -> tpchQ21 _,
     "tpch_q22_sales_opportunity" -> tpchQ22 _,
+    "unpivot_melt" -> unpivotMelt _,
+    "lateral_topn_join" -> lateralTopN _,
+    "text_bm25_topk" -> textBm25 _,
+    "events_markov_transitions" -> eventsMarkov _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,7 +479,7 @@ object Queries3 {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "tpch_q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
                 CAST(year(l.l_shipdate) AS INT) AS l_year,
                 CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
                   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
@@ -395,11 +489,13 @@ object Queries3 {
          JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
          WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
            AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
-           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+             OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "tpch_q8_market_share" ->
@@ -449,7 +545,8 @@ object Queries3 {
            WHERE l.l_suppkey IN (
              SELECT s.s_suppkey FROM supplier s
              JOIN nation n ON s.s_nationkey = n.n_nationkey
-             WHERE n.n_name = 'NATION_5')
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             WHERE r.r_name = 'EUROPE')
            GROUP BY 1)
          SELECT l_partkey, value_c FROM value
          WHERE value_c > (SELECT sum(value_c) FROM value) // 1000
@@ -536,8 +633,9 @@ object Queries3 {
          FROM l
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
          JOIN per_order po ON l.l_orderkey = po.po_orderkey
-         WHERE l.is_late AND n.n_name = 'NATION_7'
+         WHERE l.is_late AND r.r_name = 'AFRICA'
            AND po.n_supp >= 2 AND po.n_late_supp = 1
          GROUP BY 1 ORDER BY numwait DESC, s_name""",
 
@@ -556,5 +654,66 @@ object Queries3 {
            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                            AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
          GROUP BY 1 ORDER BY 1""",
+
+    "unpivot_melt" ->
+      """WITH p AS (
+           SELECT p_partkey, CAST(p_size AS BIGINT) AS size_l,
+                  CAST(round(p_retailprice*100) AS BIGINT) AS retail_c
+           FROM part)
+         SELECT p_partkey, attr, value FROM (
+           SELECT p_partkey, 'size_l' AS attr, size_l AS value FROM p
+           UNION ALL
+           SELECT p_partkey, 'retail_c', retail_c FROM p)
+         ORDER BY p_partkey, attr""",
+
+    "lateral_topn_join" ->
+      """SELECT n.n_name, t.c_custkey, t.acctbal_c
+         FROM nation n,
+         LATERAL (
+           SELECT c.c_custkey,
+                  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY acctbal_c DESC, c.c_custkey LIMIT 2) t
+         ORDER BY n.n_name, t.acctbal_c DESC, t.c_custkey""",
+
+    "text_bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         n AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+             CAST(floor(1e6 *
+               ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                   / (CAST(n.sum_dl AS DOUBLE) / n.n_docs)))) AS BIGINT)
+               AS term_score_e6
+           FROM tf JOIN df ON tf.term = df.term
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n)
+         SELECT doc_id, CAST(sum(term_score_e6) AS BIGINT) AS score_e6,
+                count(*) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY score_e6 DESC, doc_id LIMIT 10""",
+
+    "events_markov_transitions" ->
+      """WITH pairs AS (
+           SELECT user_id, event_type AS curr,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev
+           FROM events),
+         counts AS (
+           SELECT prev, curr, count(*) AS n FROM pairs
+           WHERE prev IS NOT NULL GROUP BY prev, curr),
+         totals AS (SELECT prev AS t_prev, sum(n) AS total FROM counts GROUP BY 1)
+         SELECT c.prev, c.curr, c.n,
+                CAST(c.n * 1000000 // t.total AS BIGINT) AS p_ppm
+         FROM counts c JOIN totals t ON c.prev = t.t_prev
+         ORDER BY prev, curr""",
   )
 }
