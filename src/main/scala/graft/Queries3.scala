@@ -296,18 +296,22 @@ object Queries3 {
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90)).as("is_late"))
-    val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
+    // ONE pass over the fact: per-order supplier stats AND the late
+    // supplier set in the same aggregate, so lineitem is scanned once
+    // (the set is bounded by suppliers-per-order, a small constant).
+    val perOrder = l.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
+        collect_set(when(col("is_late"), col("l_suppkey"))).as("late_supps"))
     val natSup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AFRICA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
-    l.filter(col("is_late"))
-      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
-      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+    perOrder
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("l_orderkey"), explode(col("late_supps")).as("late_supp"))
+      .join(broadcast(natSup), col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(countDistinct(col("l_orderkey")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -187,6 +187,44 @@ class PlanSpec extends SparkSpec {
       s"expected full-outer sort-merge join:\n$p")
   }
 
+  test("unpivot_melt plans as Expand with no exchange (shuffle-free melt)") {
+    val p = q("unpivot_melt")
+    assert(p.contains("Expand"), s"expected Expand:\n$p")
+    // the only exchange allowed is the final orderBy's range partition
+    val body = p.split("Sort").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"melt should not hash-shuffle:\n$p")
+  }
+
+  test("lateral LIMIT decorrelates to a per-key window top-k, not N scans") {
+    val p = q("lateral_topn_join")
+    assert(p.contains("Window"), s"expected decorrelated window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral must not go nested-loop:\n$p")
+  }
+
+  test("tpch_q19 disjunctive join stays a single broadcast hash join") {
+    val p = q("tpch_q19_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs must not degrade to nested loop:\n$p")
+  }
+
+  test("tpch_q7 fact side joins dims via broadcast; one aggregate shuffle") {
+    val p = q("tpch_q7_volume_shipping")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$p")
+  }
+
+  test("tpch_q21 computes double correlation as ONE per-order aggregate") {
+    val p = q("tpch_q21_waiting_supplier")
+    // the per-order distinct-count + late-set aggregate runs in ONE pass
+    // over lineitem⋈orders: exactly 5 scans total (lineitem, orders,
+    // supplier, nation, region), no fact self-join. The formatted plan
+    // prints every scan twice (tree + detail) — count the detail lines.
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 5, s"too many scans ($scans) — correlation not aggregated:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
