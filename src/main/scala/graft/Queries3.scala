@@ -47,7 +47,14 @@ object Queries3 {
   // suppliers; the min is computed per part and re-joined (Catalyst
   // plans the re-join as a broadcast of the tiny min table).
   private def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val partKeys = t(s, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    // dim filter pushed BELOW the supply aggregation: only ~4% of
+    // lineitem reaches the (l_partkey, l_suppkey) shuffle — at scale
+    // this is the difference between shuffling the fact and a sliver
     val supply = t(s, dir, "lineitem")
+      .join(broadcast(partKeys), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(priceC).as("offer_c"))
     val eurSup = t(s, dir, "supplier")
@@ -298,11 +305,15 @@ object Queries3 {
         (to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90)).as("is_late"))
     // ONE pass over the fact: per-order supplier stats AND the late
     // supplier set in the same aggregate, so lineitem is scanned once
-    // (the set is bounded by suppliers-per-order, a small constant).
+    // (sets are bounded by suppliers-per-order, a small constant).
+    // size(collect_set) instead of countDistinct: two distinct aggs
+    // would plan an Expand (3× the fact rows through the shuffle) +
+    // SortAggregate; the set version is one ObjectHashAggregate.
     val perOrder = l.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
+      .agg(collect_set(col("l_suppkey")).as("supps"),
         collect_set(when(col("is_late"), col("l_suppkey"))).as("late_supps"))
+      .select(col("l_orderkey"), size(col("supps")).as("n_supp"),
+        size(col("late_supps")).as("n_late_supp"), col("late_supps"))
     val natSup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AFRICA")),
@@ -426,6 +437,91 @@ object Queries3 {
       .orderBy("prev", "curr")
   }
 
+  // Triangle counting over the part co-purchase graph: parts that
+  // appear in >=2 common orders form an edge; triangles are the
+  // standard two-hop join with the a<b<c orientation (each triangle
+  // counted once, and the orientation bounds the join fan-out by
+  // out-degree — the classic distributed-triangle trick; at scale the
+  // orientation would be by degree, not id, to crush hub skew).
+  // Per-order pair expansion is quadratic in ORDER SIZE (bounded ~40),
+  // not in table size.
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pl = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = pl.alias("a").join(pl.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("ea"), col("b.pk").as("eb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("ea"), col("eb"))
+    val tri = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.eb") === col("e2.ea"))
+      .join(edges.alias("e3"),
+        col("e3.ea") === col("e1.ea") && col("e3.eb") === col("e2.eb"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nEdges.join(nTri)
+  }
+
+  // Rolling DISTINCT count over an ordered window: distinct event
+  // types among each user's last 5 events. Spark has no native
+  // windowed count-distinct — size(collect_set() OVER rows-frame) is
+  // the idiomatic formulation (state bounded by the frame width).
+  private def windowRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("n_distinct5", size(collect_set(col("event_type")).over(w)))
+      .select(col("event_id"), col("user_id"), col("n_distinct5"))
+      .orderBy("event_id")
+  }
+
+  // Exact grouped percentiles (discrete: the value AT rank ceil(p*n),
+  // no interpolation) without a sketch: row_number + per-group counts,
+  // pivoted to columns. Both sides share the same rank formula so the
+  // result is exact under ties.
+  private def exactPercentilesGrouped(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("qty", "l_orderkey", "l_linenumber")
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), qtyL.as("qty"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+    ranked
+      .filter(col("rn") === ceil(col("n") * 0.25) ||
+        col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.9))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("qty"))).as("p25"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("qty"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("qty"))).as("p90"))
+      .orderBy("l_returnflag")
+  }
+
+  // Directional containment dedup: |A∩B| / |A| over 3-gram shingle
+  // sets within (lang, source) blocks — catches sub-documents that
+  // Jaccard misses (a contained doc has low Jaccard vs a much larger
+  // superset doc). Integer outputs: intersection size, |A|, and the
+  // score in exact ppm (floor division both sides).
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = d.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(graft.ext.TextPrimitives.shingles(
+        graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
+    sh.alias("a").join(sh.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        size(col("a.sh")).as("na"))
+      .filter(col("na") > 0)
+      .withColumn("containment_ppm",
+        expr("CAST(inter AS BIGINT) * 1000000 DIV na"))
+      .filter(col("containment_ppm") >= 500000L)
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2_min_cost_supplier" -> tpchQ2 _,
     "tpch_q4_order_priority" -> tpchQ4 _,
@@ -444,6 +540,10 @@ object Queries3 {
     "lateral_topn_join" -> lateralTopN _,
     "text_bm25_topk" -> textBm25 _,
     "events_markov_transitions" -> eventsMarkov _,
+    "graph_triangle_count" -> graphTriangles _,
+    "window_rolling_distinct" -> windowRollingDistinct _,
+    "exact_percentiles_grouped" -> exactPercentilesGrouped _,
+    "dedup_containment" -> dedupContainment _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -719,5 +819,56 @@ object Queries3 {
                 CAST(c.n * 1000000 // t.total AS BIGINT) AS p_ppm
          FROM counts c JOIN totals t ON c.prev = t.t_prev
          ORDER BY prev, curr""",
+
+    "graph_triangle_count" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         edges AS (
+           SELECT a.pk AS ea, b.pk AS eb
+           FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT (SELECT count(*) FROM edges) AS n_edges,
+                (SELECT count(*) FROM edges e1
+                 JOIN edges e2 ON e1.eb = e2.ea
+                 JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb) AS n_triangles""",
+
+    "window_rolling_distinct" ->
+      """SELECT event_id, user_id,
+                CAST(count(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct5
+         FROM events ORDER BY event_id""",
+
+    "exact_percentiles_grouped" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY CAST(round(l_quantity) AS BIGINT), l_orderkey, l_linenumber) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = ceil(n*0.25) THEN qty END) AS p25,
+                max(CASE WHEN rn = ceil(n*0.5)  THEN qty END) AS p50,
+                max(CASE WHEN rn = ceil(n*0.9)  THEN qty END) AS p90
+         FROM ranked
+         WHERE rn = ceil(n*0.25) OR rn = ceil(n*0.5) OR rn = ceil(n*0.9)
+         GROUP BY 1 ORDER BY 1""",
+
+    "dedup_containment" ->
+      """WITH sh0 AS (
+           SELECT doc_id, lang, source,
+                  list_distinct([array_to_string(w[i+1:i+3], ' ')
+                    FOR i IN range(0, greatest(len(w)-2, 0))]) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM documents))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter,
+                CAST(len(a.sh) AS INT) AS na,
+                CAST(len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) AS BIGINT)
+                  AS containment_ppm
+         FROM sh0 a JOIN sh0 b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+         WHERE len(a.sh) > 0
+           AND len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) >= 500000
+         ORDER BY a_id, b_id""",
   )
 }
