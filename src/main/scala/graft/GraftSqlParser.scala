@@ -11,16 +11,20 @@ import graft.diff.{Diff, DiffOptions, Messages, Report}
 import graft.schema.Snapshot
 
 /** SQL surface for the flagship pipeline (the syntax SURVEY.md §4.3
-  * deferred in round 1):
+  * deferred in round 1) and its row-data twin:
   *
   * {{{
   * SCHEMA DIFF ('/path/to/base', '/path/to/target') [LANG ko|en]
+  * DATA DIFF ('/path/to/base', '/path/to/target') TABLE t KEY (k1, k2)
   * }}}
   *
   * Both paths are parquet directories (schema-from-footer snapshots,
-  * [[Snapshot.fromParquetDir]]); the statement evaluates to the
-  * per-table report frame [[Report.fromFindings]] produces — the same
-  * DAG the Dataset API builds, so Catalyst/AQE treatment is identical.
+  * [[Snapshot.fromParquetDir]]); SCHEMA DIFF evaluates to the
+  * per-table report frame [[Report.fromFindings]] produces, DATA DIFF
+  * to the row-level [[graft.ext.DataDiff.rowDiff]] frame
+  * (added/removed/changed rows with per-column change lists) for
+  * `<path>/t.parquet` keyed by the listed columns — the same DAGs the
+  * Dataset API builds, so Catalyst/AQE treatment is identical.
   * Injected via `spark.sql.extensions=graft.GraftSparkExtensions`;
   * every other statement falls through to the delegate parser
   * untouched.
@@ -30,6 +34,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val SchemaDiffStmt =
     """(?is)\s*SCHEMA\s+DIFF\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)(?:\s+LANG\s+([A-Za-z]+))?\s*;?\s*""".r
+  private val DataDiffStmt =
+    """(?is)\s*DATA\s+DIFF\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+KEY\s*\(\s*([^)]+?)\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SchemaDiffStmt(basePath, targetPath, lang) =>
@@ -40,6 +46,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val base = Snapshot.fromParquetDir(session, basePath)
       val target = Snapshot.fromParquetDir(session, targetPath)
       Report.fromFindings(Diff.diff(base, target, DiffOptions(language = language)))
+        .queryExecution.logical
+    case DataDiffStmt(basePath, targetPath, table, keys) =>
+      val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      graft.ext.DataDiff.rowDiff(
+          session.read.parquet(s"$basePath/$table.parquet"),
+          session.read.parquet(s"$targetPath/$table.parquet"),
+          keyCols)
         .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }

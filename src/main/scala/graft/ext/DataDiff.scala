@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object DataDiff {
 
-  /** Diff two frames with the same schema.
+  /** Diff two frames on their shared columns.
     *
     * @param keyCols   primary-key columns (join key)
     * @param compareCols columns to compare; default: all non-key columns
+    *   PRESENT ON BOTH SIDES (a data diff runs exactly when schemas
+    *   have drifted — base-only columns belong to the schema diff's
+    *   column-missing finding, not an unresolved-column error here)
     */
   def rowDiff(
       base: DataFrame,
@@ -39,7 +42,10 @@ object DataDiff {
       compareCols: Seq[String] = Seq.empty): DataFrame = {
     val cols =
       if (compareCols.nonEmpty) compareCols
-      else base.columns.filterNot(keyCols.contains).toSeq
+      else {
+        val shared = target.columns.toSet
+        base.columns.filter(c => shared.contains(c) && !keyCols.contains(c)).toSeq
+      }
 
     // 128-bit row fingerprint over the compared columns (null-tagged,
     // \u0001-delimited so ("a", "bc") never collides with ("ab", "c")).

@@ -64,6 +64,58 @@ object ScalingProbe {
         .count()
     }
 
+    // part co-purchase triangles (graph_triangle_count key): copies
+    // shift BOTH orderkey and partkey, so each copy is a disjoint
+    // graph — edges/triangles grow linearly; the per-order pair
+    // expansion is quadratic in order SIZE (bounded ~40), not rows
+    def lineitemXdisjoint(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        lineitem
+          .withColumn("l_orderkey", col("l_orderkey") + i.toLong * 100000000L)
+          .withColumn("l_partkey", col("l_partkey") + i.toLong * 100000000L)
+      }.reduce(_ unionByName _)
+    def triangles(d: DataFrame): Long = {
+      val pl = d.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = pl.alias("a").join(pl.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("ea"), col("b.pk").as("eb"))
+        .agg(count(lit(1)).as("support")).filter(col("support") >= 2)
+        .select(col("ea"), col("eb"))
+      edges.alias("e1")
+        .join(edges.alias("e2"), col("e1.eb") === col("e2.ea"))
+        .join(edges.alias("e3"),
+          col("e3.ea") === col("e1.ea") && col("e3.eb") === col("e2.eb"))
+        .count()
+    }
+
+    // Q21-style one-pass per-order set aggregate (the double-EXISTS
+    // collapse): one shuffle of the fact keyed by order
+    def perOrderSets(d: DataFrame): Long =
+      d.groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_suppkey")).as("supps"),
+          collect_set(when(col("l_linenumber") % 3 === 0, col("l_suppkey"))).as("marked"))
+        .filter(size(col("supps")) >= 2 && size(col("marked")) === 1)
+        .count()
+
+    // containment self-join (dedup_containment key): block count grows
+    // with the corpus so block SIZE stays bounded — the operator's
+    // scaling contract (like every blocked/LSH pair op, the quadratic
+    // term lives inside the block; unbounded blocks are a misuse)
+    def containment(mult: Int)(d: DataFrame): Long = {
+      val sh = d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(50L * mult)).as("blk"),
+        array_distinct(graft.ext.TextPrimitives.shingles(
+          graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
+      sh.alias("a").join(sh.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+          size(col("a.sh")).as("na"))
+        .filter(col("na") > 0 &&
+          expr("CAST(inter AS BIGINT) * 1000000 DIV na") >= 500000L)
+        .count()
+    }
+
     // (name, input is the lineitem twin, op)
     val ops: Seq[(String, Boolean, DataFrame => Long)] = Seq(
       ("dedup_exact", false, d => Dedup.exact(d).count()),
@@ -75,8 +127,14 @@ object ScalingProbe {
       ("exact_median_histogram", true, exactMedian),
       ("tpch_q1", true, q1))
 
-    val results = for (mult <- Seq(1, 4, 16); (name, useLineitem, op) <- ops) yield {
-      val d = if (useLineitem) lineitemX(mult) else corpus(mult)
+    val results = for (mult <- Seq(1, 4, 16);
+        (name, input, op) <- ops.map { case (n, useL, op) =>
+          (n, if (useL) lineitemX(mult) else corpus(mult), op)
+        } ++ Seq(
+          ("graph_triangles", lineitemXdisjoint(mult), triangles _),
+          ("per_order_sets", lineitemX(mult), perOrderSets _),
+          ("dedup_containment", corpus(mult), containment(mult) _))) yield {
+      val d = input
       val rows = d.count() // materialize input cost outside the timing
       val t0 = System.nanoTime()
       val out = op(d)

@@ -68,6 +68,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("DATA DIFF SQL statement runs the row-diff pipeline via the injected parser") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // target = nation with one row dropped and one region key changed
+      val drift = java.nio.file.Files.createTempDirectory("graft_datadiff").toString
+      s2.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .filter(org.apache.spark.sql.functions.col("n_nationkey") =!= 0)
+        .withColumn("n_regionkey",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("n_nationkey") === 1,
+            org.apache.spark.sql.functions.lit(99))
+            .otherwise(org.apache.spark.sql.functions.col("n_regionkey")))
+        .write.parquet(s"$drift/nation.parquet")
+      val d = s2.sql(
+        s"DATA DIFF ('/root/testdata/sf0.001', '$drift') TABLE nation KEY (n_nationkey)")
+        .collect()
+      val byKind = d.groupBy(_.getAs[String]("diff_status")).view.mapValues(_.length).toMap
+      assert(byKind.get("removed").contains(1), byKind.toString) // key 0 gone
+      assert(byKind.get("changed").contains(1), byKind.toString) // key 1 retyped
+      assert(!byKind.contains("added"), byKind.toString)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("graft_jaccard equals the built-in distinct-count formula; used by LSH verify") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
