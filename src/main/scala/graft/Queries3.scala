@@ -503,15 +503,31 @@ object Queries3 {
   // sets within (lang, source) blocks — catches sub-documents that
   // Jaccard misses (a contained doc has low Jaccard vs a much larger
   // superset doc). Integer outputs: intersection size, |A|, and the
-  // score in exact ppm (floor division both sides).
+  // score in exact ppm (floor division both sides). The threshold is
+  // PUSHED DOWN into the join as a size prefilter: containment >= 0.5
+  // needs |A∩B| >= |A|/2 and |A∩B| <= |B|, so 2|B| >= |A| — pairs
+  // failing it never reach the set intersection (result-identical).
+  // At production scale the candidate set comes from an LSH prefilter
+  // (corpus_clean composition), not all block pairs.
   private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // corpus = docs ∪ first-half truncations at doc_id+1e6 (the same
+    // planted-duplicate convention as the other dedup keys): each
+    // truncation is CONTAINED in its original, which Jaccard alone
+    // would score ~0.5 and miss at higher thresholds
+    val d5 = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val w = split(col("text"), " ")
+    val d = d5.unionByName(d5.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("source"),
+      concat_ws(" ", slice(w, lit(1), greatest((size(w) / 2).cast("int"), lit(1))))
+        .as("text")))
     val sh = d.select(col("doc_id"), col("lang"), col("source"),
       array_distinct(graft.ext.TextPrimitives.shingles(
         graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
     sh.alias("a").join(sh.alias("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.doc_id") =!= col("b.doc_id"))
+        col("a.doc_id") =!= col("b.doc_id") &&
+        size(col("b.sh")) * 2 >= size(col("a.sh")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
         size(col("a.sh")).as("na"))
@@ -854,12 +870,20 @@ object Queries3 {
          GROUP BY 1 ORDER BY 1""",
 
     "dedup_containment" ->
-      """WITH sh0 AS (
+      """WITH d5 AS (
+           SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 5 = 0),
+         corpus AS (
+           SELECT doc_id, lang, source, text FROM d5
+           UNION ALL
+           SELECT doc_id + 1000000, lang, source,
+                  array_to_string(w[1:greatest(CAST(len(w)//2 AS INT), 1)], ' ')
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM d5)),
+         sh0 AS (
            SELECT doc_id, lang, source,
                   list_distinct([array_to_string(w[i+1:i+3], ' ')
                     FOR i IN range(0, greatest(len(w)-2, 0))]) AS sh
            FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
-                 FROM documents))
+                 FROM corpus))
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter,
                 CAST(len(a.sh) AS INT) AS na,

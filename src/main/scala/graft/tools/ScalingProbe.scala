@@ -107,7 +107,8 @@ object ScalingProbe {
         array_distinct(graft.ext.TextPrimitives.shingles(
           graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
       sh.alias("a").join(sh.alias("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
+          col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id") &&
+          size(col("b.sh")) * 2 >= size(col("a.sh")))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
           size(col("a.sh")).as("na"))
