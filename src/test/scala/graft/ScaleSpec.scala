@@ -132,6 +132,33 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.widen(wide).queryExecution.logical eq wide.queryExecution.logical)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // one hot key (~90% of the left side) against a uniform right side;
+    // thresholds lowered so the test-sized data crosses them. AQE is
+    // the engine's first line against join skew (SCALING.md) — this
+    // pins that the claim actually fires, not just that it's configured.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val left = spark.range(200000)
+        .select((when(col("id") % 10 === 0, col("id")).otherwise(0L)).as("k"),
+          concat(lit("padpadpadpadpadpadpadpad-"), col("id")).as("payload"))
+      val right = spark.range(0, 200000, 7)
+        .select(col("id").as("k"), lit("r").as("rv"))
+      val joined = left.join(right, "k")
+      joined.collect() // executes THIS plan (count() would plan a new one)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join with no exchange") {
     spark.sql("DROP TABLE IF EXISTS g_bucket_a")
     spark.sql("DROP TABLE IF EXISTS g_bucket_b")
