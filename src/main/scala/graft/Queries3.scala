@@ -538,6 +538,26 @@ object Queries3 {
       .orderBy("a_id", "b_id")
   }
 
+  // Count-min heavy hitters over event users: exact top-10 counts
+  // (oracle-comparable) + the CMS estimate's guarantee bounds as
+  // booleans (est >= exact, over-estimate <= 3·N/width) — the same
+  // exact-plus-tolerance contract as the HLL/KLL sketch keys.
+  private def approxTopkCms(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    val sketch = graft.ext.FreqSketch.cmsBuild(e, "user_id")
+    val est = graft.ext.FreqSketch.cmsEstimate(sketch, exact, "user_id")
+    val total = e.agg(count(lit(1)).as("n_total"))
+    exact.join(broadcast(est), Seq("user_id"))
+      .join(broadcast(total))
+      .select(col("user_id"), col("exact_n"),
+        (col("est_n") >= col("exact_n")).as("cms_lower_ok"),
+        (col("est_n") - col("exact_n") <= col("n_total") * 3L / 1024L + 1L)
+          .as("cms_upper_ok"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2_min_cost_supplier" -> tpchQ2 _,
     "tpch_q4_order_priority" -> tpchQ4 _,
@@ -560,6 +580,7 @@ object Queries3 {
     "window_rolling_distinct" -> windowRollingDistinct _,
     "exact_percentiles_grouped" -> exactPercentilesGrouped _,
     "dedup_containment" -> dedupContainment _,
+    "approx_topk_cms" -> approxTopkCms _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -894,5 +915,11 @@ object Queries3 {
          WHERE len(a.sh) > 0
            AND len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) >= 500000
          ORDER BY a_id, b_id""",
+
+    "approx_topk_cms" ->
+      """SELECT user_id, count(*) AS exact_n,
+                TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+         FROM events GROUP BY user_id
+         ORDER BY exact_n DESC, user_id LIMIT 10""",
   )
 }

@@ -408,6 +408,25 @@ class ExtSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L))
   }
 
+  test("count-min sketch: never underestimates, bounded size, exact on no-collision input") {
+    import org.apache.spark.sql.functions.col
+    // skewed key set: key 0 hot, sparse tail — 64 slots force collisions
+    val df = spark.range(1000).select((col("id") % 37 * (col("id") % 37)).as("k"))
+    val exact = df.groupBy("k").count()
+    val sketch = graft.ext.FreqSketch.cmsBuild(df, "k", depth = 4, width = 64)
+    assert(sketch.count() <= 4L * 64L)
+    val est = graft.ext.FreqSketch.cmsEstimate(sketch, exact, "k", depth = 4, width = 64)
+    val joined = exact.join(est, "k").collect()
+    assert(joined.length == exact.count())
+    joined.foreach(r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("count"), r.toString))
+    // wide sketch, few keys: no collisions -> estimates are exact
+    val wide = graft.ext.FreqSketch.cmsBuild(df, "k", depth = 4, width = 4096)
+    val est2 = graft.ext.FreqSketch.cmsEstimate(wide, exact, "k", depth = 4, width = 4096)
+    exact.join(est2, "k").collect().foreach(r =>
+      assert(r.getAs[Long]("est_n") == r.getAs[Long]("count"), r.toString))
+  }
+
   test("extension queries all run non-empty on sf0.001") {
     val dir = sf("sf0.001")
     ExtQueries.all.foreach { case (name, fn) =>
