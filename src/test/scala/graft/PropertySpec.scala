@@ -274,4 +274,50 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("grouped exact percentiles: ordered, and each is an element of its group") {
+    val rows = SparkEntry.queries("exact_percentiles_grouped")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p90) = (r.getAs[Long]("p25"), r.getAs[Long]("p50"), r.getAs[Long]("p90"))
+      assert(p25 <= p50 && p50 <= p90, r.toString)
+      assert(p25 >= 1 && p90 <= 50, r.toString) // quantity domain
+    }
+  }
+
+  test("markov transitions: per-source probabilities account for all mass") {
+    val rows = SparkEntry.queries("events_markov_transitions")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, rs) =>
+      val totalN = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach { r =>
+        val want = r.getAs[Long]("n") * 1000000L / totalN
+        assert(r.getAs[Long]("p_ppm") == want, s"$prev: $r")
+      }
+      // floor-division remainders: the ppm sum is within one ulp per row
+      val s = rs.map(_.getAs[Long]("p_ppm")).sum
+      assert(s > 1000000L - rs.size && s <= 1000000L, s"$prev sums to $s")
+    }
+  }
+
+  test("containment: every planted prefix truncation scores exactly 1.0") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf("sf0.001")).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("a_id") >= 1000000L &&
+        r.getAs[Long]("a_id") - 1000000L == r.getAs[Long]("b_id"))
+    assert(planted.nonEmpty)
+    // a prefix truncation's shingles are a subset of the original's
+    planted.foreach(r =>
+      assert(r.getAs[Long]("containment_ppm") == 1000000L, r.toString))
+    // and every planted truncation large enough to have shingles is found
+    val found = planted.map(_.getAs[Long]("a_id")).toSet
+    val expected = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 6)
+      .collect().map(_.getAs[Long]("doc_id") + 1000000L).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+  }
 }
