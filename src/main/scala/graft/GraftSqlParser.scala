@@ -49,6 +49,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case DataDiffStmt(basePath, targetPath, table, keys) =>
       val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(keyCols.nonEmpty,
+        s"DATA DIFF: KEY (...) must list at least one column, got '$keys'")
       graft.ext.DataDiff.rowDiff(
           session.read.parquet(s"$basePath/$table.parquet"),
           session.read.parquet(s"$targetPath/$table.parquet"),

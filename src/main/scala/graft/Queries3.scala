@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *  - there are no `l_commitdate`/`l_receiptdate` columns → "late" is
   *    `l_shipdate > o_orderdate + 90 days` (Q4/Q12/Q21);
   *  - there is no `l_shipmode` → Q12 groups by `l_returnflag`;
-  *  - there is no `c_phone` country code → Q22 derives a 2-digit code
-  *    from the tail of `c_name` (same substring both sides).
+  *  - there is no `c_phone` country code → Q22 derives the code as
+  *    `c_custkey % 7` (same expression both sides).
   *
   * All money stays in exact integer cents (`price_c`) / cent-basis
   * points (`rev_e4 = price_c * (100 - disc_pct)`), as in [[Queries]] —
@@ -47,14 +47,17 @@ object Queries3 {
   // suppliers; the min is computed per part and re-joined (Catalyst
   // plans the re-join as a broadcast of the tiny min table).
   private def tpchQ2(s: SparkSession, dir: String): DataFrame = {
-    val partKeys = t(s, dir, "part")
+    // ONE filtered part frame serves both the semi-join prefilter and
+    // the final name join — the predicate lives in one place
+    val parts = t(s, dir, "part")
       .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
-      .select(col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"))
     // dim filter pushed BELOW the supply aggregation: only ~4% of
     // lineitem reaches the (l_partkey, l_suppkey) shuffle — at scale
     // this is the difference between shuffling the fact and a sliver
     val supply = t(s, dir, "lineitem")
-      .join(broadcast(partKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(priceC).as("offer_c"))
     val eurSup = t(s, dir, "supplier")
@@ -63,9 +66,6 @@ object Queries3 {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("s_acctbal") * 100).cast("long").as("acctbal_c"), col("n_name"))
-    val parts = t(s, dir, "part")
-      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
-      .select(col("p_partkey"), col("p_name"))
     val offers = supply
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
@@ -197,7 +197,9 @@ object Queries3 {
       .agg(sum(priceC).as("value_c"))
     val total = value.agg(sum(col("value_c")).as("total_c"))
     value.join(broadcast(total))
-      .filter(col("value_c") > col("total_c") / 1000L)
+      // integer DIV matches the oracle's `//`; Column `/` would go
+      // through double and drift once total_c exceeds 2^53
+      .filter(col("value_c") > expr("total_c DIV 1000"))
       .select(col("l_partkey"), col("value_c"))
       .orderBy(col("value_c").desc, col("l_partkey"))
   }
@@ -262,12 +264,17 @@ object Queries3 {
     val parts = t(s, dir, "part")
       .filter(col("p_brand") === "Brand#5")
       .select(col("p_partkey"))
+    // semi-filter the fact FIRST: per-part stats only exist for parts
+    // the final join consumes, so computing them over the pruned fact
+    // is result-identical and keeps the stats frame dim-sized (the
+    // broadcast below ships ~|Brand#5 parts| rows, never the full
+    // part keyspace)
     val l = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), qtyL.as("qty"), priceC.as("price_c"))
     val stats = l.groupBy(col("l_partkey").as("st_partkey"))
       .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
-    l.join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(stats), col("l_partkey") === col("st_partkey"))
+    l.join(broadcast(stats), col("l_partkey") === col("st_partkey"))
       .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
       .agg(sum(col("price_c")).as("total_c"), count(lit(1)).as("n_rows"))
   }
@@ -433,8 +440,8 @@ object Queries3 {
     val totals = counts.groupBy(col("prev").as("t_prev")).agg(sum(col("n")).as("total"))
     counts.join(broadcast(totals), col("prev") === col("t_prev"))
       .select(col("prev"), col("curr"), col("n"),
-        ((col("n") * 1000000L) / col("total")).cast("long").as("p_ppm"))
-      .orderBy("prev", "curr")
+        expr("n * 1000000 DIV total").as("p_ppm")) // integer DIV: `/` is
+      .orderBy("prev", "curr")                     // double division in Spark
   }
 
   // Triangle counting over the part co-purchase graph: parts that

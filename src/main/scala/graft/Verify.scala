@@ -10,7 +10,9 @@ object Verify {
     // optional 3rd arg: comma-separated key subset for fast local loops
     // (the driver always passes exactly 2 args -> full registry)
     val keep: String => Boolean =
-      if (args.length >= 3 && args(2).nonEmpty) args(2).split(',').toSet else (_ => true)
+      if (args.length >= 3 && args(2).nonEmpty)
+        args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet
+      else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -44,8 +44,11 @@ object FreqSketch {
     val q = queries.select(col(keyCol)).distinct()
       .select(col(keyCol), posexplode(array((0 until depth).map(r =>
         slot(col(keyCol), r, width)): _*)).as(Seq("row", "slot")))
-    q.join(broadcast(sketch), Seq("row", "slot"))
+    // LEFT join + coalesce-to-0: a cell no build key landed in is an
+    // EMPTY cell (count 0), not a missing observation — an inner join
+    // would drop it, inflating the min (or losing unseen keys entirely)
+    q.join(broadcast(sketch), Seq("row", "slot"), "left_outer")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 }
