@@ -579,6 +579,35 @@ object Queries3 {
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  // NULL-ordering semantics pinned through row_number VALUES (the
+  // gate's compare sorts rows, so only rank values can witness sort
+  // order). Spark defaults to NULLS FIRST for ASC, DuckDB to NULLS
+  // LAST — the engine must spell the placement explicitly to be
+  // portable, which is exactly what this key checks.
+  private def sortNullsOrdering(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q3_orders")
+    s.sql("""
+      SELECT o_orderkey, o_orderstatus, rn FROM (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY nullif(o_orderpriority, '3-MEDIUM') NULLS LAST,
+                          o_orderkey) AS rn
+        FROM q3_orders)
+      WHERE rn <= 100 ORDER BY o_orderstatus, rn""")
+  }
+
+  // Boolean/conditional aggregate surface: bool_and / bool_or /
+  // count_if — single partial-aggregated pass.
+  private def aggBooleanSurface(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_totalprice > 400000)").as("any_large"),
+        expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+        expr("count_if(o_totalprice > 200000)").as("n_big"))
+      .orderBy("o_orderstatus")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2_min_cost_supplier" -> tpchQ2 _,
     "tpch_q4_order_priority" -> tpchQ4 _,
@@ -602,6 +631,8 @@ object Queries3 {
     "exact_percentiles_grouped" -> exactPercentilesGrouped _,
     "dedup_containment" -> dedupContainment _,
     "approx_topk_cms" -> approxTopkCms _,
+    "sort_nulls_ordering" -> sortNullsOrdering _,
+    "agg_boolean_surface" -> aggBooleanSurface _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -942,5 +973,22 @@ object Queries3 {
                 TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
          FROM events GROUP BY user_id
          ORDER BY exact_n DESC, user_id LIMIT 10""",
+
+    "sort_nulls_ordering" ->
+      """SELECT o_orderkey, o_orderstatus, rn FROM (
+           SELECT o_orderkey, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY nullif(o_orderpriority, '3-MEDIUM') NULLS LAST,
+                             o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 100 ORDER BY o_orderstatus, rn""",
+
+    "agg_boolean_surface" ->
+      """SELECT o_orderstatus,
+                bool_and(o_totalprice > 0) AS all_positive,
+                bool_or(o_totalprice > 400000) AS any_large,
+                count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+                count_if(o_totalprice > 200000) AS n_big
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }
