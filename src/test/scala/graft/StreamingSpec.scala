@@ -89,6 +89,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: per-batch sketches merged by cell sum EQUAL the batch-built sketch") {
+    // the CMS merge claim, asserted exactly: cmsBuild is a cell-wise
+    // count, so summing per-micro-batch sketches must reproduce the
+    // full-data sketch bit-for-bit — which is why a 1000-executor (or
+    // streaming) build needs no resketching, only a sum
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toFile
+    val cells = new java.io.File(dir, "cells").getPath
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("k")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.FreqSketch.cmsBuild(batch, "k", depth = 4, width = 64)
+          .write.mode("append").parquet(cells)
+      }
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
+      .start()
+    try {
+      in.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      in.addData(1L to 300L: _*) // second batch repeats a prefix
+      q.processAllAvailable()
+      val merged = spark.read.parquet(cells)
+        .groupBy("row", "slot").agg(sum("cnt").as("cnt"))
+      val full = graft.ext.FreqSketch.cmsBuild(
+        spark.range(1, 501).union(spark.range(1, 301)).toDF("k"),
+        "k", depth = 4, width = 64)
+      assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+      // and the merged sketch still answers queries correctly
+      val est = graft.ext.FreqSketch.cmsEstimate(
+        merged, spark.range(1, 301).toDF("k"), "k", depth = 4, width = 64)
+      assert(est.filter(col("est_n") < 2).isEmpty) // every queried key appeared twice
+    } finally q.stop()
+  }
+
   test("drift monitor diffs each streamed snapshot drop against the base") {
     implicit val s = spark
     import spark.implicits._
