@@ -542,6 +542,7 @@ object Queries3 {
       (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("source"),
       concat_ws(" ", slice(w, lit(1), greatest((size(w) / 2).cast("int"), lit(1))))
         .as("text")))
+    graft.functions.GraftFunctions.register(s)
     val sh = d.select(col("doc_id"), col("lang"), col("source"),
       array_distinct(graft.ext.TextPrimitives.shingles(
         graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
@@ -550,8 +551,12 @@ object Queries3 {
         col("a.doc_id") =!= col("b.doc_id") &&
         size(col("b.sh")) * 2 >= size(col("a.sh")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
-        size(col("a.sh")).as("na"))
+        // one-pass native scorer: size(array_intersect(..)) would
+        // materialize the intersection array per candidate pair
+        graft.functions.GraftFunctions.containmentNative(col("a.sh"), col("b.sh"))
+          .as("st"))
+      .select(col("a_id"), col("b_id"),
+        col("st.inter").as("inter"), col("st.na").as("na"))
       .filter(col("na") > 0)
       .withColumn("containment_ppm",
         expr("CAST(inter AS BIGINT) * 1000000 DIV na"))

@@ -80,7 +80,8 @@ object GraftFunctions {
     "graft_hamming" -> (args => StringHamming(args(0), args(1))),
     "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))),
     "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))),
-    "graft_jaccard" -> (args => ArrayJaccard(args(0), args(1))))
+    "graft_jaccard" -> (args => ArrayJaccard(args(0), args(1))),
+    "graft_containment" -> (args => ArrayContainment(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -103,4 +104,8 @@ object GraftFunctions {
   /** Column-API handle (requires [[register]] on the session first). */
   def jaccardNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_jaccard", a, b)
+
+  /** Column-API handle (requires [[register]] on the session first). */
+  def containmentNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_containment", a, b)
 }

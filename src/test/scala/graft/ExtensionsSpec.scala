@@ -121,6 +121,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("graft_jaccard"), plan)
   }
 
+  test("graft_containment equals the built-in intersect/distinct formula") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // inter 2, na 3
+      (Seq("a", "a", "b"), Seq("a")), // dups: sets {a,b},{a} -> inter 1, na 2
+      (Seq.empty[String], Seq("x")), // inter 0, na 0
+      (Seq("x", "y"), Seq.empty[String]), // inter 0, na 2
+      (Seq("ü ü", "ß"), Seq("ß", "ü ü"))) // unicode -> inter 2, na 2
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.GraftFunctions.containmentNative(col("a"), col("b")).as("st"),
+      size(array_intersect(col("a"), col("b"))).as("ref_inter"),
+      size(array_distinct(col("a"))).as("ref_na")).collect()
+    got.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1) && st.getInt(1) == r.getInt(2), r.toString)
+    }
+    // null-safe
+    val n = Seq((Option(Seq("a")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.containmentNative(col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+    // the containment key's plan uses the native expression
+    val plan = SparkEntry.queries("dedup_containment")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_containment"), plan)
+  }
+
   test("graft_hamming: exact distance, length surplus counted, null-safe, in codegen") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
