@@ -181,6 +181,29 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate levels:\n$p")
   }
 
+  test("grouped percentiles run in histogram form: window only over the histogram") {
+    val p = q("exact_percentiles_grouped")
+    // raw rows cross ONE partial-aggregated shuffle into the (group,
+    // value) histogram; the cumulative window and the final pivot run
+    // over |distinct values| rows per group, never over the fact
+    assert(p.contains("HashAggregate") &&
+      p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"),
+      s"expected partial+final histogram aggregate:\n$p")
+    // tree section only (details repeat node names); parents print
+    // first, so "window consumes the histogram aggregate" reads as
+    // finalAgg < Window < histogramAgg < Scan in the listing
+    val tree = p.substring(0, math.max(p.indexOf("\n\n"), 0) match {
+      case 0 => p.length; case n => n
+    })
+    val windowPos = tree.indexOf("Window")
+    val scanPos = tree.indexOf("Scan parquet")
+    assert(windowPos >= 0 && scanPos >= 0, p)
+    assert(tree.indexOf("HashAggregate") < windowPos &&
+      windowPos < tree.lastIndexOf("HashAggregate") &&
+      tree.lastIndexOf("HashAggregate") < scanPos,
+      s"window must consume the histogram, not raw rows:\n$p")
+  }
+
   test("merge_upsert full-outer join sorts both sides on the merge key (SMJ)") {
     val p = q("merge_upsert")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
