@@ -613,6 +613,24 @@ object Queries3 {
         expr("count_if(o_totalprice > 200000)").as("n_big"))
       .orderBy("o_orderstatus")
 
+  // Batch use of the BUILT-IN session_window aggregate, cross-checked
+  // against an independent gaps-and-islands derivation in the oracle —
+  // validates Spark's native session semantics (merge while the gap to
+  // the previous event is < 30 min; window end = last event + gap)
+  // rather than reimplementing them. Events carry bigint nanos; the
+  // window runs on exact-integer-derived micros timestamps.
+  private def sessionWindowBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), graft.sources.Tables.eventTs(col("ts")).as("tts"))
+    e.groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2_min_cost_supplier" -> tpchQ2 _,
     "tpch_q4_order_priority" -> tpchQ4 _,
@@ -638,6 +656,7 @@ object Queries3 {
     "approx_topk_cms" -> approxTopkCms _,
     "sort_nulls_ordering" -> sortNullsOrdering _,
     "agg_boolean_surface" -> aggBooleanSurface _,
+    "events_session_window_batch" -> sessionWindowBatch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -995,5 +1014,25 @@ object Queries3 {
                 count_if(o_orderpriority = '1-URGENT') AS n_urgent,
                 count_if(o_totalprice > 200000) AS n_big
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "events_session_window_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         l AS (
+           SELECT *, CASE
+             WHEN lag(ts_us) OVER w IS NULL THEN 1
+             WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (
+           SELECT *, sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM l)
+         SELECT user_id,
+                CAST(min(ts_us) AS BIGINT) AS start_us,
+                CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
   )
 }

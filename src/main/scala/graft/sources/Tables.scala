@@ -20,9 +20,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     parquet(spark, s"$dir/$name.parquet")
 
-  /** events.ts (nanos since epoch as long) → TimestampType (micros). */
+  /** events.ts (nanos since epoch as long) → TimestampType (micros).
+    * Integer `div`, NOT the Column `/` operator: `/` divides through
+    * DOUBLE, and at ~1.7e18 nanos doubles are spaced 256 apart — the
+    * truncated micros could land ±1 off the exact quotient.
+    */
   def eventTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    timestamp_micros((c / 1000L).cast("long"))
+    timestamp_micros(call_function("div", c, lit(1000L)))
   }
 }
