@@ -307,20 +307,28 @@ object ExtQueries {
     // boolean asserting the sketch landed within its error bound — the
     // DuckDB side asserts TRUE. A sketch drifting out of tolerance now
     // FAILS the hash gate instead of hiding behind a rows-only check.
-    "approx_distinct_hll" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("hll_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("hll_supps"),
-          countDistinct(col("l_suppkey")).as("exact_supps"))
+    // exact + sketch from the DISTINCT-PAIR aggregate, one per key
+    // column: a single agg holding 2 countDistinct + 2 HLLs Expands
+    // the fact 4× (24M rows through the aggregate at sf0.1 — measured
+    // 5.2 s noop vs 1.3 s this way). HLL over the distinct pairs is
+    // the same sketch (HLL of a set == HLL of its multiset), so each
+    // branch shuffles map-side-reduced pairs once and the tiny per-flag
+    // results broadcast-join back together.
+    "approx_distinct_hll" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def branch(key: String, ex: String, ok: String) =
+        li.groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("_c"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(ex),
+            approx_count_distinct(col(key), rsd = 0.01).as("_hll"))
+          .select(col("l_returnflag"), col(ex),
+            (abs(col("_hll") - col(ex)) <= col(ex) * 0.05).as(ok))
+      branch("l_partkey", "exact_parts", "hll_parts_ok")
+        .join(branch("l_suppkey", "exact_supps", "hll_supps_ok"), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
-          (abs(col("hll_parts") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).as("hll_parts_ok"),
-          (abs(col("hll_supps") - col("exact_supps")) <=
-            col("exact_supps") * 0.05).as("hll_supps_ok"))
-        .orderBy("l_returnflag")),
+          col("hll_parts_ok"), col("hll_supps_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     "approx_quantiles_kll" -> ((s, dir) =>
       t(s, dir, "lineitem")

@@ -470,6 +470,10 @@ object Queries3 {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("ea"), col("eb"))
+      // the edge list feeds FOUR consumers (three legs of the triangle
+      // join + the edge count) — without persist each consumer re-runs
+      // the collect_set + pair-expansion subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = edges.alias("e1")
       .join(edges.alias("e2"), col("e1.eb") === col("e2.ea"))
       .join(edges.alias("e3"),
@@ -543,9 +547,14 @@ object Queries3 {
       concat_ws(" ", slice(w, lit(1), greatest((size(w) / 2).cast("int"), lit(1))))
         .as("text")))
     graft.functions.GraftFunctions.register(s)
-    val sh = d.select(col("doc_id"), col("lang"), col("source"),
+    // widened before the per-row shingling (narrow scan must not
+    // serialize it) and persisted: BOTH sides of the self-join read
+    // this frame — without persist the tokenize+shingle+distinct
+    // subtree runs twice (the Dedup.scala:66 convention)
+    val sh = graft.ext.Scale.widen(d).select(col("doc_id"), col("lang"), col("source"),
       array_distinct(graft.ext.TextPrimitives.shingles(
         graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.alias("a").join(sh.alias("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.doc_id") =!= col("b.doc_id") &&

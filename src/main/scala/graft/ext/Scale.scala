@@ -196,4 +196,67 @@ object Scale {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Distributed prefix sum: adds `out` (running sum of `valueCol` up
+    * to and including the current row, ordered by `orderCol` within
+    * `groupCols`) and `${out}_total` (the group total).
+    *
+    * `Window.partitionBy(group).orderBy(order)` holds EACH GROUP in
+    * ONE task — with few groups (or one) the cumsum runs on as many
+    * cores as there are groups, and at 100 TB a single task must sort
+    * and buffer a whole group. This is the classic two-phase fix:
+    *
+    *   1. bucket rows into `chunks` order-aligned ranges per group
+    *      (deterministic affine bucketing on the order column's
+    *      [min, max] — a pure per-row function, no sampling pass);
+    *   2. cumsum WITHIN each (group, chunk) in parallel;
+    *   3. prefix-sum the per-chunk totals on the tiny (group, chunk)
+    *      frame and broadcast the offsets back.
+    *
+    * The result is bit-identical to the single-task window (equal
+    * order values share a chunk, so no tie straddles a boundary —
+    * asserted by the equivalence property spec). Requires a numeric
+    * `orderCol`; ranges are assumed not to overflow `decimal(38)`
+    * affine arithmetic (any long range qualifies).
+    */
+  def chunkedCumSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      out: String,
+      chunks: Int = 64): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*)
+      .agg(min(col(orderCol)).as("_lo"), max(col(orderCol)).as("_hi"))
+    // affine bucket: monotone in orderCol, constant for equal values;
+    // decimal domain so (order − lo) · chunks never overflows long
+    val bucket = when(col("_hi") === col("_lo"), lit(0)).otherwise(
+      ((col(orderCol).cast("decimal(38,0)") - col("_lo").cast("decimal(38,0)"))
+        * chunks
+        / (col("_hi").cast("decimal(38,0)") - col("_lo").cast("decimal(38,0)") + 1))
+        .cast("int"))
+    val withChunk = df.join(broadcast(stats), groupCols)
+      .withColumn("_chunk", bucket)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "_chunk").map(col): _*).orderBy(col(orderCol))
+    // per-chunk totals + exclusive prefix over chunks: |groups·chunks|
+    // rows — broadcastable at any data scale
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_chunk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = withChunk
+      .groupBy((groupCols :+ "_chunk").map(col): _*)
+      .agg(sum(col(valueCol)).as("_ctot"))
+      .withColumn("_off", coalesce(sum(col("_ctot")).over(wOff), lit(0L)))
+      .withColumn("_gtot", sum(col("_ctot")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .drop("_ctot")
+    withChunk
+      .withColumn("_incum", sum(col(valueCol)).over(wIn))
+      .join(broadcast(offs), groupCols :+ "_chunk")
+      .withColumn(out, col("_incum") + col("_off"))
+      .withColumn(s"${out}_total", col("_gtot"))
+      .drop("_chunk", "_incum", "_off", "_gtot", "_lo", "_hi")
+  }
 }

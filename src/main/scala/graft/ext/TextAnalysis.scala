@@ -84,20 +84,22 @@ object TextAnalysis {
     * `((c1*257 + c2)*257 + ...) mod (2^31-1)` of every `k`-char window,
     * reduced winnowing-style to the window minimum — robust to edits
     * outside the minimal window, cheap to recompute incrementally at
-    * ingest. Exact integer math end to end (portable to any engine with
-    * a fold). NULL-safe: documents shorter than `k` fingerprint to -1.
+    * ingest. Exact integer math end to end. NULL-safe: documents
+    * shorter than `k` fingerprint to -1.
+    *
+    * Backed by the codegen'd [[graft.functions.RollingMinHash]]
+    * expression — the true O(n) rolling recurrence. The HOF
+    * formulation (`transform(sequence, i -> aggregate(slice(codes,
+    * i+1, k), fold))`) allocates a slice array per WINDOW and refolds
+    * k codes each time: 98 s vs 0.3 s over the sf0.1 corpus
+    * (parity-spec'd equal, incl. non-ASCII and shorter-than-k edges).
     */
   def rollingFingerprint(docs: DataFrame, k: Int = 8): DataFrame = {
-    val m = 2147483647L // 2^31 - 1
-    val codes = transform(split(col("text"), ""), c => ascii(c))
-    val windowHashes = transform(
-      sequence(lit(0), size(codes) - k),
-      i => aggregate(slice(codes, i + lit(1), lit(k)), lit(0L),
-        (acc, c) => (acc * 257L + c) % m))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
-      when(size(codes) >= k, array_min(windowHashes))
-        .otherwise(lit(-1L)).as("rolling_fingerprint"))
+      call_function("graft_rolling_minhash", col("text"), lit(k))
+        .as("rolling_fingerprint"))
   }
 
   /** PII redaction: scrub email addresses then phone-like digit runs

@@ -81,7 +81,8 @@ object GraftFunctions {
     "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))),
     "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))),
     "graft_jaccard" -> (args => ArrayJaccard(args(0), args(1))),
-    "graft_containment" -> (args => ArrayContainment(args(0), args(1))))
+    "graft_containment" -> (args => ArrayContainment(args(0), args(1))),
+    "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -174,4 +174,42 @@ class ExtensionsSpec extends SparkSpec {
     val plan = graft.ext.Dedup.simhashNearPairs(d).queryExecution.executedPlan.toString
     assert(plan.contains("graft_hamming"), plan)
   }
+
+  test("graft_rolling_minhash equals the per-window HOF fold, all edges") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaa",            // constant: all windows equal
+      "short",                 // < k -> -1
+      "exactly8",              // == k: single window
+      "",                      // empty -> -1
+      "tschüß ünïcode ßtring", // non-ASCII code points
+      "abc中文def-mixed multibyte content here")
+    val df = texts.toDF("text")
+    for (k <- Seq(3, 8)) {
+      val m = 2147483647L
+      val codes = transform(split(col("text"), ""), c => ascii(c))
+      val hof = when(size(codes) >= k,
+        array_min(transform(sequence(lit(0), size(codes) - k),
+          i => aggregate(slice(codes, i + lit(1), lit(k)), lit(0L),
+            (acc, c) => (acc * 257L + c) % m)))).otherwise(lit(-1L))
+      val rows = df.select(
+        call_function("graft_rolling_minhash", col("text"), lit(k)).as("native"),
+        hof.as("ref")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getLong(0) == r.getLong(1), s"k=$k text='$t': $r")
+      }
+    }
+    // null-safe
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_rolling_minhash", col("text"), lit(8)))
+      .collect().head
+    assert(n.isNullAt(0))
+    // the registry key's plan uses the native expression
+    val plan = SparkEntry.queries("text_rolling_fingerprint")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rolling_minhash"), plan)
+  }
 }

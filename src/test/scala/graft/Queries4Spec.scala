@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Queries4 batch: scale-shape assertions (the properties that make
+  * these operators survive 100 TB) plus small value invariants. Full
+  * value equality vs DuckDB is the verify gate's job.
+  */
+class Queries4Spec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  private def tree(p: String): String = {
+    val cut = p.indexOf("\n\n")
+    if (cut <= 0) p else p.substring(0, cut)
+  }
+
+  test("vocab_coverage window runs over the count-histogram, not the vocabulary") {
+    val p = plan(q("vocab_coverage"))
+    val t = tree(p)
+    // (lang,tok) agg then (lang,c) agg — both partial+final — feed the
+    // window; the window never sees token-level rows
+    val windowPos = t.indexOf("Window")
+    val scanPos = t.indexOf("Scan parquet")
+    assert(windowPos >= 0 && scanPos >= 0, p)
+    assert(t.lastIndexOf("HashAggregate") > windowPos &&
+      t.lastIndexOf("HashAggregate") < scanPos,
+      s"window must consume the histogram aggregate:\n$p")
+  }
+
+  test("winsorize: clamp decomposed over the histogram, chunked cumsum, no SMJ") {
+    val p = plan(q("winsorize_clamp_agg"))
+    // one aggregate consumes the prefix-summed histogram: no join back
+    // onto the fact (the only joins are the chunked-cumsum broadcasts)
+    assert(p.contains("_chunk"), s"expected the chunked prefix sum:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side join may exist:\n$p")
+  }
+
+  test("rfm quartile boundaries join as broadcasts — no sort-merge join anywhere") {
+    val p = plan(q("events_rfm_segments"))
+    assert(!p.contains("SortMergeJoin"),
+      s"boundary joins must broadcast (tiny single-row frames):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("pmi unigram sides broadcast onto the bigram frame") {
+    val p = plan(q("text_pmi_bigrams"))
+    assert(p.contains("BroadcastHashJoin"), s"unigram joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-k is TakeOrdered, not a global sort of all bigrams
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+  }
+
+  test("bucketed co-located join: no exchange on either side, pre-agg included") {
+    q("bucketed_join_colocated").collect() // writes + registers the bucketed tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val perCust = spark.table("g4_orders_bkt")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_c"))
+      val joined = spark.table("g4_customer_bkt")
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sweep concurrency: n_intervals matches the per-type event count") {
+    val res = q("interval_sweep_concurrency").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.keySet == counts.keySet)
+    res.foreach { case (k, (maxC, nInt)) =>
+      assert(nInt == counts(k), s"$k interval count")
+      assert(maxC >= 1 && maxC <= nInt, s"$k concurrency bounds")
+    }
+  }
+
+  test("repeated 8-gram spans: planted truncations guarantee cross-doc matches") {
+    val rows = q("dedup_repeated_ngrams").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 2))
+  }
+
+  test("decile binning: bins from the histogram's cum via the CHUNKED prefix sum") {
+    val p = plan(q("feature_binning_deciles"))
+    // the cumsum window partitions by (flag, _chunk), never by flag
+    // alone — the single-task-per-group window is the thing this shape
+    // exists to avoid; offsets/stats attach as broadcasts
+    assert(p.contains("_chunk"), s"expected the chunked prefix sum:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats/offset joins must broadcast (tiny frames):\n$p")
+  }
+
+  test("MAD outliers: ONE fact scan; medians broadcast over histogram-sized frames") {
+    val p = plan(q("robust_mad_outliers"))
+    assert(p.contains("BroadcastHashJoin"), s"median joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the persisted histogram is the only consumer of the parquet scan;
+    // the deviation histogram re-aggregates it, never the fact
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"value histogram must be persisted (3 consumers):\n$p")
+  }
+
+  test("profile stats: ONE scan, histogram-form rollup, no Expand") {
+    val p = plan(q("profile_table_stats"))
+    assert(!p.contains("Expand"),
+      s"two-level histogram must replace the multi-countDistinct Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(tree(p)).size == 1,
+      s"expected a single parquet scan:\n$p")
+    val t = tree(p)
+    assert(t.contains("Generate"), s"stack() should plan as Generate:\n$p")
+    assert(t.indexOf("HashAggregate") != t.lastIndexOf("HashAggregate"),
+      s"expected partial+final histogram aggregate levels:\n$p")
+  }
+
+  test("decile bins are complete and sum to the group totals") {
+    val res = q("feature_binning_deciles").collect()
+    val byFlag = res.groupBy(_.getString(0))
+    byFlag.foreach { case (flag, rows) =>
+      val bins = rows.map(_.getInt(1)).toSet
+      assert(bins == (1 to 10).toSet, s"$flag bins: $bins")
+    }
+  }
+
+  test("time-weighted average lies within each type's value range") {
+    val res = q("events_time_weighted_avg").collect()
+    val ranges = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .groupBy(col("event_type"))
+      .agg(min(round(col("value") * 1000000).cast("long")).as("lo"),
+        max(round(col("value") * 1000000).cast("long")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    res.foreach { r =>
+      val (lo, hi) = ranges(r.getString(0))
+      val twa = r.getLong(2)
+      assert(twa >= lo && twa <= hi, s"${r.getString(0)}: $twa outside [$lo,$hi]")
+    }
+  }
+
+  test("rfm segments partition all customers exactly once") {
+    val res = q("events_rfm_segments")
+    val total = res.agg(sum(col("n_customers"))).collect()(0).getLong(0)
+    val nCust = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust, s"segments cover $total of $nCust customers")
+  }
+}

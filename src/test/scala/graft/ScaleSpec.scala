@@ -183,4 +183,42 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("chunkedCumSum equals the single-task window cumsum, all edge shapes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic pseudo-random rows: multiple groups, heavy order
+    // ties, negative values, one single-row group, one constant-order
+    // group (degenerate _lo == _hi bucket)
+    val rows = (1 to 2000).map { i =>
+      val g = s"g${i % 3}"
+      val ord = ((i * 2654435761L) % 97) / 3 // many ties
+      val v = ((i * 40503L) % 41) - 20       // negative values too
+      (g, ord, v)
+    } ++ Seq(("solo", 5L, 7L), ("const", 1L, 2L), ("const", 1L, 3L), ("const", 1L, 4L))
+    val df = rows.toDF("grp", "ord", "v")
+      // collapse ties first: cumsum over a histogram-like frame (one
+      // row per (grp, ord)) is the library function's contract
+      .groupBy("grp", "ord").agg(sum("v").as("v"))
+    val naive = df
+      .withColumn("cum", sum(col("v")).over(Window.partitionBy("grp").orderBy("ord")))
+      .withColumn("cum_total", sum(col("v")).over(Window.partitionBy("grp")))
+      .select("grp", "ord", "v", "cum", "cum_total")
+    for (chunks <- Seq(1, 7, 64)) {
+      val fast = graft.ext.Scale.chunkedCumSum(df, Seq("grp"), "ord", "v", "cum", chunks)
+        .select("grp", "ord", "v", "cum", "cum_total")
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"chunkedCumSum(chunks=$chunks) diverges from the window cumsum")
+    }
+  }
+
+  test("chunkedCumSum parallelizes: inner window partitions by (group, chunk)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g", i.toLong, 1L)).toDF("grp", "ord", "v")
+    val out = graft.ext.Scale.chunkedCumSum(df, Seq("grp"), "ord", "v", "cum", 16)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("_chunk"),
+      s"inner cumsum window must partition by the chunk column:\n$plan")
+  }
 }
