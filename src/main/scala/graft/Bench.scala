@@ -48,8 +48,13 @@ object Bench {
         // median join feeding only output columns), so keys were billed
         // for group-key derivation only. noop executes the full plan —
         // the same work the Verify parquet dump pays.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // SPARK_GRAFT_BENCH_MODE=count reproduces the legacy (pruned)
+        // measurement for apples-to-apples history comparison only.
+        try {
+          if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count"))
+            fn(spark, sfDir).count()
+          else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         name -> dt

@@ -442,7 +442,60 @@ object Queries4 {
       .orderBy("col_name")
   }
 
+  // -------------------------------------------------------------------
+  // Join/aggregation skew diagnostics: for each candidate key column,
+  // the distribution facts that decide between a plain shuffle,
+  // AQE skew splitting and explicit salting (Scale.saltedJoin) — key
+  // cardinality, max per-key fanout, top-1/top-10 row share (exact
+  // ppm), p99 per-key count, and max/avg skew ratio. Everything reads
+  // from the per-key count histogram and then the histogram OF COUNTS
+  // (the vocab_coverage trick: the top-10 share takes whole count
+  // levels from the top plus an exact partial take at the boundary
+  // level), so per column it is one fact scan + two tiny aggregates —
+  // the diagnostic is cheap enough to run BEFORE every big join.
+  private def dataSkewReport(s: SparkSession, dir: String): DataFrame = {
+    def report(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val perKey = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      val hist = perKey.groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
+        .withColumn("mass", col("c") * col("n_keys"))
+      val wDesc = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum_keys_desc", sum(col("n_keys")).over(wDesc))
+        .withColumn("cum_mass_desc", sum(col("mass")).over(wDesc))
+        .withColumn("cum_keys_asc", sum(col("n_keys")).over(wAsc))
+        .withColumn("tot_keys", sum(col("n_keys")).over(Window.partitionBy()))
+        .agg(
+          sum(col("mass")).as("n_rows"),
+          sum(col("n_keys")).as("n_keys"),
+          max(col("c")).as("max_n"),
+          // top-10 share: full levels above the boundary + partial take
+          max(when(col("cum_keys_desc") >= 10 &&
+              col("cum_keys_desc") - col("n_keys") < 10,
+            col("cum_mass_desc") - col("mass")
+              + (lit(10) - (col("cum_keys_desc") - col("n_keys"))) * col("c")))
+            .as("top10_n"),
+          // p99 per-key count: min count level with ascending
+          // cumulative keys >= ceil(0.99 * n_keys) — evaluated against
+          // the total via cross-multiplication, no second pass
+          min(when(col("cum_keys_asc") * 100 >= col("tot_keys") * 99, col("c")))
+            .as("p99_n"))
+        .select(
+          lit(label).as("key_col"), col("n_rows"), col("n_keys"), col("max_n"),
+          expr("max_n * 1000000 div n_rows").as("top1_ppm"),
+          expr("coalesce(top10_n, n_rows) * 1000000 div n_rows").as("top10_ppm"),
+          col("p99_n"),
+          expr("max_n * n_keys * 1000000 div n_rows").as("skew_x_ppm"))
+    }
+    report(t(s, dir, "events"), "user_id", "events.user_id")
+      .unionByName(report(t(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+      .orderBy("key_col")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_skew_report" -> dataSkewReport _,
     "events_rfm_segments" -> eventsRfm _,
     "interval_sweep_concurrency" -> sweepConcurrency _,
     "vocab_coverage" -> vocabCoverage _,
@@ -606,6 +659,51 @@ object Queries4 {
                 sum(n_orders) AS n_orders, sum(sum_c) AS revenue_c
          FROM customer JOIN per ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    "data_skew_report" ->
+      """WITH rep AS (
+           SELECT * FROM (
+             WITH per AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+             hist AS (SELECT c, count(*) AS n_keys, c * count(*) AS mass FROM per GROUP BY 1),
+             cum AS (
+               SELECT *, sum(n_keys) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS ckd,
+                      sum(mass) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cmd,
+                      sum(n_keys) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cka,
+                      sum(n_keys) OVER () AS tot_keys
+               FROM hist),
+             a AS (
+               SELECT sum(mass) AS n_rows, sum(n_keys) AS n_keys, max(c) AS max_n,
+                      max(CASE WHEN ckd >= 10 AND ckd - n_keys < 10
+                        THEN cmd - mass + (10 - (ckd - n_keys)) * c END) AS top10_n,
+                      min(CASE WHEN cka * 100 >= tot_keys * 99 THEN c END) AS p99_n
+               FROM cum)
+             SELECT 'events.user_id' AS key_col, n_rows, n_keys, max_n,
+                    max_n * 1000000 // n_rows AS top1_ppm,
+                    coalesce(top10_n, n_rows) * 1000000 // n_rows AS top10_ppm,
+                    p99_n, max_n * n_keys * 1000000 // n_rows AS skew_x_ppm
+             FROM a)
+           UNION ALL
+           SELECT * FROM (
+             WITH per AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+             hist AS (SELECT c, count(*) AS n_keys, c * count(*) AS mass FROM per GROUP BY 1),
+             cum AS (
+               SELECT *, sum(n_keys) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS ckd,
+                      sum(mass) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cmd,
+                      sum(n_keys) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cka,
+                      sum(n_keys) OVER () AS tot_keys
+               FROM hist),
+             a AS (
+               SELECT sum(mass) AS n_rows, sum(n_keys) AS n_keys, max(c) AS max_n,
+                      max(CASE WHEN ckd >= 10 AND ckd - n_keys < 10
+                        THEN cmd - mass + (10 - (ckd - n_keys)) * c END) AS top10_n,
+                      min(CASE WHEN cka * 100 >= tot_keys * 99 THEN c END) AS p99_n
+               FROM cum)
+             SELECT 'lineitem.l_suppkey', n_rows, n_keys, max_n,
+                    max_n * 1000000 // n_rows,
+                    coalesce(top10_n, n_rows) * 1000000 // n_rows,
+                    p99_n, max_n * n_keys * 1000000 // n_rows
+             FROM a))
+         SELECT * FROM rep ORDER BY key_col""",
 
     "events_time_weighted_avg" ->
       """WITH e AS (

@@ -148,6 +148,20 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("skew report invariants: shares ordered, p99 bounded by max, exact row totals") {
+    val rows = q("data_skew_report").collect()
+    assert(rows.length == 2)
+    val nEvents = graft.sources.Tables.load(spark, sf("sf0.001"), "events").count()
+    rows.foreach { r =>
+      val (nRows, maxN, top1, top10, p99, skewX) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(top10 >= top1 && top10 <= 1000000L, r.toString)
+      assert(p99 <= maxN, r.toString)
+      assert(skewX >= 1000000L, s"max/avg ratio below 1: $r") // max >= avg always
+      if (r.getString(0) == "events.user_id") assert(nRows == nEvents)
+    }
+  }
+
   test("rfm segments partition all customers exactly once") {
     val res = q("events_rfm_segments")
     val total = res.agg(sum(col("n_customers"))).collect()(0).getLong(0)
