@@ -316,8 +316,13 @@ object ExtQueries {
     // results broadcast-join back together.
     "approx_distinct_hll" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // null keys excluded BEFORE the pair aggregate: count(DISTINCT x)
+      // ignores nulls, but counting distinct (flag, key) PAIRS would
+      // count a null key as one value — latent here (TPC-H keys are
+      // non-null), wrong on data that isn't
       def branch(key: String, ex: String, ok: String) =
-        li.groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("_c"))
+        li.filter(col(key).isNotNull)
+          .groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("_c"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as(ex),
             approx_count_distinct(col(key), rsd = 0.01).as("_hll"))

@@ -33,12 +33,16 @@ object Queries4 {
   // RFM segmentation: per-customer Recency / Frequency / Monetary
   // scores 1-4, bucketed by EXACT quartile boundary values (score =
   // 1 + #boundaries strictly exceeded), then segment-level rollup.
-  // Boundary-compare scoring (not ntile) on purpose: the boundaries
-  // come from three tiny count-histograms (|distinct metric values|
-  // rows), broadcast back onto the per-customer frame — no global
-  // single-partition window anywhere, so the shape survives 1.5B
-  // customers. Ties at a boundary fall into the lower bucket on both
-  // sides by construction.
+  // Boundary-compare scoring (not ntile) on purpose: a global ntile
+  // would rank the whole customer frame in one task; here each metric
+  // reduces to a count-histogram whose quartile pass broadcasts three
+  // scalars back. The rec/freq histograms are bounded by the calendar
+  // and by order counts; mon_c's histogram is customer-cardinality, so
+  // at 1.5B customers its quartile pass swaps to Scale.chunkedCumSum
+  // exactly as feature_binning_deciles does (locally the plain window
+  // wins — the chunked form reads its input three times, and this
+  // function calls quartiles() thrice). Ties at a boundary fall into
+  // the lower bucket on both sides by construction.
   private def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     // per-customer frame persisted: it feeds the global-max probe,
     // three quartile histograms AND the final scoring pass — without
@@ -256,16 +260,13 @@ object Queries4 {
   // the fact shuffle per query. The oracle is the plain join on the
   // raw parquet: bucketing must not change a single row.
   private def bucketedJoinColocated(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").select(col("o_custkey"), priceC.as("price_c"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"${s.conf.get("spark.sql.warehouse.dir")}/g4_orders_bkt")
-      .saveAsTable("g4_orders_bkt")
-    t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"${s.conf.get("spark.sql.warehouse.dir")}/g4_customer_bkt")
-      .saveAsTable("g4_customer_bkt")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.ext.Scale.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey"), priceC.as("price_c")),
+      "g4_orders_bkt", "o_custkey", 8, Some(s"$wh/g4_orders_bkt"))
+    graft.ext.Scale.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "g4_customer_bkt", "c_custkey", 8, Some(s"$wh/g4_customer_bkt"))
     val perCust = s.table("g4_orders_bkt")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_c"))
@@ -427,19 +428,7 @@ object Queries4 {
       round(col("o_totalprice") * 100).cast("long").cast("string").as("price_c"),
       date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("o_orderdate"),
       col("o_orderpriority").as("o_orderpriority"))
-    val cols = proj.columns.toSeq
-    val stackExpr = cols.map(c => s"'$c', $c").mkString(", ")
-    proj
-      .select(expr(s"stack(${cols.size}, $stackExpr) as (col_name, value)"))
-      .groupBy(col("col_name"), col("value"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("col_name"))
-      .agg(sum(col("c")).as("n"),
-        sum(when(col("value").isNotNull, col("c")).otherwise(0L)).as("n_nonnull"),
-        count(col("value")).as("n_distinct"),
-        min(col("value")).as("min_s"),
-        max(col("value")).as("max_s"))
-      .orderBy("col_name")
+    graft.ext.Profile.table(proj)
   }
 
   // -------------------------------------------------------------------
@@ -453,46 +442,11 @@ object Queries4 {
   // levels from the top plus an exact partial take at the boundary
   // level), so per column it is one fact scan + two tiny aggregates —
   // the diagnostic is cheap enough to run BEFORE every big join.
-  private def dataSkewReport(s: SparkSession, dir: String): DataFrame = {
-    def report(df: DataFrame, keyCol: String, label: String): DataFrame = {
-      val perKey = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
-      val hist = perKey.groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
-        .withColumn("mass", col("c") * col("n_keys"))
-      val wDesc = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAsc = Window.orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist
-        .withColumn("cum_keys_desc", sum(col("n_keys")).over(wDesc))
-        .withColumn("cum_mass_desc", sum(col("mass")).over(wDesc))
-        .withColumn("cum_keys_asc", sum(col("n_keys")).over(wAsc))
-        .withColumn("tot_keys", sum(col("n_keys")).over(Window.partitionBy()))
-        .agg(
-          sum(col("mass")).as("n_rows"),
-          sum(col("n_keys")).as("n_keys"),
-          max(col("c")).as("max_n"),
-          // top-10 share: full levels above the boundary + partial take
-          max(when(col("cum_keys_desc") >= 10 &&
-              col("cum_keys_desc") - col("n_keys") < 10,
-            col("cum_mass_desc") - col("mass")
-              + (lit(10) - (col("cum_keys_desc") - col("n_keys"))) * col("c")))
-            .as("top10_n"),
-          // p99 per-key count: min count level with ascending
-          // cumulative keys >= ceil(0.99 * n_keys) — evaluated against
-          // the total via cross-multiplication, no second pass
-          min(when(col("cum_keys_asc") * 100 >= col("tot_keys") * 99, col("c")))
-            .as("p99_n"))
-        .select(
-          lit(label).as("key_col"), col("n_rows"), col("n_keys"), col("max_n"),
-          expr("max_n * 1000000 div n_rows").as("top1_ppm"),
-          expr("coalesce(top10_n, n_rows) * 1000000 div n_rows").as("top10_ppm"),
-          col("p99_n"),
-          expr("max_n * n_keys * 1000000 div n_rows").as("skew_x_ppm"))
-    }
-    report(t(s, dir, "events"), "user_id", "events.user_id")
-      .unionByName(report(t(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+  private def dataSkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.skew(t(s, dir, "events"), "user_id", "events.user_id")
+      .unionByName(graft.ext.Profile.skew(
+        t(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
       .orderBy("key_col")
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_skew_report" -> dataSkewReport _,
@@ -680,7 +634,8 @@ object Queries4 {
              SELECT 'events.user_id' AS key_col, n_rows, n_keys, max_n,
                     max_n * 1000000 // n_rows AS top1_ppm,
                     coalesce(top10_n, n_rows) * 1000000 // n_rows AS top10_ppm,
-                    p99_n, max_n * n_keys * 1000000 // n_rows AS skew_x_ppm
+                    p99_n,
+                    CAST(CAST(max_n AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x_ppm
              FROM a)
            UNION ALL
            SELECT * FROM (
@@ -701,7 +656,8 @@ object Queries4 {
              SELECT 'lineitem.l_suppkey', n_rows, n_keys, max_n,
                     max_n * 1000000 // n_rows,
                     coalesce(top10_n, n_rows) * 1000000 // n_rows,
-                    p99_n, max_n * n_keys * 1000000 // n_rows
+                    p99_n,
+                    CAST(CAST(max_n AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT)
              FROM a))
          SELECT * FROM rep ORDER BY key_col""",
 

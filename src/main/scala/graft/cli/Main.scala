@@ -73,6 +73,19 @@ object Main {
         case None => df.show(100, truncate = false)
       }
 
+    // one-shot data diagnostics over a parquet table directory: column
+    // profile (completeness / cardinality / extrema) or join-key skew
+    // report — the same histogram-form engines as the registry keys
+    case "profile" :: dir :: table :: flags =>
+      val opts = parseFlags(flags)
+      emitDf(graft.ext.Profile.table(
+        graft.sources.Tables.load(spark, dir, table)), opts)
+    case "skew" :: dir :: table :: keyCol :: flags =>
+      val opts = parseFlags(flags)
+      emitDf(graft.ext.Profile.skew(
+        graft.sources.Tables.load(spark, dir, table),
+        keyCol, s"$table.$keyCol"), opts)
+
     case "diff-jdbc" :: base :: target :: flags =>
       val opts = parseFlags(flags)
       val dialect = opts.dialect.getOrElse(
@@ -199,9 +212,19 @@ object Main {
         println(Report.toJsonString(report))
     }
 
+  private def emitDf(df: org.apache.spark.sql.DataFrame, opts: CliOptions): Unit =
+    opts.out match {
+      case Some(dir) =>
+        df.coalesce(1).write.mode("overwrite").json(dir)
+        println(s"result written: $dir")
+      case None => df.show(100, truncate = false)
+    }
+
   private def usage(): Unit = System.err.println(
     """usage: graft.cli.Main diff <baseDir> <targetDir> [flags]
       |       graft.cli.Main sql "<statement>" [--out <dir>]   (incl. SCHEMA DIFF ('b','t') [LANG ko])
+      |       graft.cli.Main profile <dir> <table> [--out <dir>]
+      |       graft.cli.Main skew <dir> <table> <keyCol> [--out <dir>]
       |       graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql [flags]
       |       graft.cli.Main run [--pair <name>] [--config <path>] [flags]
       |       graft.cli.Main init --name <n> --type postgres|mysql --base-url <u> --target-url <u>

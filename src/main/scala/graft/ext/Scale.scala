@@ -189,13 +189,18 @@ object Scale {
       df: DataFrame,
       tableName: String,
       key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int,
+      path: Option[String] = None): Unit = {
+    // an explicit path sidesteps the LOCATION_ALREADY_EXISTS caveat
+    // above: overwrite of a path-based table is idempotent even when a
+    // fresh session's in-memory catalog forgot the table
+    val w = df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(tableName)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 
   /** Distributed prefix sum: adds `out` (running sum of `valueCol` up
     * to and including the current row, ordered by `orderCol` within
@@ -227,6 +232,12 @@ object Scale {
       out: String,
       chunks: Int = 64): DataFrame = {
     val g = groupCols.map(col)
+    // null-safe join keys: a NULL group is its own window partition in
+    // the plain formulation, so an inner using-column join (null never
+    // equals null) would silently DROP those rows and break the
+    // bit-identical contract — join on <=> instead
+    def nullSafeOn(right: DataFrame): Column =
+      groupCols.map(c => df(c) <=> right(c)).reduce(_ && _)
     val stats = df.groupBy(g: _*)
       .agg(min(col(orderCol)).as("_lo"), max(col(orderCol)).as("_hi"))
     // affine bucket: monotone in orderCol, constant for equal values;
@@ -236,7 +247,8 @@ object Scale {
         * chunks
         / (col("_hi").cast("decimal(38,0)") - col("_lo").cast("decimal(38,0)") + 1))
         .cast("int"))
-    val withChunk = df.join(broadcast(stats), groupCols)
+    val withChunk = groupCols
+      .foldLeft(df.join(broadcast(stats), nullSafeOn(stats)))((d, c) => d.drop(stats(c)))
       .withColumn("_chunk", bucket)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy((groupCols :+ "_chunk").map(col): _*).orderBy(col(orderCol))
@@ -252,9 +264,11 @@ object Scale {
       .withColumn("_gtot", sum(col("_ctot")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
       .drop("_ctot")
-    withChunk
-      .withColumn("_incum", sum(col(valueCol)).over(wIn))
-      .join(broadcast(offs), groupCols :+ "_chunk")
+    val partial = withChunk.withColumn("_incum", sum(col(valueCol)).over(wIn))
+    val joinOn = (groupCols.map(c => partial(c) <=> offs(c)) :+
+      (partial("_chunk") === offs("_chunk"))).reduce(_ && _)
+    (groupCols :+ "_chunk")
+      .foldLeft(partial.join(broadcast(offs), joinOn))((d, c) => d.drop(offs(c)))
       .withColumn(out, col("_incum") + col("_off"))
       .withColumn(s"${out}_total", col("_gtot"))
       .drop("_chunk", "_incum", "_off", "_gtot", "_lo", "_hi")

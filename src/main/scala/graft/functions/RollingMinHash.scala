@@ -44,11 +44,15 @@ case class RollingMinHash(left: Expression, right: Expression)
   }
 
   // non-trivial loop with an ASCII fast path: delegate codegen to the
-  // static eval — still inside whole-stage codegen (no virtual call,
-  // no boxing), just not inlined Java source
+  // companion's eval — still inside whole-stage codegen (monomorphic
+  // call, no boxing), just not inlined Java source. MUST go through
+  // MODULE$: scalac emits NO static forwarder for a companion method
+  // named `eval` (it collides with the inherited Expression.eval), so
+  // `RollingMinHash.eval(...)` would fail Janino compilation and
+  // silently drop the whole stage to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.RollingMinHash.eval($a, $b);")
+      s"${ev.value} = graft.functions.RollingMinHash$$.MODULE$$.eval($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RollingMinHash =

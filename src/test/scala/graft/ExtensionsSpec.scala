@@ -211,5 +211,14 @@ class ExtensionsSpec extends SparkSpec {
     val plan = SparkEntry.queries("text_rolling_fingerprint")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_rolling_minhash"), plan)
+    // ... and its generated code actually COMPILES: with fallback
+    // disabled a Janino failure throws instead of silently dropping
+    // the stage to interpreted execution (the static-forwarder trap:
+    // scalac emits no forwarder for a companion method named `eval`)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      SparkEntry.queries("text_rolling_fingerprint")(spark, sf("sf0.001")).collect()
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }

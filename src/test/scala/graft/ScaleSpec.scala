@@ -196,7 +196,11 @@ class ScaleSpec extends SparkSpec {
       val v = ((i * 40503L) % 41) - 20       // negative values too
       (g, ord, v)
     } ++ Seq(("solo", 5L, 7L), ("const", 1L, 2L), ("const", 1L, 3L), ("const", 1L, 4L))
-    val df = rows.toDF("grp", "ord", "v")
+    val df = (rows.map { case (g, o, v) => (Option(g), o, v) } ++
+      // NULL group: its own partition in the window formulation — the
+      // chunked form must not drop it through its inner joins
+      Seq((None, 1L, 5L), (None, 2L, 6L), (None, 9L, 1L)))
+      .toDF("grp", "ord", "v")
       // collapse ties first: cumsum over a histogram-like frame (one
       // row per (grp, ord)) is the library function's contract
       .groupBy("grp", "ord").agg(sum("v").as("v"))
