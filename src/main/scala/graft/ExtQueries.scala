@@ -257,6 +257,18 @@ object ExtQueries {
 
     // as-of join: for each click, the latest view of the same user at
     // or before the click's timestamp
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("value_cents"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      AsOf.asofNearest(clicks, views, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_cents"),
+          col("nearest_event_id"), col("nearest_ts_us"), col("nearest_value_cents"))
+        .orderBy("event_id")
+    }),
+
     "asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events").select(
         col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
@@ -875,6 +887,24 @@ object ExtQueries {
            FROM b FULL OUTER JOIN tgt t ON b.o_orderkey = t.o_orderkey)
          SELECT o_orderkey, diff_status, changed_cols
          FROM j WHERE diff_status <> 'same' ORDER BY o_orderkey""",
+
+    "asof_join_nearest" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         c AS (SELECT * EXCLUDE (event_type) FROM e WHERE event_type = 'click'),
+         v AS (SELECT * EXCLUDE (event_type) FROM e WHERE event_type = 'view'),
+         j AS (
+           SELECT c.event_id, c.user_id, c.ts_us, c.value_cents,
+                  v.event_id AS nearest_event_id, v.ts_us AS nearest_ts_us,
+                  v.value_cents AS nearest_value_cents,
+                  row_number() OVER (PARTITION BY c.event_id
+                    ORDER BY abs(v.ts_us - c.ts_us), v.ts_us, v.event_id) AS rn
+           FROM c LEFT JOIN v ON c.user_id = v.user_id)
+         SELECT event_id, user_id, ts_us, value_cents,
+                nearest_event_id, nearest_ts_us, nearest_value_cents
+         FROM j WHERE rn = 1 ORDER BY event_id""",
 
     "asof_join" ->
       """WITH e AS (

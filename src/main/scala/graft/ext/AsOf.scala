@@ -62,6 +62,64 @@ object AsOf {
         leftCols.map(c => col(s"__l.$c").as(c)) ++
           rightPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
+
+  /** Nearest-in-time variant: for each left row, the right row of the
+    * same key minimizing |ts_right − ts_left|; exact ties (equal
+    * distance both directions) resolve BACKWARD ("known at t" wins).
+    * Same one-shuffle union frame as [[asofJoin]]; the backward and
+    * forward candidates come from two window passes over the merged
+    * order (one exchange, two sorts — still no theta join, no
+    * nested-loop). Same determinism contract: (keys, ts) unique per
+    * side.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPrefix: String = "nearest_"): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(left.schema).as("__l"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rightStructType).as("__r")): _*)
+
+    // backward: right sorts BEFORE left at equal ts (side asc) so an
+    // exactly-at-t right row is visible; forward mirrors it (side desc)
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val back = col("__back")
+    val fwd = col("__fwd")
+    val dBack = col("__ts") - col(s"__back.$tsCol")
+    val dFwd = col(s"__fwd.$tsCol") - col("__ts")
+    r.unionByName(l)
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+      .withColumn("__match",
+        when(back.isNull, fwd)
+          .when(fwd.isNull, back)
+          .when(dFwd < dBack, fwd)
+          .otherwise(back))
+      .select(
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+          rightPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
+  }
 }
 
 /** Interval-containment (range) join — for each point row, the interval

@@ -162,6 +162,27 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("nearest as-of: at least as close as backward-only, no nested-loop join") {
+    val near = q("asof_join_nearest").collect()
+      .map(r => r.getLong(0) -> Option(r.get(5)).map(_.toString.toLong)).toMap
+    val back = q("asof_join").collect()
+      .map(r => r.getLong(0) -> Option(r.get(5)).map(_.toString.toLong)).toMap
+    val ts = q("asof_join_nearest").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    back.foreach { case (id, bTs) =>
+      (bTs, near(id)) match {
+        case (Some(b), Some(n)) =>
+          assert(math.abs(n - ts(id)) <= math.abs(ts(id) - b),
+            s"click $id: nearest farther than backward")
+        case (Some(_), None) => fail(s"click $id: backward matched but nearest empty")
+        case _ => ()
+      }
+    }
+    val p = plan(q("asof_join_nearest"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearest as-of must stay a union+window, never a theta join:\n$p")
+  }
+
   test("rfm segments partition all customers exactly once") {
     val res = q("events_rfm_segments")
     val total = res.agg(sum(col("n_customers"))).collect()(0).getLong(0)
