@@ -21,10 +21,14 @@ import TextPrimitives._
   * the dropped ones when `keepAudit` — a pipeline wants both the clean
   * corpus and the reasons.
   *
-  * Scale: stage 1 is a shuffle-free projection; stage 2 shuffles
-  * (md5, id) pairs once; stage 3 is the LSH bucket-join (SCALING.md).
-  * Stages compose lazily into one Catalyst DAG — no intermediate
-  * materialization beyond the LSH shingle persist.
+  * Scale: stage 1 is a shuffle-free projection; stage 2 shuffles the
+  * surviving FULL rows once, keyed by content hash (unlike
+  * [[Dedup.exact]]'s pairs-only shuffle, the pipeline must RETURN the
+  * surviving documents — any formulation moves the text exactly once,
+  * and the window form does it in that single shuffle); stage 3 is
+  * the LSH bucket-join (SCALING.md). Stages compose lazily into one
+  * Catalyst DAG — no intermediate materialization beyond the staged
+  * persists.
   */
 object CorpusClean {
 
