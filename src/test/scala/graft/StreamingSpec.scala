@@ -89,6 +89,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming skew monitor: merged per-batch counts feed Profile.skew exactly") {
+    // incremental analytics duality: maintain running per-key counts in
+    // a gold table via foreachBatch (partial counts are mergeable by
+    // sum — the same reason map-side combine works), then run the BATCH
+    // Profile.skew over the running state. The report after N batches
+    // must equal the one-shot report over the concatenated input —
+    // nothing about the diagnostic is batch-bound.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toFile
+    val state = new java.io.File(dir, "counts").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("k")
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val delta = batch.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(state)))
+            spark.read.parquet(state).unionByName(delta)
+              .groupBy(col("k")).agg(sum(col("c")).as("c"))
+          else delta
+        val tmp = state + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state)
+      }
+      .start()
+    try {
+      in.addData(Seq.fill(50)(7L) ++ (101L to 110L): _*) // hot key 7
+      q.processAllAvailable()
+      in.addData(Seq.fill(30)(7L) ++ (111L to 120L): _*)
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions._
+      // reconstruct the raw multiset from running counts, then compare
+      // the streaming-state report against the one-shot batch report
+      val fromState = spark.read.parquet(state)
+        .select(explode(expr("array_repeat(k, cast(c as int))")).as("k"))
+      val oneShot = (Seq.fill(80)(7L) ++ (101L to 120L)).toDF("k")
+      val a = graft.ext.Profile.skew(fromState, "k", "stream").collect()(0)
+      val b = graft.ext.Profile.skew(oneShot, "k", "stream").collect()(0)
+      assert(a == b, s"streaming-state report diverged:\n$a\n$b")
+      assert(a.getLong(3) == 80L) // max_n: the hot key
+    } finally q.stop()
+  }
+
   test("streaming CMS: per-batch sketches merged by cell sum EQUAL the batch-built sketch") {
     // the CMS merge claim, asserted exactly: cmsBuild is a cell-wise
     // count, so summing per-micro-batch sketches must reproduce the
