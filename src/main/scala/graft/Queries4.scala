@@ -448,7 +448,26 @@ object Queries4 {
         t(s, dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
       .orderBy("key_col")
 
+  // -------------------------------------------------------------------
+  // Quantile normalization: map each distinct value to its exact
+  // percentile rank (ppm, cum·1e6 div n) within its group — the
+  // feature-engineering transform that makes skewed columns comparable
+  // across groups. Runs entirely on the (group, value) histogram via
+  // the distributed prefix sum, so the fact is scanned once and the
+  // transform table (|distinct values| rows) broadcast-joins back onto
+  // any frame that needs normalized features.
+  private def quantileNormalizeRank(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty")).agg(count(lit(1)).as("c"))
+    graft.ext.Scale.chunkedCumSum(h, Seq("l_returnflag"), "qty", "c", "cum")
+      .select(col("l_returnflag"), col("qty"), col("c"),
+        expr("cum * 1000000 div cum_total").as("pct_ppm"))
+      .orderBy("l_returnflag", "qty")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_normalize_rank" -> quantileNormalizeRank _,
     "data_skew_report" -> dataSkewReport _,
     "events_rfm_segments" -> eventsRfm _,
     "interval_sweep_concurrency" -> sweepConcurrency _,
@@ -613,6 +632,16 @@ object Queries4 {
                 sum(n_orders) AS n_orders, sum(sum_c) AS revenue_c
          FROM customer JOIN per ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    "quantile_normalize_rank" ->
+      """WITH h AS (
+           SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty, count(*) AS c
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, qty, c,
+                sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+                  ROWS UNBOUNDED PRECEDING) * 1000000
+                  // sum(c) OVER (PARTITION BY l_returnflag) AS pct_ppm
+         FROM h ORDER BY l_returnflag, qty""",
 
     "data_skew_report" ->
       """WITH rep AS (

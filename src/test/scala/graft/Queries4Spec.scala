@@ -162,6 +162,18 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("quantile normalization: chunked prefix sum, ppm ranks monotone ending at 1e6") {
+    val p = plan(q("quantile_normalize_rank"))
+    assert(p.contains("_chunk"), s"expected the chunked prefix sum:\n$p")
+    val rows = q("quantile_normalize_rank").collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (flag, rs) =>
+      val ppm = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b }, s"$flag not monotone")
+      assert(ppm.last == 1000000L, s"$flag final rank ${ppm.last}")
+    }
+  }
+
   test("nearest as-of: at least as close as backward-only, no nested-loop join") {
     val near = q("asof_join_nearest").collect()
       .map(r => r.getLong(0) -> Option(r.get(5)).map(_.toString.toLong)).toMap
