@@ -358,6 +358,58 @@ object Queries3 {
   }
 
   // -------------------------------------------------------------------
+  // Q16 — parts/supplier relationship: distinct supplier counts per
+  // (brand, type, size) over the supply catalog, excluding a
+  // deterministic "complaints" supplier set (no s_comment column → the
+  // proxy is s_suppkey % 10 = 7, same expression both sides). Supply
+  // pairs come from ONE distinct over lineitem's (part, supp); parts
+  // and the exclusion list broadcast; the single countDistinct plans
+  // as a two-phase aggregate with no Expand.
+  private def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#2" && !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % 10 === 7).select(col("s_suppkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // -------------------------------------------------------------------
+  // Q20 — potential part promotion: suppliers holding "excess stock"
+  // of small parts. No ps_availqty column → the proxy is the supplier's
+  // all-time shipped quantity per part vs 2× its 1996 shipments
+  // (availqty > 0.5·sold becomes total > 2·sold_1996, exact integers,
+  // same expression both sides). One (part, supp) aggregate off the
+  // fact computes both sums in a single pass; parts and the nation
+  // filter broadcast.
+  private def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(s, dir, "part")
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val ps = t(s, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qtyL).as("total_qty"),
+        sum(when(year(to_date(col("l_shipdate"))) === 1996, qtyL).otherwise(0L))
+          .as("qty_1996"))
+      .filter(col("qty_1996") > 0L && col("total_qty") > col("qty_1996") * 2)
+      .select(col("l_suppkey")).distinct()
+    val nations = t(s, dir, "nation")
+      .filter(col("n_name").startsWith("NATION_1")).select(col("n_nationkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(ps, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  // -------------------------------------------------------------------
   // Coverage batch beyond TPC-H: unpivot/melt, lateral top-n join,
   // BM25 ranking, Markov transition matrix.
 
@@ -651,7 +703,9 @@ object Queries3 {
     "tpch_q13_order_distribution" -> tpchQ13 _,
     "tpch_q15_top_supplier" -> tpchQ15 _,
     "tpch_q17_small_quantity" -> tpchQ17 _,
+    "tpch_q16_parts_suppliers" -> tpchQ16 _,
     "tpch_q19_disjunctive_join" -> tpchQ19 _,
+    "tpch_q20_potential_promotion" -> tpchQ20 _,
     "tpch_q21_waiting_supplier" -> tpchQ21 _,
     "tpch_q22_sales_opportunity" -> tpchQ22 _,
     "unpivot_melt" -> unpivotMelt _,
@@ -669,6 +723,37 @@ object Queries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'MEDIUM%'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 7)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "tpch_q20_potential_promotion" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty,
+                  sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_1996
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+           GROUP BY 1, 2),
+         q AS (
+           SELECT DISTINCT l_suppkey FROM ps
+           WHERE qty_1996 > 0 AND total_qty > qty_1996 * 2)
+         SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_nationkey IN (
+             SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION\_1%' ESCAPE '\')
+           AND s_suppkey IN (SELECT l_suppkey FROM q)
+         ORDER BY s_suppkey""",
+
     "tpch_q2_min_cost_supplier" ->
       """WITH supply AS (
            SELECT l_partkey, l_suppkey,
