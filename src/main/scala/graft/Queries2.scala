@@ -452,9 +452,9 @@ object Queries2 {
       """SELECT o_orderkey, o_custkey,
            count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS band_cents
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS band_cents
          FROM orders ORDER BY o_orderkey""",
 
     "percent_rank_cume_dist" ->
@@ -556,8 +556,8 @@ object Queries2 {
 
     "stats_moments" ->
       """SELECT l_returnflag, count(*) AS n,
-           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_x,
-           sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sum_x2,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_x,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_x2,
            min(CAST(round(l_quantity) AS BIGINT)) AS min_x,
            max(CAST(round(l_quantity) AS BIGINT)) AS max_x
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -591,9 +591,9 @@ object Queries2 {
            CAST(mov_sum_c AS DOUBLE) / mov_n AS mov_avg_c
          FROM (
            SELECT o_orderkey, o_custkey,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_sum_c,
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_c,
              count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_n
            FROM orders) ORDER BY o_orderkey""",
@@ -627,19 +627,19 @@ object Queries2 {
 
     "json_source_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
-           sum(length(text)) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
 
     "csv_source_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
            min(o_orderkey) AS min_key
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "orc_source_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_c
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -1105,8 +1105,8 @@ object Queries3 {
       """SELECT o_orderstatus,
                 bool_and(o_totalprice > 0) AS all_positive,
                 bool_or(o_totalprice > 400000) AS any_large,
-                count_if(o_orderpriority = '1-URGENT') AS n_urgent,
-                count_if(o_totalprice > 200000) AS n_big
+                CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+                CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "events_session_window_batch" ->

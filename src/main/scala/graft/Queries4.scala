@@ -518,7 +518,7 @@ object Queries4 {
                   '-',
                   1 + CAST(mon_c > qm.q1 AS INT) + CAST(mon_c > qm.q2 AS INT) + CAST(mon_c > qm.q3 AS INT)
                 ) AS segment,
-                count(*) AS n_customers, sum(mon_c) AS sum_mon_c
+                count(*) AS n_customers, CAST(sum(mon_c) AS BIGINT) AS sum_mon_c
          FROM wr, qr, qf, qm
          GROUP BY 1 ORDER BY 1""",
 
@@ -575,7 +575,7 @@ object Queries4 {
                   min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN price_c END) AS hi_c
            FROM cum GROUP BY 1)
          SELECT f.l_returnflag, count(*) AS n, max(lo_c) AS lo_c, max(hi_c) AS hi_c,
-                sum(greatest(least(price_c, hi_c), lo_c)) AS sum_winsor_c
+                CAST(sum(greatest(least(price_c, hi_c), lo_c)) AS BIGINT) AS sum_winsor_c
          FROM fact f JOIN bounds b ON f.l_returnflag = b.l_returnflag
          GROUP BY 1 ORDER BY 1""",
 
@@ -629,7 +629,8 @@ object Queries4 {
                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c
            FROM orders GROUP BY 1)
          SELECT c_mktsegment, count(*) AS n_customers,
-                sum(n_orders) AS n_orders, sum(sum_c) AS revenue_c
+                CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                CAST(sum(sum_c) AS BIGINT) AS revenue_c
          FROM customer JOIN per ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY 1""",
 
@@ -638,9 +639,9 @@ object Queries4 {
            SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty, count(*) AS c
            FROM lineitem GROUP BY 1, 2)
          SELECT l_returnflag, qty, c,
-                sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+                CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty
                   ROWS UNBOUNDED PRECEDING) * 1000000
-                  // sum(c) OVER (PARTITION BY l_returnflag) AS pct_ppm
+                  // sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS pct_ppm
          FROM h ORDER BY l_returnflag, qty""",
 
     "data_skew_report" ->
@@ -660,9 +661,11 @@ object Queries4 {
                         THEN cmd - mass + (10 - (ckd - n_keys)) * c END) AS top10_n,
                       min(CASE WHEN cka * 100 >= tot_keys * 99 THEN c END) AS p99_n
                FROM cum)
-             SELECT 'events.user_id' AS key_col, n_rows, n_keys, max_n,
-                    max_n * 1000000 // n_rows AS top1_ppm,
-                    coalesce(top10_n, n_rows) * 1000000 // n_rows AS top10_ppm,
+             SELECT 'events.user_id' AS key_col,
+                    CAST(n_rows AS BIGINT) AS n_rows,
+                    CAST(n_keys AS BIGINT) AS n_keys, max_n,
+                    CAST(max_n * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+                    CAST(coalesce(top10_n, n_rows) * 1000000 // n_rows AS BIGINT) AS top10_ppm,
                     p99_n,
                     CAST(CAST(max_n AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x_ppm
              FROM a)
@@ -682,9 +685,10 @@ object Queries4 {
                         THEN cmd - mass + (10 - (ckd - n_keys)) * c END) AS top10_n,
                       min(CASE WHEN cka * 100 >= tot_keys * 99 THEN c END) AS p99_n
                FROM cum)
-             SELECT 'lineitem.l_suppkey', n_rows, n_keys, max_n,
-                    max_n * 1000000 // n_rows,
-                    coalesce(top10_n, n_rows) * 1000000 // n_rows,
+             SELECT 'lineitem.l_suppkey',
+                    CAST(n_rows AS BIGINT), CAST(n_keys AS BIGINT), max_n,
+                    CAST(max_n * 1000000 // n_rows AS BIGINT),
+                    CAST(coalesce(top10_n, n_rows) * 1000000 // n_rows AS BIGINT),
                     p99_n,
                     CAST(CAST(max_n AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT)
              FROM a))
@@ -747,7 +751,7 @@ object Queries4 {
                   + CAST(price_c > d5 AS INT) + CAST(price_c > d6 AS INT)
                   + CAST(price_c > d7 AS INT) + CAST(price_c > d8 AS INT)
                   + CAST(price_c > d9 AS INT) AS bin,
-                count(*) AS n, sum(price_c) AS sum_c
+                count(*) AS n, CAST(sum(price_c) AS BIGINT) AS sum_c
          FROM fact f JOIN bounds b ON f.l_returnflag = b.l_returnflag
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
@@ -774,7 +778,7 @@ object Queries4 {
            GROUP BY 1)
          SELECT d.l_returnflag, count(*) AS n, max(d.med_c) AS med_c,
                 max(mad.mad_c) AS mad_c,
-                sum(CASE WHEN adev > mad.mad_c * 3 THEN 1 ELSE 0 END) AS n_outliers
+                CAST(sum(CASE WHEN adev > mad.mad_c * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
          GROUP BY 1 ORDER BY 1""",
 

@@ -52,6 +52,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[ROWS] {name}: got {len(got)} want {len(want)}")
             n_bad += 1
             continue
+        # Mirror the driver's hash compare, which is dtype-sensitive: an
+        # uncast DuckDB sum(BIGINT) comes back HUGEINT -> float64 and fails
+        # the driver even when values are equal. Flag any numeric-kind drift.
+        dt_bad = [c for c in got.columns
+                  if got[c].dtype.kind != want[c].dtype.kind
+                  and {got[c].dtype.kind, want[c].dtype.kind} & {"i", "u", "f"}]
+        if dt_bad:
+            kinds = {c: f"{got[c].dtype}!={want[c].dtype}" for c in dt_bad}
+            print(f"[DTYP] {name}: {kinds}")
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
             print(f"[ OK ] {name}: {len(got)} rows")
