@@ -84,14 +84,11 @@ object ExtQueries {
     // operator's contract is "width must scale with corpus size"
     // (production: 64-bit), and the testdata pins the 16-bit oracle
     // pairs -> transitive clusters -> canonical keep-list: the step a
-    // dedup pipeline needs after ANY pairwise detector
+    // dedup pipeline needs after ANY pairwise detector. The registry
+    // runs the O(log n)-round star-contraction CC (the 100 TB path);
+    // the O(diameter) label-propagation twin [[Dedup.dupClusters]] is
+    // equality-pinned against it in ExtSpec.
     "dedup_clusters" -> ((s, dir) => {
-      val corpus = corpusWithNearCopies(s, dir)
-      Dedup.dupClusters(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
-    }),
-
-    // same clustering contract, O(log n)-round star-contraction CC
-    "dedup_clusters_star" -> ((s, dir) => {
       val corpus = corpusWithNearCopies(s, dir)
       Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
     }),
@@ -121,7 +118,7 @@ object ExtQueries {
         .orderBy("a_id", "b_id")),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+      Dedup.embeddingNearDupsBlocked(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
     "knn_bruteforce_cosine" -> ((s, dir) => {
@@ -1044,8 +1041,5 @@ object ExtQueries {
          ORDER BY custkey""",
   )
 
-  // star-contraction CC computes the same component-min labels — the
-  // recursive reachability oracle is shared verbatim
-  val oracles: Map[String, String] =
-    oraclesBase + ("dedup_clusters_star" -> oraclesBase("dedup_clusters"))
+  val oracles: Map[String, String] = oraclesBase
 }

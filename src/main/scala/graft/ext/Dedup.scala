@@ -152,14 +152,25 @@ object Dedup {
     * by the bucket; `maxBucket` caps any degenerate bucket's quadratic
     * expansion (keeps the lowest ids). Output: distinct (a_id, b_id)
     * with a_id < b_id.
+    *
+    * The cap is applied with a row_number window BEFORE the
+    * collect_list, not by slicing the collected array after: the window
+    * rides the same hash partitioning the aggregation needs (one
+    * shuffle either way), but a degenerate hot bucket — an empty-doc
+    * signature hit by 10⁸ documents — now feeds at most `maxBucket`
+    * rows into any aggregation buffer instead of materializing the full
+    * membership array first.
     */
-  private def pairsWithinBuckets(
+  private[graft] def pairsWithinBuckets(
       df: DataFrame,
       bucketCols: Seq[String],
       maxBucket: Int): DataFrame =
     df
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col("doc_id"))))
+      .filter(col("_rn") <= maxBucket)
       .groupBy(bucketCols.map(col): _*)
-      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -433,7 +444,10 @@ object Dedup {
 
   /** Embedding near-dup pairs: exact quantized cosine over all id-ordered
     * pairs, keep those above `threshold`. Brute force — the O(n²)
-    * baseline; see [[Similarity]] for the bucketed scale path.
+    * REFERENCE twin: the `vec_id < vec_id` theta-join plans as a
+    * broadcast nested loop, which requires the whole corpus on one
+    * executor. Registry and production use [[embeddingNearDupsBlocked]];
+    * this stays as the oracle/equality reference for specs.
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -444,6 +458,59 @@ object Dedup {
     q.alias("a").join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         qcosinePre(col("a.q"), col("b.q"), col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+
+  /** Exact embedding near-dup pairs via BLOCK-PARTITIONED pair
+    * expansion — same result set as [[embeddingNearDups]] (every
+    * id-ordered pair is scored exactly once with the same quantized
+    * cosine), but the join is an EQUI-join on (block_i, block_j) keys
+    * instead of a `vec_id < vec_id` theta-join.
+    *
+    * Why this is the 100 TB shape: the theta-join plans as a broadcast
+    * nested loop (whole corpus resident on every executor) or a
+    * cartesian product (one monster task). Here each vector is
+    * replicated to the `blocks` block-pairs it participates in, both
+    * sides shuffle ON THE BLOCK-PAIR KEY, and one task squares one
+    * (n/blocks)² tile — memory per task is bounded by the block size,
+    * parallelism is blocks·(blocks+1)/2 tasks, and `blocks` scales with
+    * corpus size (n/blocks sized to fit an executor). The O(n²) compute
+    * is inherent to an EXACT low-threshold all-pairs join (measured at
+    * sf0.01: the 0.4-threshold survivors sit on a continuous cosine
+    * distribution with min 0.4005 — no LSH/IVF candidate scheme reaches
+    * recall 1.0 there; see [[Similarity]] for the approximate paths
+    * appropriate to genuine near-dup thresholds).
+    *
+    * A pair with blocks (p,q), p<q is generated once on tile (p,q)
+    * (left side carries block p, right side block q, either id order);
+    * a same-block pair once on tile (p,p) with the id filter.
+    */
+  def embeddingNearDupsBlocked(
+      embeddings: DataFrame,
+      threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val q = Scale.widen(embeddings)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val blockPairs = (0 until blocks)
+      .flatMap(i => (i until blocks).map(j => (i, j))).toDF("bi", "bj")
+    val left = q.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("l_id"),
+        col("q").as("l_q"), col("nrm").as("l_nrm"))
+    val right = q.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("vec_id").as("r_id"),
+        col("q").as("r_q"), col("nrm").as("r_nrm"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+      .select(
+        least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        qcosinePre(col("l_q"), col("r_q"), col("l_nrm"), col("r_nrm")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 }

@@ -131,6 +131,44 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("blocked embedding near-dups equals the brute-force reference for any block count") {
+    val rnd = new scala.util.Random(42)
+    val e = (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = pairSet(Dedup.embeddingNearDups(e, 0.2))
+    assert(ref.nonEmpty) // the corpus must actually exercise the threshold
+    Seq(1, 3, 16, 128).foreach { b =>
+      assert(pairSet(Dedup.embeddingNearDupsBlocked(e, 0.2, blocks = b)) == ref,
+        s"blocks=$b diverges from brute force")
+    }
+  }
+
+  test("LSH bucket cap drops beyond-cap members BEFORE the aggregation buffer") {
+    // a degenerate hot bucket with 10^6 members (e.g. an empty-document
+    // signature) plus one healthy bucket — the hazard the cap exists for
+    val hot = spark.range(0, 1000000L).select(
+      lit(0).as("band_id"), lit("HOT").as("sig"), col("id").as("doc_id"))
+    val ok = spark.range(0, 5).select(
+      lit(1).as("band_id"), lit("OK").as("sig"), (col("id") + 5000000L).as("doc_id"))
+    val pairs = Dedup.pairsWithinBuckets(hot.unionByName(ok),
+      Seq("band_id", "sig"), maxBucket = 50)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (hotPairs, okPairs) = rows.partition(_._1 < 5000000L)
+    // hot bucket: exactly C(50,2) pairs over its 50 LOWEST ids
+    assert(hotPairs.length == 50 * 49 / 2)
+    assert(hotPairs.forall { case (a, b) => a < 50 && b < 50 })
+    // buckets <= maxBucket are untouched: all C(5,2) pairs survive
+    assert(okPairs.length == 10)
+    // structural: the row_number cap sits BELOW the collect_list
+    // aggregate, so no aggregation buffer ever sees the full bucket
+    val lp = pairs.queryExecution.optimizedPlan.toString
+    assert(lp.contains("row_number") && lp.contains("collect_list"), lp)
+    assert(lp.indexOf("collect_list") < lp.indexOf("row_number"),
+      s"cap must apply before aggregation:\n$lp")
+  }
+
   test("brute-force top-k ranks by cosine, deterministic tie-break") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),                      // query

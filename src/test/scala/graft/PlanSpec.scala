@@ -82,6 +82,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_qdot"), s"native dot product not in plan:\n$p")
   }
 
+  test("dedup_embedding_cosine equi-joins on block-pair keys (no nested loop / cartesian)") {
+    val p = q("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"exact pair join must stay block-partitioned:\n$p")
+    assert(p.contains("graft_qdot"), s"native dot product not in plan:\n$p")
+  }
+
   test("broadcast_join keeps the fact side shuffle-free before aggregation") {
     val p = q("broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
