@@ -50,19 +50,33 @@ object Bench {
         // the same work the Verify parquet dump pays.
         // SPARK_GRAFT_BENCH_MODE=count reproduces the legacy (pruned)
         // measurement for apples-to-apples history comparison only.
-        try {
-          if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count"))
-            fn(spark, sfDir).count()
-          else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        // A key that throws is recorded as -1 (failure marker), NEVER as
+        // its elapsed time — a query a regression breaks must not
+        // "improve" the bench total by failing fast.
+        val ok =
+          try {
+            if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count"))
+              fn(spark, sfDir).count()
+            else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        name -> dt
+        name -> (if (ok) dt else -1.0)
       }
     val p1 = pass().toMap
-    val results = pass().map { case (k, t2) => k -> math.min(p1(k), t2) }
+    // min of the two passes; a pass that failed (-1) never wins unless
+    // both failed, in which case the key stays marked -1
+    val results = pass().map { case (k, t2) =>
+      k -> (if (p1(k) < 0 || t2 < 0) math.max(p1(k), t2) else math.min(p1(k), t2))
+    }
+    val failed = results.filter(_._2 < 0).map(_._1)
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed keys are excluded from the total and listed explicitly
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full per-key map goes to a FILE (and an early log line): the
     // driver captures only the last ~2000 chars of stdout, and a
     // 100-key JSON line is ~4 KB — round 1's summary line was
@@ -71,8 +85,9 @@ object Bench {
     // detailed, remainder rolled up) sized to survive tail capture.
     val full = results.map { case (k, v) => s"\"$k\":${s3(v)}" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$full,"sf":"$sfDir","passes":2,"agg":"min"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$full,"failed":$failedJson,"sf":"$sfDir","passes":2,"agg":"min"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(fullLine)
@@ -85,7 +100,7 @@ object Bench {
       if (len + e.length <= 1100) { entries += e; len += e.length + 1 }
       else { restN += 1; restSec += v }
     }
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"rest_keys":$restN,"rest_sec":${s3(restSec)},"n_keys":${results.size},"sf":"$sfDir","passes":2,"agg":"min","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"rest_keys":$restN,"rest_sec":${s3(restSec)},"n_keys":${results.size},"failed":$failedJson,"sf":"$sfDir","passes":2,"agg":"min","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -37,8 +37,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DataDiffStmt =
     """(?is)\s*DATA\s+DIFF\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+KEY\s*\(\s*([^)]+?)\s*\)\s*;?\s*""".r
 
+  /** Statement-construction failures (missing path, unreadable parquet,
+    * empty KEY list) surface as a standard [[ParseException]] rather
+    * than raw IllegalArgumentException/IO errors: these statements read
+    * parquet footers at parse time (the snapshot IS the schema), so
+    * without the wrap a bad path would fail with an error no SQL tool
+    * recognizes as "your statement is wrong".
+    */
+  private def statement[T](sqlText: String)(body: => T): T =
+    try body
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new org.apache.spark.sql.catalyst.parser.ParseException(
+          Some(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
+          "_LEGACY_ERROR_TEMP_0064",
+          Map("msg" -> s"invalid GRAFT DIFF statement: ${e.getMessage}"))
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case SchemaDiffStmt(basePath, targetPath, lang) =>
+    case SchemaDiffStmt(basePath, targetPath, lang) => statement(sqlText) {
       val language = Option(lang).map(_.toLowerCase) match {
         case Some("ko") | Some("korean") => Messages.Korean
         case _                           => Messages.English
@@ -47,7 +65,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val target = Snapshot.fromParquetDir(session, targetPath)
       Report.fromFindings(Diff.diff(base, target, DiffOptions(language = language)))
         .queryExecution.logical
-    case DataDiffStmt(basePath, targetPath, table, keys) =>
+    }
+    case DataDiffStmt(basePath, targetPath, table, keys) => statement(sqlText) {
       val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       require(keyCols.nonEmpty,
         s"DATA DIFF: KEY (...) must list at least one column, got '$keys'")
@@ -56,6 +75,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           session.read.parquet(s"$targetPath/$table.parquet"),
           keyCols)
         .queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 

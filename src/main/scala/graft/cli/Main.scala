@@ -143,6 +143,15 @@ object Main {
       spark: org.apache.spark.sql.SparkSession,
       baseUrl: String, targetUrl: String,
       dialect: graft.dialect.Dialect, opts: CliOptions): Unit = {
+    // MySQL table comments: the reference leaves the fetch as a TODO
+    // (mysql.rs:144) and never compares them; our MySQL dialect DOES
+    // fetch them (information_schema.tables.table_comment), so the
+    // comparison defaults ON for MySQL — suppress with
+    // `--ignore CommentOfTable`. Postgres keeps reference parity
+    // (off unless the library caller opts in).
+    val diffOpts =
+      if (dialect == graft.dialect.MySql) opts.diff.copy(compareTableComments = true)
+      else opts.diff
     val progress = new graft.diff.Progress(spark)
     try {
       progress.step("connect") {
@@ -154,7 +163,7 @@ object Main {
       val target = progress.step("target snapshot")(
         Snapshot.fromJdbc(spark, targetUrl, dialect).cached())
       val report = progress.step("check")(
-        Report.fromFindings(Diff.diff(base, target, opts.diff)))
+        Report.fromFindings(Diff.diff(base, target, diffOpts)))
       progress.step("report")(emit(report, opts))
     } finally progress.close()
   }

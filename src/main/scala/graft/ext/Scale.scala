@@ -25,10 +25,17 @@ object Scale {
     * No-op when the input is already at least as wide as the cluster
     * (the 100 TB case: thousands of input splits), so it never
     * DOWN-scales a big scan or adds a shuffle where parallelism exists.
+    *
+    * Reading the partition count (`df.rdd`) forces a physical plan for
+    * `df` — cheap for the raw table scans the in-repo callers pass, but
+    * a caller holding a complex frame (or calling in a loop) should
+    * pass `inputPartitions` (e.g. from a previously materialized
+    * lineage) to skip that planning entirely.
     */
-  def widen(df: DataFrame): DataFrame = {
+  def widen(df: DataFrame, inputPartitions: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val current = inputPartitions.getOrElse(df.rdd.getNumPartitions)
+    if (current < target) df.repartition(target) else df
   }
 
   /** Skew-safe equi-join of a large skewed frame against a smaller one.
@@ -218,11 +225,15 @@ object Scale {
     *   3. prefix-sum the per-chunk totals on the tiny (group, chunk)
     *      frame and broadcast the offsets back.
     *
-    * The result is bit-identical to the single-task window (equal
-    * order values share a chunk, so no tie straddles a boundary —
-    * asserted by the equivalence property spec). Requires a numeric
-    * `orderCol`; ranges are assumed not to overflow `decimal(38)`
-    * affine arithmetic (any long range qualifies).
+    * The result is bit-identical to the single-task window FOR EXACT
+    * value types (integral/decimal): equal order values share a chunk,
+    * so no tie straddles a boundary (asserted by the equivalence
+    * property spec), and exact addition is associative. A FLOATING
+    * POINT `valueCol` would re-associate the additions across chunks
+    * and change rounding — rejected eagerly rather than returning
+    * almost-right sums. Requires a numeric `orderCol`; ranges are
+    * assumed not to overflow `decimal(38)` affine arithmetic (any long
+    * range qualifies).
     */
   def chunkedCumSum(
       df: DataFrame,
@@ -231,6 +242,14 @@ object Scale {
       valueCol: String,
       out: String,
       chunks: Int = 64): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           (_: org.apache.spark.sql.types.DecimalType) => ()
+      case other => throw new IllegalArgumentException(
+        s"chunkedCumSum: valueCol '$valueCol' is $other — the bit-identical contract " +
+          "requires an exact (integral/decimal) type; cast floats to fixed-point first")
+    }
     val g = groupCols.map(col)
     // null-safe join keys: a NULL group is its own window partition in
     // the plain formulation, so an inner using-column join (null never

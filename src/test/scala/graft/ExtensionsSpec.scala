@@ -101,6 +101,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("malformed DIFF statements fail with ParseException, not raw IO/argument errors") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // nonexistent path: the footer read fails INSIDE statement parsing
+      val e1 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql("DATA DIFF ('/no/such/dir', '/no/such/dir') TABLE nation KEY (n_nationkey)")
+      }
+      assert(e1.getMessage.contains("invalid GRAFT DIFF statement"), e1.getMessage)
+      // empty KEY list: require() is rethrown as a parse error
+      val e2 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql("DATA DIFF ('/root/testdata/sf0.001', '/root/testdata/sf0.001') TABLE nation KEY ( , )")
+      }
+      assert(e2.getMessage.contains("at least one column"), e2.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("graft_jaccard equals the built-in distinct-count formula; used by LSH verify") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col

@@ -409,4 +409,25 @@ class FixtureSpec extends SparkSpec {
     val reversed = report(myTarget, myBase)
     assert(!reversed.contains("blocks")) // blocks is base-only: invisible in reverse
   }
+
+  test("MySQL table-comment drift: golden finding when the comparison is on (CLI default for MySQL)") {
+    // the reference leaves MySQL table comments as a TODO (mysql.rs:144);
+    // our MySQL dialect fetches information_schema.tables.table_comment
+    // and graft.cli.Main defaults compareTableComments ON for MySQL
+    def snap(comment: String) = Snapshot.fromMeta(spark,
+      tables = Seq(TableMeta("users", comment), TableMeta("posts", "post table")),
+      columns = Seq(ColumnMeta("users", "id", 1, "int", "", false, "", true),
+        ColumnMeta("posts", "id", 1, "int", "", false, "", true)))
+    val base = snap("the user table")
+    val target = snap("renamed user table")
+    val on = Report.fromFindings(
+        Diff.diff(base, target, DiffOptions(compareTableComments = true)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(on == Map("users" -> Seq(
+      "Table: users has different comment. => the user table != renamed user table")))
+    // parity default (off) and the ignore_list suppression both silence it
+    assert(report(base, target).isEmpty)
+    assert(Diff.diff(base, target, DiffOptions(compareTableComments = true,
+      ignore = Set(CheckType.CommentOfTable))).isEmpty)
+  }
 }
