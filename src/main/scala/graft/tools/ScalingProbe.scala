@@ -128,13 +128,23 @@ object ScalingProbe {
       ("exact_median_histogram", true, exactMedian),
       ("tpch_q1", true, q1))
 
-    val results = for (mult <- Seq(1, 4, 16);
-        (name, input, op) <- ops.map { case (n, useL, op) =>
+    // SPARK_GRAFT_MULTS=1,4,16,64 and SPARK_GRAFT_PROBE_OPS=a,b pick the
+    // curve points / op subset for targeted runs (e.g. the 64× extension
+    // of the hashing ops) without re-measuring the whole suite
+    val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,4,16")
+      .split(',').map(_.trim.toInt).toSeq
+    val keepOp: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE_OPS") match {
+      case Some(ks) if ks.nonEmpty => ks.split(',').map(_.trim).toSet
+      case _ => _ => true
+    }
+    val results = for (mult <- mults;
+        (name, input, op) <- (ops.map { case (n, useL, op) =>
           (n, if (useL) lineitemX(mult) else corpus(mult), op)
         } ++ Seq(
           ("graph_triangles", lineitemXdisjoint(mult), triangles _),
           ("per_order_sets", lineitemX(mult), perOrderSets _),
-          ("dedup_containment", corpus(mult), containment(mult) _))) yield {
+          ("dedup_containment", corpus(mult), containment(mult) _)))
+          .filter(t => keepOp(t._1))) yield {
       val d = input
       val rows = d.count() // materialize input cost outside the timing
       val t0 = System.nanoTime()
