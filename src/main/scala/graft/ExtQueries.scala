@@ -145,6 +145,27 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // exact kNN GRAPH (top-k for every vector) via the blocked tile
+    // equi-join — the build step for graph dedup / clustering
+    "knn_graph_blocked" -> ((s, dir) =>
+      Similarity.knnGraphBlocked(t(s, dir, "embeddings"), k = 3)
+        .orderBy("q_id", "rank")),
+
+    // incremental ingest dedup: near-copies (+1e6, last two words
+    // dropped) are "today's batch", matched against the original corpus
+    // only — never corpus×corpus
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val newBatch = d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text"))
+      Dedup.minhashLshIncremental(d, newBatch).orderBy("old_id", "new_id")
+    }),
+
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -424,6 +445,70 @@ object ExtQueries {
          scored AS (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
          SELECT a_id, b_id, jaccard FROM scored
          WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    "dedup_incremental_lsh" ->
+      s"""WITH newb AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         osh AS (
+           SELECT doc_id,
+                  [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         nsh AS (
+           SELECT doc_id,
+                  [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newb)),
+         omh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM osh),
+         nmh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM nsh),
+         cand AS (
+           SELECT o.doc_id AS old_id, n.doc_id AS new_id, o.sh AS ash, n.sh AS bsh
+           FROM omh o JOIN nmh n
+             ON (o.s0 = n.s0 OR o.s1 = n.s1 OR o.s2 = n.s2 OR o.s3 = n.s3)),
+         scored AS (SELECT old_id, new_id, $jaccardSql AS jaccard FROM cand)
+         SELECT old_id, new_id, jaccard FROM scored
+         WHERE jaccard >= 0.5 ORDER BY old_id, new_id""",
+
+    "knn_graph_blocked" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "text_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  len(toks) AS n,
+                  lc - len(toks) + 1 AS cs,
+                  len(list_filter(toks,
+                    t -> t IN ('the','a','of','and','in','to','is'))) AS nstop,
+                  len(list_distinct(toks)) AS ndist,
+                  coalesce(list_max([len(t) FOR t IN toks]), 0) AS maxlen
+           FROM d)
+         SELECT doc_id,
+                CAST(n AS BIGINT) AS n_tokens,
+                (n >= 50 AND n <= 100000) AS r_word_count,
+                (cs >= n * 3 AND cs <= n * 10) AS r_mean_word_len,
+                (nstop * 50 >= n) AS r_stopword_frac,
+                (ndist * 2 >= n) AS r_distinct_frac,
+                (maxlen <= 20) AS r_max_word_len,
+                (n >= 50 AND n <= 100000 AND cs >= n * 3 AND cs <= n * 10
+                 AND nstop * 50 >= n AND ndist * 2 >= n AND maxlen <= 20) AS passes_all
+         FROM m ORDER BY doc_id""",
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($nearCorpusSql),

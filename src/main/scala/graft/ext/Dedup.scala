@@ -147,6 +147,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash+LSH: near-dup pairs between a NEW document
+    * batch and an EXISTING corpus — the daily-ingest shape, where
+    * re-pairing the whole corpus against itself ([[minhashLsh]]) would
+    * redo yesterday's work. Candidates come from ONE equi-join of the
+    * two sides' (band_id, signature) frames, so the cost scales with
+    * |new| × bucket-collision volume, never with |corpus|²; in
+    * production the corpus-side signature frame is a PERSISTED index
+    * ([[Scale.writeBucketed]] on the bucket key makes the join
+    * exchange-free on the corpus side).
+    *
+    * Same md5 signature family and exact-Jaccard verification as
+    * [[minhashLsh]] (oracle-portable); each side's bucket membership is
+    * capped at `maxBucket` lowest ids before the join, bounding a
+    * degenerate signature's pair expansion at maxBucket².
+    *
+    * Output: (old_id, new_id, jaccard) with jaccard >= threshold.
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame,
+      newBatch: DataFrame,
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def prep(docs: DataFrame): DataFrame =
+      Scale.widen(docs).select(col("doc_id"),
+        shingles(tokens(col("text")), k).as("sh"))
+        .withColumn("shh", shingleHashes(col("sh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sigs(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
+          .as(Seq("band_id", "sig")))
+    def capped(s: DataFrame): DataFrame =
+      s.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
+        .filter(col("_rn") <= maxBucket).drop("_rn")
+    val oldSh = prep(corpus)
+    val newSh = prep(newBatch)
+    val cand = capped(sigs(oldSh)).select(col("band_id"), col("sig"), col("doc_id").as("old_id"))
+      .join(capped(sigs(newSh)).select(col("band_id"), col("sig"), col("doc_id").as("new_id")),
+        Seq("band_id", "sig"))
+      .select(col("old_id"), col("new_id"))
+      .distinct()
+    cand
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
+      .select(col("old_id"), col("new_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The LSH candidate-generation core: group rows by `bucketCols`,
     * then expand id-ordered pairs WITHIN each bucket. One shuffle keyed
     * by the bucket; `maxBucket` caps any degenerate bucket's quadratic

@@ -79,6 +79,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact k-nearest-neighbor GRAPH: the top-k neighbors of EVERY
+    * corpus vector — the kNN-graph build behind graph-based dedup,
+    * clustering and label propagation, where the "queries" are the
+    * whole corpus and a broadcast query table is impossible.
+    *
+    * Same block-partitioned tile join as
+    * [[Dedup.embeddingNearDupsBlocked]]: each unordered pair is scored
+    * once on its (block_i, block_j) tile via an EQUI-join on the tile
+    * key (never a `vec_id < vec_id` nested loop), then exploded into
+    * both directions and ranked per query with one window. Per-task
+    * memory is bounded by the block size and `blocks` scales with the
+    * corpus; the O(n²) scoring is what EXACT kNN costs — approximate
+    * builds swap the tile join for [[lshTopK]]/[[ivfTopK]] candidates
+    * and keep the identical ranking tail.
+    */
+  def knnGraphBlocked(corpus: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val q = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val blockPairs = (0 until blocks)
+      .flatMap(i => (i until blocks).map(j => (i, j))).toDF("bi", "bj")
+    val left = q.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("l_id"),
+        col("q").as("l_q"), col("nrm").as("l_nrm"))
+    val right = q.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("vec_id").as("r_id"),
+        col("q").as("r_q"), col("nrm").as("r_nrm"))
+    val scoredPairs = left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+      .select(col("l_id"), col("r_id"),
+        qcosinePre(col("l_q"), col("r_q"), col("l_nrm"), col("r_nrm")).as("cosine"))
+    val directed = scoredPairs.select(explode(array(
+        struct(col("l_id").as("q_id"), col("r_id").as("n_id"), col("cosine")),
+        struct(col("r_id").as("q_id"), col("l_id").as("n_id"), col("cosine")))).as("e"))
+      .select(col("e.q_id"), col("e.n_id"), col("e.cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: a coarse quantizer of `cells` centroids partitions
     * the corpus into inverted lists; each query scans only its `probes`
     * nearest cells.

@@ -56,6 +56,44 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** Gopher-style HARD document filters (Rae et al. 2021 §A1.1 shape):
+    * each rule is a pass/fail gate with its evidence column, and
+    * `passes_all` is the keep decision a cleaning pipeline filters on —
+    * the hard-cut complement to [[qualityScore]]'s soft score.
+    *
+    * Every rule is an INTEGER comparison (ratios cross-multiplied), so
+    * the flags are bit-reproducible in any engine — no float thresholds.
+    * Thresholds are the standard ones adapted to this corpus's
+    * single-space text: 50..100k words, mean word length in [3, 10],
+    * >= 2% stopwords, >= 50% distinct words, no word longer than 20.
+    * Scale shape: a pure per-row projection — zero shuffles, runs at
+    * scan speed like the rest of the text layer.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    // tokens are single-space separated: total token chars = len - (n-1)
+    val charSum = (length(col("text")) - nTok + 1).cast("long")
+    val nStop = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "in", "to", "is"))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val maxTokLen = coalesce(array_max(transform(toks, t => length(t))), lit(0))
+      .cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nTok >= 50 && nTok <= 100000).as("r_word_count"),
+      (charSum >= nTok * 3 && charSum <= nTok * 10).as("r_mean_word_len"),
+      (nStop * 50 >= nTok).as("r_stopword_frac"),
+      (nDistinct * 2 >= nTok).as("r_distinct_frac"),
+      (maxTokLen <= 20).as("r_max_word_len"),
+      (nTok >= 50 && nTok <= 100000 &&
+        charSum >= nTok * 3 && charSum <= nTok * 10 &&
+        nStop * 50 >= nTok &&
+        nDistinct * 2 >= nTok &&
+        maxTokLen <= 20).as("passes_all"))
+  }
+
   /** Character-bigram language ID. Each language has a small profile of
     * marker bigrams; the prediction is the argmax with a fixed
     * preference order on ties (en > de > es > zh). On real text the

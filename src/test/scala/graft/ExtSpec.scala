@@ -169,6 +169,55 @@ class ExtSpec extends SparkSpec {
       s"cap must apply before aggregation:\n$lp")
   }
 
+  test("blocked kNN graph equals per-query brute force for every vector") {
+    val rnd = new scala.util.Random(7)
+    val e = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraphBlocked(e, k = 4, blocks = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // reference: brute force with the whole corpus as the query set
+    val brute = Similarity.bruteForceTopK(e, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(graph == brute)
+    assert(graph.map(_._1).size * 4 == graph.size) // k rows per vector
+  }
+
+  test("incremental LSH pairs a new batch against the corpus only") {
+    val olds = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight",
+      3L -> "totally unrelated words nothing shared here at all")
+    val news = docsDf(
+      101L -> "alpha beta gamma delta epsilon zeta eta",   // near-copy of 1
+      102L -> "fresh content with no match in the corpus xyzzy")
+    val r = Dedup.minhashLshIncremental(olds, news).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 101L)))
+    // direction contract: old ids on the left, batch ids on the right
+    assert(r.forall { case (o, n) => o < 100L && n >= 100L })
+  }
+
+  test("gopher rules: each gate trips on its own boundary; clean doc passes all") {
+    val fifty = (1 to 50).map(i => s"tok$i").mkString(" ")          // 50 distinct words
+    val good = ((1 to 46).map(i => s"tok$i") ++ Seq("the", "of", "and", "in")).mkString(" ")
+    val d = Seq(
+      (1L, good),                                  // passes everything
+      (2L, (1 to 49).map(i => s"tok$i").mkString(" ")), // 49 words: r_word_count
+      (3L, Seq.fill(50)("the").mkString(" ")),     // all same: r_distinct_frac (stopword ok)
+      (4L, fifty),                                 // zero stopwords: r_stopword_frac
+      (5L, (fifty + " " + "x" * 25)),              // 25-char word: r_max_word_len
+      (6L, (1 to 50).map(_ => "ab").mkString(" ")) // mean len 2: r_mean_word_len
+    ).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getBoolean(7), r(1).toString)      // passes_all
+    assert(!r(2).getBoolean(2) && !r(2).getBoolean(7)) // r_word_count
+    assert(!r(3).getBoolean(5) && !r(3).getBoolean(7)) // r_distinct_frac
+    assert(!r(4).getBoolean(4) && !r(4).getBoolean(7)) // r_stopword_frac
+    assert(!r(5).getBoolean(6) && !r(5).getBoolean(7)) // r_max_word_len
+    assert(!r(6).getBoolean(3) && !r(6).getBoolean(7)) // r_mean_word_len
+  }
+
   test("brute-force top-k ranks by cosine, deterministic tie-break") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),                      // query
