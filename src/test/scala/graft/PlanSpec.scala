@@ -89,6 +89,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_qdot"), s"native dot product not in plan:\n$p")
   }
 
+  test("knn_graph_blocked scores pairs through the tile equi-join, ranks with one window") {
+    val p = q("knn_graph_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN graph must stay block-partitioned:\n$p")
+    assert(p.contains("graft_qdot"), s"native dot product not in plan:\n$p")
+    assert(p.contains("Window"), s"expected the per-query ranking window:\n$p")
+  }
+
+  test("incremental LSH joins the two signature frames on the bucket key") {
+    val p = q("dedup_incremental_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join:\n$p")
+    assert(p.contains("graft_jaccard"), s"native jaccard verify not in plan:\n$p")
+  }
+
   test("broadcast_join keeps the fact side shuffle-free before aggregation") {
     val p = q("broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
