@@ -379,9 +379,10 @@ object Queries4 {
 
     // plain window: each median is consumed once and the histogram is
     // persisted, so the fan-out cost of the chunked prefix sum (three
-    // input reads per call) outweighs its parallelism here; a deployment
-    // with millions of distinct values per group swaps this for
-    // Scale.chunkedCumSum exactly as feature_binning_deciles does
+    // input reads per call) outweighs its parallelism here — measured
+    // same-run at sf0.1: plain 3.6 s vs chunked-both-medians 7.3 s. A
+    // deployment with millions of distinct values per group swaps this
+    // for Scale.chunkedCumSum exactly as feature_binning_deciles does
     def medianOfHist(hist: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy("l_returnflag").orderBy("v")
       hist.withColumn("cum", sum(col("c")).over(w))
