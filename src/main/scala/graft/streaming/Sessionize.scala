@@ -119,6 +119,83 @@ object Sessionize {
       }
       .start()
 
+  /** NEAR-dup incremental ingest — the streaming twin of
+    * [[graft.ext.Dedup.minhashLshIncremental]]: each micro-batch is
+    * (1) near-dup-collapsed within itself (keep the lowest id of every
+    * verified pair), (2) probed against a PERSISTED signature index of
+    * everything already ingested — one equi-join on (band_id, sig),
+    * exact-Jaccard verify against the stored shingle sets — and
+    * (3) appended to the gold table, with the survivors' signatures
+    * and shingles appended to the index.
+    *
+    * The index is two parquet tables under `indexDir`: `sigs`
+    * (doc_id, band_id, sig) — the only thing the candidate probe
+    * reads — and `sh` (doc_id, sh), read column-pruned for the
+    * verified candidates only. Probe cost per batch scales with
+    * |batch| × bucket collisions, never |corpus|²; at warehouse scale
+    * `sigs` is a bucketed table on (band_id, sig) making the probe
+    * exchange-free ([[graft.ext.Scale.writeBucketed]]).
+    */
+  def nearDupIngest(
+      docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ext.TextPrimitives._
+        graft.functions.GraftFunctions.register(spark)
+        val sigsDir = s"$indexDir/sigs"
+        val shDir = s"$indexDir/sh"
+        val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
+        val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+        // (1) in-batch collapse: lowest id of each verified pair wins
+        val inBatchDrop = graft.ext.Dedup
+          .minhashLsh(batch.toDF(), k, bands, rowsPerBand, threshold)
+          .select(col("b_id").as("doc_id")).distinct()
+        val kept = batch.toDF().join(inBatchDrop, Seq("doc_id"), "left_anti")
+
+        val sh = kept.select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+          .withColumn("shh", shingleHashes(col("sh")))
+          .persist()
+        def bandSigs(frame: DataFrame): DataFrame = frame.select(col("doc_id"),
+          posexplode(array((0 until bands).map(b =>
+            bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
+            .as(Seq("band_id", "sig")))
+
+        // (2) probe the corpus index: candidates by bucket, exact verify
+        val dupIds =
+          if (fs.exists(sigsPath)) {
+            val cand = spark.read.parquet(sigsDir)
+              .withColumnRenamed("doc_id", "old_id")
+              .join(bandSigs(sh).withColumnRenamed("doc_id", "new_id"),
+                Seq("band_id", "sig"))
+              .select(col("old_id"), col("new_id")).distinct()
+            cand
+              .join(spark.read.parquet(shDir)
+                .select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
+              .join(sh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
+              .filter(graft.functions.GraftFunctions
+                .jaccardNative(col("a_sh"), col("b_sh")) >= threshold)
+              .select(col("new_id").as("doc_id")).distinct()
+          } else kept.select(col("doc_id")).limit(0)
+
+        // (3) append survivors + their index material
+        val fresh = kept.join(dupIds, Seq("doc_id"), "left_anti").persist()
+        fresh.write.mode("append").parquet(outDir)
+        val freshSh = sh.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+          .persist()
+        freshSh.select("doc_id", "sh").write.mode("append").parquet(shDir)
+        bandSigs(freshSh).write.mode("append").parquet(sigsDir)
+        freshSh.unpersist()
+        fresh.unpersist()
+        sh.unpersist()
+        ()
+      }
+      .start()
+
   /** Gap-based sessions via the BUILT-IN `session_window` — the
     * declarative twin of [[sessions]]: Spark merges overlapping
     * per-event windows (ts, ts+gap] per key and closes a session when

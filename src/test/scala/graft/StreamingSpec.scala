@@ -89,6 +89,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest: batches filtered against the persisted signature index and themselves") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, String)]
+    val q = Sessionize.nearDupIngest(in.toDS().toDF("doc_id", "text"), out, idx, ckpt)
+    try {
+      in.addData(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+        2L -> "one two three four five six seven")
+      q.processAllAvailable()
+      in.addData(
+        11L -> "alpha beta gamma delta epsilon zeta eta", // near-copy of corpus doc 1
+        12L -> "completely fresh words appearing here only",
+        13L -> "red orange yellow green blue indigo violet",
+        14L -> "red orange yellow green blue indigo")      // in-batch near-copy of 13
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 12L, 13L))
+      // the index holds exactly the gold docs' signatures
+      val idxIds = spark.read.parquet(s"$idx/sigs").select("doc_id")
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      assert(idxIds == Seq(1L, 2L, 12L, 13L))
+    } finally q.stop()
+  }
+
   test("streaming skew monitor: merged per-batch counts feed Profile.skew exactly") {
     // incremental analytics duality: maintain running per-key counts in
     // a gold table via foreachBatch (partial counts are mergeable by
