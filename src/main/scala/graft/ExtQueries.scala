@@ -166,6 +166,17 @@ object ExtQueries {
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "dataset_card_stats" -> ((s, dir) =>
+      TextAnalysis.datasetCard(t(s, dir, "documents")).orderBy("lang", "source")),
+
+    // per-(label, dim) exact centroid sums — the cluster-health probe
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings")).orderBy("label", "dim")),
+
+    // majority-vote 5-NN labeling over the exact graph
+    "knn_classify_majority" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5).orderBy("vec_id")),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -485,6 +496,55 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "dataset_card_stats" ->
+      """SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "embedding_centroids" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+                  [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+           FROM embeddings),
+         x AS (
+           SELECT label,
+                  unnest([struct_pack(d := i, v := q[i + 1]) FOR i IN range(0, len(q))]) AS s
+           FROM q),
+         g AS (
+           SELECT label, CAST(s['d'] AS INT) AS dim,
+                  CAST(count(*) AS BIGINT) AS n_vecs,
+                  CAST(sum(s['v']) AS BIGINT) AS sum_q
+           FROM x GROUP BY 1, 2)
+         SELECT label, dim, n_vecs, sum_q,
+                CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q
+         FROM g ORDER BY label, dim""",
+
+    "knn_classify_majority" ->
+      s"""WITH q AS ($quantSql),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT q_id, n_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+           FROM scored),
+         votes AS (
+           SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes
+           FROM ranked JOIN lab ON ranked.n_id = lab.vec_id
+           WHERE rnk <= 5 GROUP BY 1, 2),
+         win AS (
+           SELECT q_id, label, n_votes,
+                  row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS r
+           FROM votes)
+         SELECT q_id AS vec_id, label AS predicted_label, n_votes
+         FROM win WHERE r = 1 ORDER BY vec_id""",
 
     "text_gopher_rules" ->
       """WITH d AS (

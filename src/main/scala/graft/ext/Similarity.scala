@@ -124,6 +124,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-label centroid statistics over the quantized embedding space:
+    * one row per (label, dimension) with the exact integer coordinate
+    * sum, vector count, and the mean coordinate (one final double
+    * division — IEEE-deterministic given exact inputs). The cluster
+    * health probe for a labeled corpus: drifting or smeared centroids
+    * show up as coordinate-sum shifts, and the exact-integer
+    * accumulation makes the output engine-reproducible.
+    *
+    * Scale shape: posexplode fans each vector into dim rows map-side,
+    * then ONE partial-aggregated shuffle keyed (label, dim) —
+    * |labels|·|dims| output rows regardless of corpus size.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    Scale.widen(embeddings)
+      .select(col("label"), posexplode(quantized(col("embedding"))).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qv")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
+
+  /** k-NN majority-vote classification: every vector is labeled by the
+    * majority label among its `k` exact nearest neighbors (ties broken
+    * toward the smaller label, fully deterministic). Built on
+    * [[knnGraphBlocked]] — the classic "label the unlabeled pool from
+    * its neighborhood" step of semi-supervised data curation; swap the
+    * exact graph for [[lshTopK]] candidates at approximate scale.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+    val labels = embeddings.select(col("vec_id").as("n_id"), col("label"))
+    val votes = knnGraphBlocked(embeddings, k, blocks)
+      .join(labels, Seq("n_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("predicted_label"),
+        col("n_votes"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `cells` centroids partitions
     * the corpus into inverted lists; each query scans only its `probes`
     * nearest cells.

@@ -56,6 +56,23 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** Dataset-card rollup: the per-(lang, source) datasheet a corpus
+    * release ships — document counts, byte volume, exact-duplicate
+    * rate, id range. One partial-aggregated shuffle keyed by the
+    * (low-cardinality) slice columns; the countDistinct is the only
+    * memory pressure and at 100 TB swaps for the HLL sketch
+    * (approx_distinct_hll) with the same output shape.
+    */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_texts"))
+
   /** Gopher-style HARD document filters (Rae et al. 2021 §A1.1 shape):
     * each rule is a pass/fail gate with its evidence column, and
     * `passes_all` is the keep decision a cleaning pipeline filters on —

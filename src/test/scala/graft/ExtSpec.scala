@@ -218,6 +218,45 @@ class ExtSpec extends SparkSpec {
     assert(!r(6).getBoolean(3) && !r(6).getBoolean(7)) // r_mean_word_len
   }
 
+  test("label centroids: exact per-dimension sums and counts") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.5f), 0), (2L, Array(3.0f, -0.5f), 0),
+      (3L, Array(0.0f, 2.0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(e).orderBy("label", "dim").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3))).toSeq
+    // quantized 1e6 fixed point: label 0 sums (4.0, 0.0), label 1 (0.0, 2.0)
+    assert(r == Seq((0, 0, 2L, 4000000L), (0, 1, 2L, 0L),
+      (1, 0, 1L, 0L), (1, 1, 1L, 2000000L)))
+  }
+
+  test("kNN majority vote labels by neighborhood; ties break to the smaller label") {
+    // 0 sits among three label-1 vectors and two label-2s: majority 1
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.99f, 0.01f), 1), (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.97f, 0.03f), 1),
+      (4L, Array(0.96f, 0.04f), 2), (5L, Array(0.95f, 0.05f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val byId = Similarity.knnClassify(e, k = 5, blocks = 3).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(byId(0L) == (1, 3L))
+    // vec 5's neighborhood is {0(9), 1(1), 2(1), 3(1), 4(2)}: majority 1
+    assert(byId(5L)._1 == 1)
+  }
+
+  test("dataset card counts exact duplicates per slice") {
+    val d = Seq(
+      (1L, "same text", "en", "web"), (2L, "same text", "en", "web"),
+      (3L, "other", "en", "web"), (4L, "same text", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.ext.TextAnalysis.datasetCard(d).orderBy("lang", "source").collect()
+    val en = r.find(_.getString(0) == "en").get
+    assert(en.getLong(2) == 3L && en.getLong(4) == 2L && en.getLong(7) == 1L,
+      en.toString) // 3 docs, 2 distinct, 1 exact dup
+    val de = r.find(_.getString(0) == "de").get
+    assert(de.getLong(2) == 1L && de.getLong(7) == 0L)
+  }
+
   test("brute-force top-k ranks by cosine, deterministic tie-break") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),                      // query
