@@ -169,6 +169,28 @@ object ExtQueries {
     "dataset_card_stats" -> ((s, dir) =>
       TextAnalysis.datasetCard(t(s, dir, "documents")).orderBy("lang", "source")),
 
+    // α=0.5 temperature mixing weights per language (√n in exact ppm)
+    "mixture_weights" -> ((s, dir) =>
+      TrainPrep.mixtureWeights(t(s, dir, "documents")).orderBy("lang")),
+
+    // duplicate-cluster-size distribution from the exact-dedup groups:
+    // how much of the corpus is singletons vs 2x vs k-fold copies.
+    // Seeded with VARYING multiplicity (all docs once, every 2nd doc
+    // again, every 4th doc again) so the histogram has real shape.
+    "dup_size_histogram" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.exact(corpus)
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy("n_copies")
+    }),
+
     // per-(label, dim) exact centroid sums — the cluster-health probe
     "embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings")).orderBy("label", "dim")),
@@ -496,6 +518,30 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "mixture_weights" ->
+      """WITH per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+           FROM documents GROUP BY 1)
+         SELECT lang, n_docs,
+                CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM per) AS BIGINT) AS raw_ppm,
+                CAST(s * 1000000 // (SELECT sum(s) FROM per) AS BIGINT) AS weight_ppm
+         FROM per ORDER BY lang""",
+
+    "dup_size_histogram" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0),
+         groups AS (
+           SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+           FROM corpus GROUP BY 1)
+         SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_copies) AS BIGINT) AS n_docs
+         FROM groups GROUP BY 1 ORDER BY n_copies""",
 
     "dataset_card_stats" ->
       """SELECT lang, source,

@@ -99,4 +99,23 @@ object TrainPrep {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Temperature-resampling mixture weights (α = 0.5): per slice,
+    * weight ∝ √n normalized to ppm — the standard multilingual
+    * data-mixing recipe that upsamples small languages relative to
+    * their raw share. Exact arithmetic: `floor(sqrt(bigint))` is
+    * deterministic (IEEE sqrt is correctly rounded; counts < 2^53 are
+    * exact doubles) and the normalization is an integer DIV. The
+    * whole computation runs over the |slices|-row aggregate, so the
+    * corpus pays one partial-aggregated count shuffle and nothing
+    * else.
+    */
+  def mixtureWeights(docs: DataFrame, sliceCol: String = "lang"): DataFrame = {
+    val per = docs.groupBy(col(sliceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    per
+      .withColumn("raw_ppm", expr("n_docs * 1000000 div (sum(n_docs) over ())"))
+      .withColumn("weight_ppm", expr("s * 1000000 div (sum(s) over ())"))
+      .drop("s")
+  }
 }
