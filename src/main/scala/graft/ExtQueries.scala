@@ -173,6 +173,10 @@ object ExtQueries {
     "mixture_weights" -> ((s, dir) =>
       TrainPrep.mixtureWeights(t(s, dir, "documents")).orderBy("lang")),
 
+    // 32-word windows, stride 16 — the pretrain/RAG chunker
+    "text_chunk_windows" -> ((s, dir) =>
+      TrainPrep.chunkWindows(t(s, dir, "documents")).orderBy("doc_id", "chunk_id")),
+
     // duplicate-cluster-size distribution from the exact-dedup groups:
     // how much of the corpus is singletons vs 2x vs k-fold copies.
     // Seeded with VARYING multiplicity (all docs once, every 2nd doc
@@ -518,6 +522,23 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "text_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         n AS (SELECT doc_id, w,
+                 CASE WHEN len(w) <= 32 THEN 1
+                      ELSE 1 + (len(w) - 32 + 15) // 16 END AS nc
+               FROM d),
+         x AS (SELECT doc_id,
+                 unnest([struct_pack(cid := i,
+                          txt := array_to_string(w[i*16 + 1 : i*16 + 32], ' '))
+                         FOR i IN range(0, CAST(nc AS INT))]) AS s
+               FROM n)
+         SELECT doc_id,
+                CAST(s['cid'] AS INT) AS chunk_id,
+                s['txt'] AS chunk_text,
+                CAST(len(string_split(s['txt'], ' ')) AS INT) AS n_words
+         FROM x ORDER BY doc_id, chunk_id""",
 
     "mixture_weights" ->
       """WITH per AS (

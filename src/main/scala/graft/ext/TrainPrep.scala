@@ -100,6 +100,33 @@ object TrainPrep {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Fixed-window document chunking with overlap — the pretraining /
+    * retrieval prep step that turns documents into length-bounded
+    * training (or index) units: window `w` words, stride `s`, last
+    * window clamped to the document end. Chunk count is
+    * `1 + ceil((len - w) / s)` (one chunk for docs of ≤ `w` words), so
+    * consecutive chunks overlap by `w - s` words and every word is in
+    * at least one chunk.
+    *
+    * Pure per-row explode — zero shuffles, scan-speed like the rest of
+    * the text layer; chunk ids are deterministic (doc_id, offset), so
+    * re-runs and retries produce identical units.
+    */
+  def chunkWindows(docs: DataFrame, w: Int = 32, s: Int = 16): DataFrame = {
+    require(w >= 1 && s >= 1 && s <= w, s"need 1 <= stride <= window, got w=$w s=$s")
+    val words = tokens(col("text"))
+    val n = size(words)
+    val nChunks = when(n <= w, lit(1L))
+      .otherwise(lit(1L) + expr(s"(size(split(text, ' ')) - $w + $s - 1) div $s"))
+    docs
+      .select(col("doc_id"), words.as("_w"), nChunks.as("_nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("_nc") - 1), i =>
+          concat_ws(" ", slice(col("_w"), (i * s).cast("int") + 1, lit(w)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_words", size(split(col("chunk_text"), " ")))
+  }
+
   /** Temperature-resampling mixture weights (α = 0.5): per slice,
     * weight ∝ √n normalized to ppm — the standard multilingual
     * data-mixing recipe that upsamples small languages relative to

@@ -218,6 +218,23 @@ class ExtSpec extends SparkSpec {
     assert(!r(6).getBoolean(3) && !r(6).getBoolean(7)) // r_mean_word_len
   }
 
+  test("chunk windows: clamped last chunk, full overlap coverage, short-doc passthrough") {
+    import graft.ext.TrainPrep
+    val words40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words40), (2L, "just five little words here")).toDF("doc_id", "text")
+    val r = TrainPrep.chunkWindows(d, w = 32, s = 16).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getInt(3)))
+    val doc1 = r.filter(_._1 == 1L).sortBy(_._2)
+    // 40 words, w=32, s=16: chunks at offsets 0 and 16 (clamped to 24 words)
+    assert(doc1.map(_._2).toSeq == Seq(0, 1))
+    assert(doc1(0)._4 == 32 && doc1(1)._4 == 24)
+    assert(doc1(0)._3.startsWith("w1 ") && doc1(1)._3.startsWith("w17 "))
+    assert(doc1(1)._3.endsWith(" w40"))
+    // short doc: one chunk, verbatim
+    val doc2 = r.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2(0)._3 == "just five little words here")
+  }
+
   test("label centroids: exact per-dimension sums and counts") {
     val e = Seq(
       (1L, Array(1.0f, 0.5f), 0), (2L, Array(3.0f, -0.5f), 0),
