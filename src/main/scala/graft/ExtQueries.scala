@@ -177,6 +177,42 @@ object ExtQueries {
     "text_chunk_windows" -> ((s, dir) =>
       TrainPrep.chunkWindows(t(s, dir, "documents")).orderBy("doc_id", "chunk_id")),
 
+    // near-dup incidence per language: which slices carry the
+    // duplication (drives slice-targeted dedup budgets). Docs counted
+    // once however many pairs they appear in; rate in exact ppm.
+    "near_dup_rate_by_slice" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val corpus = corpusWithNearCopies(s, dir)
+      val pairs = Dedup.minhashLsh(corpus)
+      val dupDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+        // near-copies carry +1e6 ids; attribute them to the original doc
+        .select(pmod(col("doc_id"), lit(1000000L)).as("doc_id"))
+        .distinct()
+      meta.join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
+        .withColumn("dup_ppm", expr("n_near_dup * 1000000 div n_docs"))
+        .orderBy("lang")
+    }),
+
+    // per-label vector QC: exact integer self-dot extrema/sums — norm
+    // drift and zero-vector detection without any float accumulation
+    "embedding_norm_stats" -> ((s, dir) => {
+      import graft.ext.TextPrimitives._
+      val e = t(s, dir, "embeddings")
+      graft.functions.GraftFunctions.register(s)
+      e.select(col("label"),
+          graft.functions.GraftFunctions.qdotNative(
+            quantized(col("embedding")), quantized(col("embedding"))).as("d2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .orderBy("label")
+    }),
+
     // duplicate-cluster-size distribution from the exact-dedup groups:
     // how much of the corpus is singletons vs 2x vs k-fold copies.
     // Seeded with VARYING multiplicity (all docs once, every 2nd doc
@@ -522,6 +558,43 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "near_dup_rate_by_slice" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (SELECT a_id, b_id FROM cand WHERE $jaccardSql >= 0.5),
+         dup AS (
+           SELECT DISTINCT doc_id % 1000000 AS doc_id
+           FROM (SELECT a_id AS doc_id FROM pairs
+                 UNION ALL SELECT b_id FROM pairs)),
+         flagged AS (
+           SELECT d.lang, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(is_dup) AS BIGINT) AS n_near_dup,
+                CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         FROM flagged GROUP BY 1 ORDER BY lang""",
+
+    "embedding_norm_stats" ->
+      """WITH q AS (
+           SELECT label,
+                  [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+           FROM embeddings),
+         d AS (SELECT label,
+                 list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)]) AS d2
+               FROM q)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2,
+                CAST(sum(d2) AS BIGINT) AS sum_d2
+         FROM d GROUP BY 1 ORDER BY label""",
 
     "text_chunk_windows" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
