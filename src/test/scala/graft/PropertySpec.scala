@@ -320,4 +320,65 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id") + 1000000L).toSet
     assert(expected.subsetOf(found), s"missing: ${expected -- found}")
   }
+
+  test("chunk windows: every word covered, overlaps consistent, reassembly exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 30L).map { i =>
+      val n = 1 + rnd.nextInt(90)
+      (i, (1 to n).map(j => s"d${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (w, s) = (32, 16)
+    val chunks = graft.ext.TrainPrep.chunkWindows(docs, w, s).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val words = text.split(" ").toSeq
+      val got = chunks(id)
+      // stride-S prefixes: chunk i starts at word i*S and has <= W words
+      got.zipWithIndex.foreach { case (c, i) =>
+        val expectWords = words.slice(i * s, i * s + w)
+        assert(c.split(" ").toSeq == expectWords, s"doc $id chunk $i")
+      }
+      // coverage: the last chunk reaches the end of the document
+      assert(got.last.split(" ").last == words.last, s"doc $id tail")
+      // chunk count formula
+      val expected = if (words.length <= w) 1 else 1 + (words.length - w + s - 1) / s
+      assert(got.length == expected, s"doc $id count")
+    }
+  }
+
+  test("mixture weights: ppm columns bounded, ordering preserved, √n compression") {
+    val r = SparkEntry.queries("mixture_weights")(spark, sf("sf0.001")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // integer-DIV normalization can only undershoot ppm totals
+    assert(r.map(_._3).sum <= 1000000L && r.map(_._4).sum <= 1000000L)
+    assert(r.map(_._3).sum >= 1000000L - r.length && r.map(_._4).sum >= 1000000L - r.length)
+    // √ compression: every slice's weight share moves TOWARD uniform
+    val sorted = r.sortBy(_._2)
+    sorted.foreach { case (_, _, raw, wppm) =>
+      val uniform = 1000000L / r.length
+      assert((wppm - uniform).abs <= (raw - uniform).abs + 1,
+        s"temperature must compress toward uniform: raw=$raw w=$wppm")
+    }
+    // monotone: more docs never means a smaller weight
+    sorted.sliding(2).foreach {
+      case Array((_, n1, _, w1), (_, n2, _, w2)) =>
+        assert(n1 > n2 || w1 <= w2 + 1, s"monotonicity: ($n1,$w1) vs ($n2,$w2)")
+      case _ => ()
+    }
+  }
+
+  test("kNN graph ranks are a permutation prefix: k rows per vector, ranks 1..k, no self") {
+    val rows = SparkEntry.queries("knn_graph_blocked")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to 3).toSeq)
+      assert(g.map(_._2).distinct.length == 3)
+    }
+    assert(rows.forall { case (q, n, _) => q != n })
+  }
 }
