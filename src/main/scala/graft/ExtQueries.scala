@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, GraphOps, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
 
 /** Extension-layer query registry: the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal, event
@@ -195,6 +195,25 @@ object ExtQueries {
           sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
         .withColumn("dup_ppm", expr("n_near_dup * 1000000 div n_docs"))
         .orderBy("lang")
+    }),
+
+    // 3-iteration integer PageRank over the part co-purchase graph
+    // (same support>=2 edges as graph_triangle_count)
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks, (x, i) ->
+               transform(slice(pks, i + 2, size(pks) - i - 1), y -> struct(x AS ea, y AS eb))))"""))
+          .as("e"))
+        .select(col("e.ea"), col("e.eb"))
+        .groupBy(col("ea"), col("eb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("ea"), col("eb"))
+      GraphOps.pageRank(edges, iterations = 3).orderBy("node")
     }),
 
     // per-label vector QC: exact integer self-dot extrema/sums — norm
@@ -582,6 +601,33 @@ object ExtQueries {
                 CAST(sum(is_dup) AS BIGINT) AS n_near_dup,
                 CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
          FROM flagged GROUP BY 1 ORDER BY lang""",
+
+    "graph_pagerank" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         edges AS (
+           SELECT a.pk AS ea, b.pk AS eb
+           FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT ea AS src, eb AS dst FROM edges
+                 UNION ALL SELECT eb, ea FROM edges),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         c0 AS (SELECT r0.node AS src, r0.r // deg.deg AS share
+                FROM r0 JOIN deg ON r0.node = deg.src),
+         r1 AS (SELECT sym.dst AS node,
+                  CAST(150000 + (85 * sum(share)) // 100 AS BIGINT) AS r
+                FROM sym JOIN c0 USING (src) GROUP BY 1),
+         c1 AS (SELECT r1.node AS src, r1.r // deg.deg AS share
+                FROM r1 JOIN deg ON r1.node = deg.src),
+         r2 AS (SELECT sym.dst AS node,
+                  CAST(150000 + (85 * sum(share)) // 100 AS BIGINT) AS r
+                FROM sym JOIN c1 USING (src) GROUP BY 1),
+         c2 AS (SELECT r2.node AS src, r2.r // deg.deg AS share
+                FROM r2 JOIN deg ON r2.node = deg.src),
+         r3 AS (SELECT sym.dst AS node,
+                  CAST(150000 + (85 * sum(share)) // 100 AS BIGINT) AS r
+                FROM sym JOIN c2 USING (src) GROUP BY 1)
+         SELECT node, r AS rank_ppm FROM r3 ORDER BY node""",
 
     "embedding_norm_stats" ->
       """WITH q AS (

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge-list DataFrames — the
+  * companion family to the connected-components labeling in [[Dedup]]
+  * (dupClustersStar) and the co-purchase triangle counting in the
+  * relational layer.
+  */
+object GraphOps {
+
+  /** PageRank over an UNDIRECTED edge list (`ea`, `eb`), in EXACT
+    * integer arithmetic so the result is engine-reproducible: ranks
+    * are scaled to ppm-of-uniform (every node starts at 1,000,000) and
+    * one iteration is
+    *
+    *   r'(v) = 150000 + (85 · Σ_{u∈N(v)} (r(u) div deg(u))) div 100
+    *
+    * i.e. damping 0.85 with the classic (1−d) teleport term, all
+    * divisions integer (deterministic truncation — both operands are
+    * non-negative, so Spark's `div` and an ANSI `//` agree). Fixed
+    * iteration count: rank queries want a deterministic answer, and
+    * 3–5 iterations already order hubs correctly on bounded-diameter
+    * co-occurrence graphs; convergence-driven stopping belongs to the
+    * caller loop (same localCheckpoint pattern as dupClustersStar).
+    *
+    * Scale shape per iteration: one broadcast-or-shuffle join of the
+    * rank table onto the out-degree table (|V| rows), one equi-join of
+    * shares onto the symmetric edge list keyed by src, one
+    * partial-aggregated shuffle keyed by dst. Lineage is truncated
+    * every iteration, so plans stay flat at any iteration count.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = edges.select(col("ea").as("src"), col("eb").as("dst"))
+      .unionByName(edges.select(col("eb").as("src"), col("ea").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iterations) {
+      val shares = rank.join(deg, rank("node") === deg("src"))
+        .select(col("node").as("src"), expr("r div deg").as("share"))
+      // every node of a symmetric edge list has at least one in-edge,
+      // so the dst-keyed aggregate covers all of V — no dangling fixup
+      rank = sym.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("in_sum"))
+        .select(col("node"), expr("150000 + (85 * in_sum) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    deg.unpersist()
+    sym.unpersist()
+    rank.select(col("node"), col("r").as("rank_ppm"))
+  }
+}

@@ -235,6 +235,25 @@ class ExtSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2(0)._3 == "just five little words here")
   }
 
+  test("integer pagerank: hub outranks leaves, ranks deterministic, mass bounded") {
+    import graft.ext.GraphOps
+    // star (hub 0, leaves 1..5) + a disjoint 2-cycle
+    val edges = ((1L to 5L).map(l => (0L, l)) ++ Seq((10L, 11L))).toDF("ea", "eb")
+    val r = GraphOps.pageRank(edges, iterations = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r.size == 8)
+    (1L to 5L).foreach(l => assert(r(0L) > r(l), s"hub must outrank leaf $l"))
+    // symmetric 2-cycle nodes are at the uniform fixed point
+    assert(r(10L) == r(11L))
+    // integer truncation only loses mass: total <= |V| * 1e6
+    assert(r.values.sum <= 8L * 1000000L)
+    assert(r.values.forall(_ >= 150000L))
+    // determinism across re-evaluation
+    val r2 = GraphOps.pageRank(edges, iterations = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == r2)
+  }
+
   test("label centroids: exact per-dimension sums and counts") {
     val e = Seq(
       (1L, Array(1.0f, 0.5f), 0), (2L, Array(3.0f, -0.5f), 0),
