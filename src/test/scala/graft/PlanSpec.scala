@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 5, s"too many scans ($scans) — correlation not aggregated:\n$p")
   }
 
+  test("multimodal: metadata-only queries prune the payload column out of the parquet scan") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    graft.ext.Multimodal.fromDocuments(
+        graft.sources.Tables.load(spark, sf("sf0.001"), "documents"))
+      .write.mode("overwrite").parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .groupBy("media_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("declared_w").as("w_sum")))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("payload"),
+      s"metadata-only query must never read the payload bytes:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
