@@ -312,6 +312,9 @@ object ExtQueries {
     "events_window_agg" -> ((s, dir) =>
       Events.windowAgg(t(s, dir, "events")).orderBy("window_start_us", "event_type")),
 
+    "events_hourly_baseline" -> ((s, dir) =>
+      Events.hourlyBaseline(t(s, dir, "events")).orderBy("event_type", "hod")),
+
     // row-level data diff of `orders` against a deterministically
     // perturbed copy: ~1% rows dropped (removed), ~1% totalprice
     // bumped (changed), ~1% re-keyed copies (added)
@@ -1150,6 +1153,23 @@ object ExtQueries {
            CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
            CAST(sum(value_cents) AS BIGINT) AS value_cents
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "events_hourly_baseline" ->
+      """WITH e AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hod,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         g AS (
+           SELECT event_type, CAST(hod AS BIGINT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents
+           FROM e GROUP BY 1, 2)
+         SELECT event_type, hod, n_events, sum_cents,
+                CAST(sum_cents // n_events AS BIGINT) AS avg_cents,
+                CAST(n_events * 1000000 //
+                  (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT) AS share_ppm
+         FROM g ORDER BY event_type, hod""",
 
     "events_window_agg" ->
       """WITH e AS (

@@ -120,4 +120,22 @@ object Events {
       .groupBy("window_start_us", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("value_cents").as("value_cents"))
   }
+
+  /** Seasonal hour-of-day baseline per event type: volume, exact cent
+    * sums, the integer-DIV mean, and each hour's share of its type's
+    * traffic in ppm — the reference table an alerting pipeline compares
+    * live hours against. Hour-of-day from integer microseconds
+    * (timezone-free, no timestamp rounding); one partial-aggregated
+    * shuffle on (type, hod) + a 24-row-per-type window.
+    */
+  def hourlyBaseline(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        pmod(expr("(ts div 1000) div 3600000000"), lit(24L)).as("hod"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n_events"))
+      .withColumn("share_ppm", expr(
+        "n_events * 1000000 div (sum(n_events) over (partition by event_type))"))
 }
