@@ -166,6 +166,13 @@ object ExtQueries {
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // frequency-ranked vocab (+<unk>=0) and per-doc ordered id arrays
+    "tokens_to_ids" -> ((s, dir) =>
+      TrainPrep.tokensToIds(t(s, dir, "documents")).orderBy("doc_id")),
+
     "dataset_card_stats" -> ((s, dir) =>
       TextAnalysis.datasetCard(t(s, dir, "documents")).orderBy("lang", "source")),
 
@@ -734,6 +741,36 @@ object ExtQueries {
            FROM votes)
          SELECT q_id AS vec_id, label AS predicted_label, n_votes
          FROM win WHERE r = 1 ORDER BY vec_id""",
+
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, md5(norm_text) AS norm_hash
+         FROM n ORDER BY doc_id""",
+
+    "tokens_to_ids" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest([struct_pack(p := i - 1, t := w[i])
+                          FOR i IN range(1, len(w) + 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         tp AS (SELECT doc_id, CAST(s['p'] AS INT) AS pos, s['t'] AS tok FROM toks),
+         freq AS (
+           SELECT tok, count(*) AS n FROM tp WHERE len(tok) > 0 GROUP BY 1),
+         vocab AS (
+           SELECT tok, tok_id FROM (
+             SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS tok_id
+             FROM freq) WHERE tok_id <= 1000)
+         SELECT tp.doc_id,
+                array_to_string(list(coalesce(v.tok_id, 0) ORDER BY tp.pos), ',')
+                  AS token_ids_csv,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         FROM tp LEFT JOIN vocab v ON tp.tok = v.tok
+         GROUP BY tp.doc_id ORDER BY tp.doc_id""",
 
     "text_gopher_rules" ->
       """WITH d AS (

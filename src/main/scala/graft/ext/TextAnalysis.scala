@@ -56,6 +56,20 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** Canonical text normalization — the form every exact-dedup /
+    * fingerprint pass should hash: lowercase, strip non-alphanumerics,
+    * collapse whitespace runs, trim. Ships the canonical md5 alongside
+    * so `exact`-style dedup can group on it directly. Pure projection,
+    * scan speed; the regex class is ASCII-explicit so any RE2/Java
+    * engine normalizes identically.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+      md5(norm).as("norm_hash"))
+  }
+
   /** Dataset-card rollup: the per-(lang, source) datasheet a corpus
     * release ships — document counts, byte volume, exact-duplicate
     * rate, id range. One partial-aggregated shuffle keyed by the

@@ -127,6 +127,46 @@ object TrainPrep {
       .withColumn("n_words", size(split(col("chunk_text"), " ")))
   }
 
+  /** Tokens → vocabulary ids: build the top-`vocabSize` vocabulary by
+    * corpus frequency (ties broken lexicographically — deterministic),
+    * then re-encode every document as its ordered id sequence with
+    * out-of-vocabulary tokens mapped to id 0 (<unk>; in-vocab ids start
+    * at 1, frequency-ranked). The tokenize-to-ids step of a training
+    * pipeline as pure relational ops: explode with position, broadcast
+    * vocab join, re-assemble ordered arrays — no UDF, no driver-side
+    * vocab dictionary.
+    *
+    * Scale: the vocab is a top-k aggregate (partial map-side counts,
+    * one shuffle of |distinct tokens| rows) and broadcasts; the corpus
+    * pays one explode + broadcast probe + one (doc_id)-keyed
+    * re-assembly shuffle.
+    */
+  def tokensToIds(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("tok_id", row_number().over(w).cast("long"))
+      .filter(col("tok_id") <= vocabSize)
+      .select(col("tok"), col("tok_id"))
+    val pos = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    pos
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        // CSV-joined (the oracle-portable sequence encoding): arrays
+        // don't survive the driver's row-sort hash compare
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tok_id"), lit(0L)).as("tok_id")))), s => s("tok_id")),
+          ",").as("token_ids_csv"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_unk"))
+  }
+
   /** Temperature-resampling mixture weights (α = 0.5): per slice,
     * weight ∝ √n normalized to ppm — the standard multilingual
     * data-mixing recipe that upsamples small languages relative to
