@@ -142,14 +142,19 @@ object TrainPrep {
     * re-assembly shuffle.
     */
   def tokensToIds(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — each
+    // partition contributes its local top-k, no global sort), THEN the
+    // rank window over only the vocabSize survivors. Ranking all
+    // distinct tokens with an unpartitioned window would put the whole
+    // vocabulary through one task.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("tok"))
     val vocab = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
       .withColumn("tok_id", row_number().over(w).cast("long"))
-      .filter(col("tok_id") <= vocabSize)
       .select(col("tok"), col("tok_id"))
     val pos = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
