@@ -31,7 +31,10 @@ object GraphOps {
     * partial-aggregated shuffle keyed by dst. Lineage is truncated
     * every iteration, so plans stay flat at any iteration count.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val sym = edges.select(col("ea").as("src"), col("eb").as("dst"))
       .unionByName(edges.select(col("eb").as("src"), col("ea").as("dst")))
@@ -39,7 +42,7 @@ object GraphOps {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val shares = rank.join(deg, rank("node") === deg("src"))
         .select(col("node").as("src"), expr("r div deg").as("share"))
       // every node of a symmetric edge list has at least one in-edge,
@@ -48,8 +51,16 @@ object GraphOps {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("in_sum"))
         .select(col("node"), expr("150000 + (85 * in_sum) div 100").as("r"))
-        .localCheckpoint(true)
+      // lineage truncation is only needed when plans would grow deep —
+      // each eager localCheckpoint costs a full job, so a short fixed
+      // run composes lazily and long runs truncate periodically
+      if (i % checkpointEvery == 0 && i < iterations)
+        rank = rank.localCheckpoint(true)
     }
+    // ONE final materialization: the returned frame must not depend on
+    // the caches being unpersisted below (the lazy tail would silently
+    // recompute the whole edge subtree per downstream action)
+    rank = rank.localCheckpoint(true)
     deg.unpersist()
     sym.unpersist()
     rank.select(col("node"), col("r").as("rank_ppm"))
