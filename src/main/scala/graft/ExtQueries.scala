@@ -223,6 +223,23 @@ object ExtQueries {
       GraphOps.pageRank(edges, iterations = 3).orderBy("node")
     }),
 
+    // embedding coverage QC: which docs lack a vector (per lang, ppm)
+    // and how many vectors are orphaned — the join-health check before
+    // any embedding-dependent stage
+    "embedding_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+      val covered = d.join(e.withColumnRenamed("vec_id", "doc_id")
+        .withColumn("has_vec", lit(1L)), Seq("doc_id"), "left")
+      val perLang = covered.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0L))).as("n_with_vec"))
+        .withColumn("coverage_ppm", expr("n_with_vec * 1000000 div n_docs"))
+      val orphans = e.join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_vecs"))
+      perLang.crossJoin(orphans).orderBy("lang")
+    }),
+
     // per-label vector QC: exact integer self-dot extrema/sums — norm
     // drift and zero-vector detection without any float accumulation
     "embedding_norm_stats" -> ((s, dir) => {
@@ -638,6 +655,22 @@ object ExtQueries {
                   CAST(150000 + (85 * sum(share)) // 100 AS BIGINT) AS r
                 FROM sym JOIN c2 USING (src) GROUP BY 1)
          SELECT node, r AS rank_ppm FROM r3 ORDER BY node""",
+
+    "embedding_coverage" ->
+      """WITH cov AS (
+           SELECT d.lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(e.vec_id) AS BIGINT) AS n_with_vec
+           FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+           GROUP BY 1),
+         orph AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_orphan_vecs
+           FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.doc_id IS NULL)
+         SELECT lang, n_docs, n_with_vec,
+                CAST(n_with_vec * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+                orph.n_orphan_vecs
+         FROM cov, orph ORDER BY lang""",
 
     "embedding_norm_stats" ->
       """WITH q AS (
