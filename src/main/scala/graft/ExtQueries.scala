@@ -339,6 +339,10 @@ object ExtQueries {
     "events_hourly_baseline" -> ((s, dir) =>
       Events.hourlyBaseline(t(s, dir, "events")).orderBy("event_type", "hod")),
 
+    "events_hourly_anomalies" -> ((s, dir) =>
+      Events.hourlyAnomalies(t(s, dir, "events"))
+        .orderBy("event_type", "day", "hod")),
+
     // row-level data diff of `orders` against a deterministically
     // perturbed copy: ~1% rows dropped (removed), ~1% totalprice
     // bumped (changed), ~1% re-keyed copies (added)
@@ -1223,6 +1227,25 @@ object ExtQueries {
            CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
            CAST(sum(value_cents) AS BIGINT) AS value_cents
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "events_hourly_anomalies" ->
+      """WITH cells AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+         base AS (
+           SELECT event_type, hod,
+                  CAST(sum(n) AS BIGINT) AS base_total,
+                  CAST(count(*) AS BIGINT) AS n_days
+           FROM cells GROUP BY 1, 2)
+         SELECT c.event_type, c.day, c.hod, c.n,
+                CAST(base_total // n_days AS BIGINT) AS baseline_n,
+                CAST(c.n * n_days * 1000000 // base_total AS BIGINT) AS ratio_ppm,
+                (c.n * n_days * 100 > 150 * base_total) AS is_anomaly
+         FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
+         ORDER BY c.event_type, c.day, c.hod""",
 
     "events_hourly_baseline" ->
       """WITH e AS (

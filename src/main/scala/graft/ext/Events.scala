@@ -121,6 +121,36 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum("value_cents").as("value_cents"))
   }
 
+  /** Live hours vs the seasonal baseline: each calendar (type, day,
+    * hour) cell compared against its type's hour-of-day mean volume,
+    * deviation flagged when the cell exceeds `thresholdPct`% of the
+    * baseline — the alerting join [[hourlyBaseline]] feeds. All
+    * arithmetic cross-multiplied integers: cell_n · n_days · 100 is
+    * compared against threshold · baseline_total, so no division at
+    * all on the flag path and the deviation ratio ships in exact ppm.
+    *
+    * Scale: one (type, day, hour) aggregate over the stream, one
+    * (type, hod) baseline aggregate (24·|types| rows, broadcast), one
+    * broadcast join. n_days is per (type, hod) — days where that hour
+    * had any traffic — so the mean is over OBSERVED cells, robust to
+    * partial first/last days.
+    */
+  def hourlyAnomalies(events: DataFrame, thresholdPct: Int = 150): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        pmod(expr("(ts div 1000) div 3600000000"), lit(24L)).as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val baseline = cells.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("n")).as("base_total"), count(lit(1)).as("n_days"))
+    cells.join(broadcast(baseline), Seq("event_type", "hod"))
+      .select(col("event_type"), col("day"), col("hod"), col("n"),
+        expr("base_total div n_days").as("baseline_n"),
+        expr("n * n_days * 1000000 div base_total").as("ratio_ppm"),
+        expr(s"n * n_days * 100 > $thresholdPct * base_total").as("is_anomaly"))
+  }
+
   /** Seasonal hour-of-day baseline per event type: volume, exact cent
     * sums, the integer-DIV mean, and each hour's share of its type's
     * traffic in ppm — the reference table an alerting pipeline compares
