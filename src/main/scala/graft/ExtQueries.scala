@@ -314,6 +314,20 @@ object ExtQueries {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(t(s, dir, "documents"))(s).orderBy("doc_id")),
 
+    // the 1-record -> N-frames flatMap expansion (video frame sampling /
+    // audio chunking shape); output projects each frame to (len, md5) so
+    // payload bytes never reach the result
+    "multimodal_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(t(s, dir, "documents")), n = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_index"),
+          length(col("frame_payload")).cast("long").as("n_bytes"),
+          md5(col("frame_payload")).as("frame_md5"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events")).orderBy("user_id", "session_id")),
 
@@ -1166,6 +1180,22 @@ object ExtQueries {
           AND a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 3
          ORDER BY name_a, name_b""",
+
+    "multimodal_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         f AS (
+           SELECT doc_id,
+                  unnest([struct_pack(i := i,
+                           s := substr(text, CAST((len * i) // 4 AS INT) + 1,
+                                 CAST((len * (i + 1)) // 4 AS INT)
+                                   - CAST((len * i) // 4 AS INT)))
+                          FOR i IN range(0, 4)]) AS fr
+           FROM d)
+         SELECT doc_id,
+                CAST(fr['i'] AS INT) AS frame_index,
+                CAST(length(fr['s']) AS BIGINT) AS n_bytes,
+                md5(fr['s']) AS frame_md5
+         FROM f ORDER BY doc_id, frame_index""",
 
     "multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,
