@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, GraphOps, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
@@ -356,6 +357,113 @@ object ExtQueries {
     "events_hourly_anomalies" -> ((s, dir) =>
       Events.hourlyAnomalies(t(s, dir, "events"))
         .orderBy("event_type", "day", "hod")),
+
+    // per-user load Gini per event type, in EXACT rational arithmetic
+    // (numerator/denominator longs + a ppm quotient) — the partition-
+    // balance metric that decides whether a key needs salting. The
+    // classic rank-weighted formula runs over the VALUE HISTOGRAM
+    // (distinct count -> frequency), not the raw per-user rows: a run
+    // of f tied users at count c occupying ranks [start..end]
+    // contributes c*((start+end)-(n+1))*f with start+end = 2*cum-f+1,
+    // so the rank window scans |distinct counts| rows, never |users| —
+    // the same histogram trick as robust_mad_outliers. At 100 TB the
+    // only full-data shuffle is the (event_type, user_id) count.
+    "events_user_gini" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val hist = cnt.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("f"))
+      val byC = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val all = Window.partitionBy(col("event_type"))
+      hist
+        .withColumn("cum", sum(col("f")).over(byC))
+        .withColumn("n", sum(col("f")).over(all))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_users"),
+          sum(col("c") * col("f")).as("total_events"),
+          sum(col("c") * col("f") * (col("cum") * 2 - col("f") - col("n")))
+            .as("gini_num"))
+        .withColumn("gini_den", expr("n_users * total_events"))
+        .withColumn("gini_ppm", expr("gini_num * 1000000 div gini_den"))
+        .orderBy("event_type")
+    }),
+
+    // deterministic capped sampling: at most 10 docs per source, chosen
+    // by an md5 priority so the sample is stable under any partitioning
+    // and any re-run — the "cap boilerplate domains" step of corpus
+    // curation. One shuffle keyed by source; the per-source window
+    // never sees more rows than the source has docs.
+    "sample_cap_per_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("pri",
+          md5(concat(lit("smp|"), col("doc_id").cast("string"))))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    }),
+
+    // eval-split novelty: which 8-grams of the held-out docs never occur
+    // in the training split, per language — the leakage/overlap dual of
+    // `decontamination` (that key flags train docs; this one grades the
+    // eval set). Grams join on their md5 so only 32-char digests
+    // shuffle, never the 8-word strings.
+    "ngram_novelty_by_lang" -> ((s, dir) => {
+      import graft.ext.TextPrimitives._
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(shingles(tokens(col("text")), 8)).as("g"))
+        .select(col("doc_id"), col("lang"), md5(col("g")).as("gh"))
+      val evalG = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("lang"), col("gh")).distinct()
+      val trainG = grams.filter(col("doc_id") % 20 =!= 0)
+        .select(col("gh")).distinct().withColumn("seen", lit(1L))
+      evalG.join(trainG, Seq("gh"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_eval_grams"))
+        .orderBy("lang")
+    }),
+
+    // LSH recall calibration against the planted near-dup pairs: for
+    // each (original, near-copy) pair, how many of the 4 bands agree.
+    // bands_agree=0 rows are pairs candidate generation MISSES — the
+    // measured recall knob behind the bands×rows choice (more bands =
+    // more recall, more shuffle). Null-safe equality so shingle-less
+    // docs (both signatures NULL) count as colliding, matching the
+    // bucket join which groups NULL signatures together.
+    "lsh_band_calibration" -> ((s, dir) => {
+      import graft.ext.TextPrimitives._
+      // ONE shingling pass over the corpus (md5 dominates this key's
+      // cost), then ONE shuffle keyed by the pair id: each (original,
+      // near-copy) pair reunites in a 2-row group whose sides are
+      // pulled apart with max(when(side, band)) — a self-join here
+      // would shingle the corpus twice for the same histogram.
+      val bandCols = (0 until 4).map(b =>
+        bandFromHashes(col("shh"), b * 3, 3).as(s"b$b"))
+      val bands = corpusWithNearCopies(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .withColumn("shh", shingleHashes(col("sh")))
+        .select(col("doc_id") +: bandCols: _*)
+        .select(pmod(col("doc_id"), lit(1000000L)).as("pair_id"),
+          (col("doc_id") < 1000000L).as("is_orig"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+      val sides = (0 until 4).flatMap(b => Seq(
+        max(when(col("is_orig"), col(s"b$b"))).as(s"o$b"),
+        max(when(!col("is_orig"), col(s"b$b"))).as(s"c$b")))
+      bands.groupBy(col("pair_id"))
+        .agg(sides.head, sides.tail: _*)
+        .select((0 until 4).map(b =>
+            (col(s"o$b") <=> col(s"c$b")).cast("long")).reduce(_ + _)
+          .as("bands_agree"))
+        .groupBy(col("bands_agree"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bands_agree")
+    }),
 
     // row-level data diff of `orders` against a deterministically
     // perturbed copy: ~1% rows dropped (removed), ~1% totalprice
@@ -1276,6 +1384,70 @@ object ExtQueries {
                 (c.n * n_days * 100 > 150 * base_total) AS is_anomaly
          FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
          ORDER BY c.event_type, c.day, c.hod""",
+
+    "events_user_gini" ->
+      """WITH cnt AS (
+           SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+         h AS (SELECT event_type, c, count(*) AS f FROM cnt GROUP BY 1, 2),
+         k AS (
+           SELECT event_type, c, f,
+                  sum(f) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                  sum(f) OVER (PARTITION BY event_type) AS n
+           FROM h)
+         SELECT event_type,
+                CAST(max(n) AS BIGINT) AS n_users,
+                CAST(sum(c * f) AS BIGINT) AS total_events,
+                CAST(sum(c * f * (cum * 2 - f - n)) AS BIGINT) AS gini_num,
+                CAST(max(n) * sum(c * f) AS BIGINT) AS gini_den,
+                CAST(sum(c * f * (cum * 2 - f - n)) * 1000000
+                     // (max(n) * sum(c * f)) AS BIGINT) AS gini_ppm
+         FROM k GROUP BY 1 ORDER BY 1""",
+
+    "sample_cap_per_source" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+                  md5('smp|' || CAST(doc_id AS VARCHAR)) AS pri
+           FROM documents),
+         r AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+           FROM h)
+         SELECT source, rn, doc_id FROM r WHERE rn <= 10 ORDER BY source, rn""",
+
+    "ngram_novelty_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+                  unnest([md5(array_to_string(w[i+1:i+8], ' '))
+                          FOR i IN range(0, greatest(len(w) - 7, 0))]) AS gh
+           FROM t),
+         e AS (SELECT DISTINCT lang, gh FROM g WHERE doc_id % 20 = 0),
+         tr AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 <> 0)
+         SELECT lang, count(*) AS n_eval_grams,
+                CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) * 1000000
+                     // count(*) AS BIGINT) AS novelty_ppm
+         FROM e LEFT JOIN tr ON e.gh = tr.gh
+         GROUP BY lang ORDER BY lang""",
+
+    "lsh_band_calibration" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh0 AS ($shinglesSql),
+         b AS (
+           SELECT doc_id, ${bandSql(0)} AS b0, ${bandSql(3)} AS b1,
+                  ${bandSql(6)} AS b2, ${bandSql(9)} AS b3
+           FROM sh0),
+         o AS (SELECT * FROM b WHERE doc_id < 1000000),
+         c AS (SELECT doc_id - 1000000 AS doc_id, b0 AS c0, b1 AS c1,
+                      b2 AS c2, b3 AS c3
+               FROM b WHERE doc_id >= 1000000)
+         SELECT bands_agree, count(*) AS n_pairs FROM (
+           SELECT CAST(o.b0 IS NOT DISTINCT FROM c.c0 AS BIGINT)
+                + CAST(o.b1 IS NOT DISTINCT FROM c.c1 AS BIGINT)
+                + CAST(o.b2 IS NOT DISTINCT FROM c.c2 AS BIGINT)
+                + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
+           FROM o JOIN c USING (doc_id))
+         GROUP BY 1 ORDER BY 1""",
 
     "events_hourly_baseline" ->
       """WITH e AS (

@@ -202,4 +202,56 @@ class Queries4Spec extends SparkSpec {
       .select(col("o_custkey")).distinct().count()
     assert(total == nCust, s"segments cover $total of $nCust customers")
   }
+
+  test("user gini: exact rational bounds hold and the rank window scans the histogram") {
+    val rows = q("events_user_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tot, num, den, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(den == n * tot, s"${r.getString(0)}: den != n_users*total_events")
+      // 0 <= G <= (n-1)/n for non-negative counts
+      assert(num >= 0 && num * n <= den * (n - 1), s"${r.getString(0)}: G out of range")
+      assert(ppm == num * 1000000L / den)
+    }
+    // the window must consume the (event_type, c) histogram aggregate,
+    // never per-user rows — same shape contract as vocab_coverage
+    val p = plan(q("events_user_gini"))
+    val t0 = tree(p)
+    val windowPos = t0.indexOf("Window")
+    assert(windowPos >= 0 && t0.lastIndexOf("HashAggregate") > windowPos,
+      s"rank window must sit above the histogram aggregate:\n$p")
+  }
+
+  test("capped sampling: at most 10 per source, exactly min(10, |source|), stable priorities") {
+    val docs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val perSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("sample_cap_per_source").collect()
+    assert(got.forall(_.getInt(1) <= 10))
+    val gotPerSource = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    perSource.foreach { case (s0, n) =>
+      assert(gotPerSource(s0) == math.min(10L, n), s"$s0: wrong sample size")
+    }
+  }
+
+  test("ngram novelty: novel grams never exceed eval grams; ppm consistent") {
+    q("ngram_novelty_by_lang").collect().foreach { r =>
+      val (ev, nov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nov >= 0 && nov <= ev)
+      assert(ppm == nov * 1000000L / ev)
+    }
+  }
+
+  test("band calibration: histogram covers every planted pair, agreement in [0,4]") {
+    val rows = q("lsh_band_calibration").collect()
+    val nDocs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "every (original, near-copy) pair must land in exactly one bucket")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 4))
+    // near-copies (last two words dropped) should mostly still collide:
+    // the mass at bands_agree >= 1 is the measured candidate recall
+    val hit = rows.filter(_.getLong(0) >= 1).map(_.getLong(1)).sum
+    assert(hit * 10 >= nDocs * 9, s"candidate recall collapsed: $hit/$nDocs")
+  }
 }
