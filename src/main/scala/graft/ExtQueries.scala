@@ -24,6 +24,28 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** Part co-purchase edges (ea < eb, co-ordered in >= 2 orders): pair
+    * generation via in-order set expansion, NOT a self-join — one
+    * shuffle keyed by order collects each order's part set, id-ordered
+    * pairs explode in place. Per-order expansion is quadratic in ORDER
+    * SIZE (bounded ~40), never in table size. Shared by the pagerank /
+    * degree-histogram keys (same graph as graph_triangle_count).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+             transform(slice(pks, i + 2, size(pks) - i - 1), y -> struct(x AS ea, y AS eb))))"""))
+        .as("e"))
+      .select(col("e.ea"), col("e.eb"))
+      .groupBy(col("ea"), col("eb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("ea"), col("eb"))
+
   /** documents ∪ exact copies at doc_id+1e6. */
   private def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -207,22 +229,20 @@ object ExtQueries {
 
     // 3-iteration integer PageRank over the part co-purchase graph
     // (same support>=2 edges as graph_triangle_count)
-    "graph_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy(col("ok"))
-        .agg(sort_array(collect_set(col("pk"))).as("pks"))
-        .select(explode(expr(
-          """flatten(transform(pks, (x, i) ->
-               transform(slice(pks, i + 2, size(pks) - i - 1), y -> struct(x AS ea, y AS eb))))"""))
-          .as("e"))
-        .select(col("e.ea"), col("e.eb"))
-        .groupBy(col("ea"), col("eb"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("ea"), col("eb"))
-      GraphOps.pageRank(edges, iterations = 3).orderBy("node")
-    }),
+    "graph_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(coPurchaseEdges(s, dir), iterations = 3).orderBy("node")),
+
+    // degree distribution of the same co-purchase graph: the skew probe
+    // you run BEFORE any per-node graph algorithm (a hub with degree
+    // 10^6 is what breaks the naive triangle/CC join). Two tiny
+    // aggregations over the edge list; the histogram is |distinct
+    // degrees| rows however large the graph.
+    "graph_degree_hist" -> ((s, dir) =>
+      coPurchaseEdges(s, dir)
+        .select(explode(array(col("ea"), col("eb"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
 
     // embedding coverage QC: which docs lack a vector (per lang, ppm)
     // and how many vectors are orphaned — the join-health check before
@@ -463,6 +483,67 @@ object ExtQueries {
         .groupBy(col("bands_agree"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("bands_agree")
+    }),
+
+    // paragraph-surrogate exact dedup: non-overlapping 32-word chunks
+    // over the corpus with planted exact copies, chunk-hash multiplicity
+    // histogram — the C4/RefinedWeb "drop repeated paragraphs" primitive
+    // at chunk granularity. Only md5 digests are ever grouped; chunk
+    // text stays in the map side.
+    "dedup_paragraph_exact" -> ((s, dir) =>
+      TrainPrep.chunkWindows(corpusWithCopies(s, dir), w = 32, s = 32)
+        .select(md5(col("chunk_text")).as("ch"))
+        .groupBy(col("ch")).agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies")).agg(count(lit(1)).as("n_chunks"))
+        .orderBy("n_copies")),
+
+    // source×lang contingency with the exact independence ratio in ppm
+    // (observed * total * 1e6 div (rowTotal * colTotal)) — the mixture-
+    // design screen for "does this source over-represent a language".
+    // Marginals broadcast; only the cell aggregation shuffles.
+    "source_lang_contingency" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cell = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val bySource = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      cell
+        .join(broadcast(bySource), Seq("source"))
+        .join(broadcast(byLang), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n"), col("n_source"),
+          col("n_lang"),
+          expr("n * n_total * 1000000 div (n_source * n_lang)").as("ratio_ppm"))
+        .orderBy("source", "lang")
+    }),
+
+    // per-(type, day) exact median inter-arrival gap via the histogram-
+    // median pattern. The lag window partitions by (type, day) — never
+    // by type alone, which would funnel a whole event type through one
+    // task at cluster scale; the day boundary gap is dropped, the
+    // standard partition-and-stitch tradeoff.
+    "events_interarrival_median" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("t_us"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      val byTime = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t_us"), col("event_id"))
+      val gaps = e
+        .withColumn("gap", col("t_us") - lag(col("t_us"), 1).over(byTime))
+        .filter(col("gap").isNotNull)
+      val hist = gaps.groupBy(col("event_type"), col("day"), col("gap"))
+        .agg(count(lit(1)).as("c"))
+      val byGap = Window.partitionBy(col("event_type"), col("day")).orderBy(col("gap"))
+      val all = Window.partitionBy(col("event_type"), col("day"))
+      hist
+        .withColumn("cum", sum(col("c")).over(byGap))
+        .withColumn("n", sum(col("c")).over(all))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("gap")))
+            .as("median_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy("event_type", "day")
     }),
 
     // row-level data diff of `orders` against a deterministically
@@ -1448,6 +1529,70 @@ object ExtQueries {
                 + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
            FROM o JOIN c USING (doc_id))
          GROUP BY 1 ORDER BY 1""",
+
+    "dedup_paragraph_exact" ->
+      s"""WITH corpus AS ($corpusSql),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         nck AS (SELECT doc_id, w,
+                  CASE WHEN len(w) <= 32 THEN 1
+                       ELSE 1 + (len(w) - 32 + 31) // 32 END AS nc
+                 FROM tok),
+         ch AS (SELECT unnest([md5(array_to_string(w[i*32+1:i*32+32], ' '))
+                              FOR i IN range(0, nc)]) AS ch
+                FROM nck),
+         mult AS (SELECT ch, count(*) AS n_copies FROM ch GROUP BY 1)
+         SELECT CAST(n_copies AS BIGINT) AS n_copies,
+                count(*) AS n_chunks
+         FROM mult GROUP BY 1 ORDER BY 1""",
+
+    "source_lang_contingency" ->
+      """WITH cell AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         bys AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+         byl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM documents)
+         SELECT cell.source, cell.lang, CAST(n AS BIGINT) AS n,
+                CAST(n_source AS BIGINT) AS n_source,
+                CAST(n_lang AS BIGINT) AS n_lang,
+                CAST(n * n_total * 1000000 // (n_source * n_lang) AS BIGINT)
+                  AS ratio_ppm
+         FROM cell JOIN bys USING (source) JOIN byl USING (lang) CROSS JOIN tot
+         ORDER BY source, lang""",
+
+    "events_interarrival_median" ->
+      """WITH e AS (
+           SELECT event_type, event_id, epoch_us(ts) AS t_us,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         gaps AS (
+           SELECT event_type, day,
+                  t_us - lag(t_us) OVER (PARTITION BY event_type, day
+                    ORDER BY t_us, event_id) AS gap
+           FROM e),
+         h AS (SELECT event_type, day, gap, count(*) AS c
+               FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2, 3),
+         k AS (
+           SELECT event_type, day, gap, c,
+                  sum(c) OVER (PARTITION BY event_type, day ORDER BY gap) AS cum,
+                  sum(c) OVER (PARTITION BY event_type, day) AS n
+           FROM h)
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+                CAST(max(n) AS BIGINT) AS n_gaps,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS BIGINT)
+                  AS median_gap_us,
+                CAST(max(gap) AS BIGINT) AS max_gap_us
+         FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "graph_degree_hist" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         edges AS (
+           SELECT a.pk AS ea, b.pk AS eb
+           FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         nodes AS (SELECT ea AS node FROM edges
+                   UNION ALL SELECT eb FROM edges),
+         deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+         SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+         FROM deg GROUP BY 1 ORDER BY 1""",
 
     "events_hourly_baseline" ->
       """WITH e AS (

@@ -243,6 +243,54 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: planted exact copies force even multiplicity everywhere") {
+    val rows = q("dedup_paragraph_exact").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    // the corpus is documents ∪ exact copies: every chunk occurs an
+    // even number of times (its doc's copy contributes the same chunks)
+    rows.foreach { case (nCopies, _) =>
+      assert(nCopies >= 2 && nCopies % 2 == 0, s"odd multiplicity $nCopies")
+    }
+  }
+
+  test("contingency cells reconstruct the source marginals exactly") {
+    val rows = q("source_lang_contingency").collect()
+    val cellSumBySource = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      assert(cellSumBySource(r.getString(0)) == r.getLong(3),
+        s"${r.getString(0)}: cells don't sum to n_source")
+    }
+    // doc-weighted mean of O/E is 1e6 * (1 + chi²/N) — always >= 1e6
+    // up to per-cell floor-division slack (< 1 ppm each)
+    val wMean = rows.map(r => r.getLong(2) * r.getLong(5)).sum /
+      rows.map(_.getLong(2)).sum
+    assert(wMean >= 999999, s"weighted mean ppm $wMean below the chi² floor")
+  }
+
+  test("interarrival gaps: median bounded by max; every in-day gap counted once") {
+    val rows = q("events_interarrival_median").collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "median > max")
+      assert(r.getLong(2) >= 1)
+    }
+    val events = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+    val nGroups = events.distinct().count()
+    val nEvents = events.count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nGroups,
+      "gap count must be events minus one per (type, day) group")
+  }
+
+  test("degree histogram satisfies the handshake lemma against the edge count") {
+    val hist = q("graph_degree_hist").collect()
+    val degreeMass = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    val nEdges = q("graph_triangle_count").collect()(0).getLong(0)
+    assert(degreeMass == 2 * nEdges,
+      s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
+  }
+
   test("band calibration: histogram covers every planted pair, agreement in [0,4]") {
     val rows = q("lsh_band_calibration").collect()
     val nDocs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents").count()
