@@ -485,6 +485,85 @@ object ExtQueries {
         .orderBy("bands_agree")
     }),
 
+    // changelog compaction (Debezium-style CDC apply): a deterministic
+    // change stream (updates on keys %7, deletes on keys %5, inserts at
+    // key+1e7 on keys %11) applied to the orders snapshot by
+    // last-writer-wins. ONE window keyed by the primary key resolves
+    // multi-change keys (%35 = update then delete -> deleted); the
+    // whole apply is a union + row_number, no per-op iteration. This is
+    // how a 100 TB table absorbs a day of CDC in one pass.
+    "changelog_compaction" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+        lit(0L).as("seq"), lit("B").as("op"))
+      val upd = base.filter(col("key") % 7 === 0)
+        .select(col("key"), col("cust"), (col("price_c") + 1000L).as("price_c"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val del = base.filter(col("key") % 5 === 0)
+        .select(col("key"), col("cust"), col("price_c"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("key") % 11 === 0)
+        .select((col("key") + 10000000L).as("key"), col("cust"),
+          (col("price_c") + 5L).as("price_c"), lit(1L).as("seq"), lit("I").as("op"))
+      val log = base.unionByName(upd).unionByName(del).unionByName(ins)
+      log
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("seq").desc, col("op"))))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("key"), col("cust"), col("price_c"), col("op").as("last_op"))
+        .orderBy("key")
+    }),
+
+    // per-source multimodal payload budget: the partition-planning
+    // numbers (total/max/median bytes, 128 MiB split count) a payload-
+    // aware reader needs BEFORE scheduling decode work — computed from
+    // metadata-width columns only, the binary payload itself never
+    // shuffles (same pruning contract as multimodal_features).
+    "multimodal_payload_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      val hist = d.groupBy(col("source"), col("n_bytes")).agg(count(lit(1)).as("c"))
+      val byBytes = Window.partitionBy(col("source")).orderBy(col("n_bytes"))
+      val all = Window.partitionBy(col("source"))
+      hist
+        .withColumn("cum", sum(col("c")).over(byBytes))
+        .withColumn("n", sum(col("c")).over(all))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_items"),
+          sum(col("n_bytes") * col("c")).as("total_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("n_bytes")))
+            .as("median_bytes"))
+        .withColumn("n_splits_128mb",
+          expr("(total_bytes + 134217727) div 134217728"))
+        .orderBy("source")
+    }),
+
+    // pairwise audience overlap between event types, exact Jaccard in
+    // ppm: per-user type sets are bounded (5 types), so pairs explode
+    // in place after ONE shuffle keyed by user — the coPurchaseEdges
+    // pattern; a distinct-frame self-join would shuffle twice.
+    "events_audience_overlap" -> ((s, dir) => {
+      val tu = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val pairs = tu.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+               transform(slice(ts, i + 2, size(ts) - i - 1), y -> struct(x AS ta, y AS tb))))"""))
+          .as("p"))
+        .select(col("p.ta"), col("p.tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_common"))
+      val totals = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(totals.select(col("event_type").as("ta"), col("n").as("n_a"))), Seq("ta"))
+        .join(broadcast(totals.select(col("event_type").as("tb"), col("n").as("n_b"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_common"), col("n_a"), col("n_b"),
+          expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jaccard_ppm"))
+        .orderBy("ta", "tb")
+    }),
+
     // paragraph-surrogate exact dedup: non-overlapping 32-word chunks
     // over the corpus with planted exact copies, chunk-hash multiplicity
     // histogram — the C4/RefinedWeb "drop repeated paragraphs" primitive
@@ -1529,6 +1608,60 @@ object ExtQueries {
                 + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
            FROM o JOIN c USING (doc_id))
          GROUP BY 1 ORDER BY 1""",
+
+    "changelog_compaction" ->
+      """WITH base AS (
+           SELECT o_orderkey AS key, o_custkey AS cust,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           FROM orders),
+         log AS (
+           SELECT key, cust, price_c, 0 AS seq, 'B' AS op FROM base
+           UNION ALL
+           SELECT key, cust, price_c + 1000, 1, 'U' FROM base WHERE key % 7 = 0
+           UNION ALL
+           SELECT key, cust, price_c, 2, 'D' FROM base WHERE key % 5 = 0
+           UNION ALL
+           SELECT key + 10000000, cust, price_c + 5, 1, 'I' FROM base WHERE key % 11 = 0),
+         last AS (
+           SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC, op) AS rn
+           FROM log)
+         SELECT key, cust, CAST(price_c AS BIGINT) AS price_c, op AS last_op
+         FROM last WHERE rn = 1 AND op <> 'D' ORDER BY key""",
+
+    "multimodal_payload_budget" ->
+      """WITH d AS (
+           SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+         h AS (SELECT source, n_bytes, count(*) AS c FROM d GROUP BY 1, 2),
+         k AS (
+           SELECT source, n_bytes, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY n_bytes) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS n
+           FROM h)
+         SELECT source, CAST(max(n) AS BIGINT) AS n_items,
+                CAST(sum(n_bytes * c) AS BIGINT) AS total_bytes,
+                CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN n_bytes END) AS BIGINT)
+                  AS median_bytes,
+                CAST((sum(n_bytes * c) + 134217727) // 134217728 AS BIGINT)
+                  AS n_splits_128mb
+         FROM k GROUP BY 1 ORDER BY 1""",
+
+    "events_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         p AS (
+           SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_common
+           FROM tu a JOIN tu b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+         SELECT ta, tb, CAST(n_common AS BIGINT) AS n_common,
+                CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+                CAST(n_common * 1000000 // (na.n + nb.n - n_common) AS BIGINT)
+                  AS jaccard_ppm
+         FROM p JOIN tot na ON p.ta = na.event_type
+                JOIN tot nb ON p.tb = nb.event_type
+         ORDER BY ta, tb""",
 
     "dedup_paragraph_exact" ->
       s"""WITH corpus AS ($corpusSql),

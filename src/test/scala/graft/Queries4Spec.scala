@@ -291,6 +291,45 @@ class Queries4Spec extends SparkSpec {
       s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
   }
 
+  test("changelog compaction: deletes win over updates, inserts survive, counts conserve") {
+    val rows = q("changelog_compaction").collect()
+    val baseKeys = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expected = baseKeys.count(_ % 5 != 0) + baseKeys.count(_ % 11 == 0)
+    assert(rows.length == expected, s"got ${rows.length}, want $expected")
+    rows.foreach { r =>
+      val (key, op) = (r.getLong(0), r.getString(3))
+      if (key < 10000000L) {
+        assert(key % 5 != 0, s"deleted key $key survived")
+        assert(op == (if (key % 7 == 0) "U" else "B"), s"key $key wrong op $op")
+      } else assert(op == "I" && (key - 10000000L) % 11 == 0)
+    }
+  }
+
+  test("payload budget: per-source byte totals reconcile with a direct scan") {
+    val rows = q("multimodal_payload_budget").collect()
+    val direct = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+      .groupBy(col("source"))
+      .agg(sum(length(encode(col("text"), "UTF-8")).cast("long")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == direct(r.getString(0)), s"${r.getString(0)}: bytes drift")
+      assert(r.getLong(4) <= r.getLong(3), "median > max")
+      assert(r.getLong(5) == (r.getLong(2) + 134217727L) / 134217728L)
+    }
+  }
+
+  test("audience overlap: intersection bounded by marginals, jaccard in [0, 1e6]") {
+    val rows = q("events_audience_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(na, nb))
+      assert(j >= 0 && j <= 1000000L)
+      assert(j == common * 1000000L / (na + nb - common))
+    }
+  }
+
   test("band calibration: histogram covers every planted pair, agreement in [0,4]") {
     val rows = q("lsh_band_calibration").collect()
     val nDocs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents").count()
