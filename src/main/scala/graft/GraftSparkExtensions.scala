@@ -28,5 +28,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // point-in-interval joins -> binned equi-joins, opt-in via
+    // spark.graft.rangeJoin.binWidth (see graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
   }
 }

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrite a point-in-interval theta join into a binned
+  * equi-join.
+  *
+  * A join whose only usable predicate is `p BETWEEN s AND e` has no
+  * equi keys, so Spark plans a BroadcastNestedLoopJoin (or a cartesian
+  * product) — O(n·m) comparisons, the classic interval-join scale
+  * cliff. The standard fix (implemented manually by
+  * [[graft.ext.RangeJoin.binnedIntervalJoin]], here applied
+  * automatically) overlays a grid of width `w`: the point side gets ONE
+  * bin `p div w`, the interval side explodes into its covered bins
+  * `[s div w .. e div w]`, the join becomes a hash join on the bin
+  * (plus any pre-existing equi keys), and the original range predicate
+  * remains as the residual filter. Each qualifying pair meets in
+  * exactly one bin — the point's — so no dedup is needed, and truncating
+  * division is monotone so the bin range always covers the point's bin
+  * (negative values included).
+  *
+  * Opt-in: set `spark.graft.rangeJoin.binWidth` (a positive long in the
+  * unit of the range columns) on the session; unset/0 disables the
+  * rewrite. Width tuning is the usual selectivity tradeoff: too small
+  * explodes many bins per interval, too large puts many candidates in a
+  * bin. Fires only on INNER joins with long-typed, deterministic,
+  * single-side point/bound expressions; idempotent via the `graft_bin`
+  * marker attributes it introduces.
+  */
+case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def binWidth: Long =
+    try session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong
+    catch { case _: NumberFormatException => 0L }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = binWidth
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.references.exists(_.name.startsWith("graft_bin")) =>
+        rewrite(j, left, right, cond, hint, w).getOrElse(j)
+    }
+  }
+
+  /** Normalized range conjunct: `point >= bound` (lower) or
+    * `point <= bound` (upper); strictness is irrelevant for coverage.
+    */
+  private case class RangeConj(point: Expression, bound: Expression, lower: Boolean)
+
+  private def rewrite(
+      j: Join,
+      left: LogicalPlan,
+      right: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint,
+      w: Long): Option[LogicalPlan] = {
+
+    def fromLeft(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def fromRight(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+    def usable(e: Expression) = e.deterministic && e.dataType == LongType
+
+    // orient every comparison conjunct as (point, bound, isLower) where
+    // point and bound sit on opposite sides of the join
+    def orient(a: Expression, b: Expression, aGeB: Boolean): Seq[RangeConj] =
+      if (usable(a) && usable(b) &&
+        ((fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))))
+        Seq(RangeConj(a, b, lower = aGeB), RangeConj(b, a, lower = !aGeB))
+      else Nil
+
+    def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+      case other     => Seq(other)
+    }
+    val conjuncts = splitConjuncts(cond)
+    val oriented = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => orient(a, b, aGeB = true)
+      case GreaterThan(a, b)        => orient(a, b, aGeB = true)
+      case LessThanOrEqual(a, b)    => orient(a, b, aGeB = false)
+      case LessThan(a, b)           => orient(a, b, aGeB = false)
+      case _                        => Nil
+    }
+
+    // find one point expression with BOTH a lower and an upper bound on
+    // the opposite side
+    val candidate = oriented.filter(_.lower).flatMap { lo =>
+      oriented.find(up => !up.lower && up.point.semanticEquals(lo.point) &&
+        // both bounds must come from the same (opposite) side
+        (fromLeft(lo.bound) == fromLeft(up.bound)))
+        .map(up => (lo.point, lo.bound, up.bound))
+    }.headOption
+
+    candidate.map { case (p, s, e) =>
+      val pointOnLeft = fromLeft(p)
+      def div(x: Expression) = new IntegralDivide(x, Literal(w))
+
+      val binP = Alias(div(p), "graft_bin_p")()
+      val binRange = AttributeReference("graft_bin_r", LongType)()
+      val sDiv = div(s)
+      val eDiv = div(e)
+      // empty intervals (s > e) yield no bins rather than tripping
+      // Sequence's direction check; the inner join drops them anyway.
+      // Sequence is TimeZoneAware — without an explicit zone it stays
+      // unresolved and fails the optimizer's plan validation.
+      val seq = new Sequence(sDiv, eDiv, Some(Literal(1L)))
+        .withTimeZone(session.sessionState.conf.sessionLocalTimeZone)
+      val bins = If(LessThanOrEqual(sDiv, eDiv), seq,
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+
+      val (pointPlan, rangePlan) =
+        if (pointOnLeft) (left, right) else (right, left)
+      val newPoint = Project(pointPlan.output :+ binP, pointPlan)
+      val newRange = Generate(Explode(bins), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(binRange),
+        child = rangePlan)
+
+      val binEq = EqualTo(binP.toAttribute, binRange)
+      val (newLeft, newRight) =
+        if (pointOnLeft) (newPoint, newRange) else (newRange, newPoint)
+      // keep every original conjunct: the range predicate is the
+      // residual filter, pre-existing equi keys stay equi keys
+      val newJoin = Join(newLeft, newRight, Inner, Some(And(cond, binEq)), hint)
+      Project(j.output, newJoin)
+    }
+  }
+}

@@ -247,4 +247,88 @@ class ExtensionsSpec extends SparkSpec {
       SparkEntry.queries("text_rolling_fingerprint")(spark, sf("sf0.001")).collect()
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("range-join binning rule: interval theta join becomes a hash join, results identical") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      // negatives, an empty interval (s > e), a null bound, varied widths
+      val points = Seq.tabulate(400)(i => (i.toLong, (i * 37 - 2000).toLong))
+        .toDF("pid", "p")
+      val ivals = (Seq.tabulate(50)(i =>
+        (i.toLong, Some((i * 211 - 3000).toLong), Some((i * 211 - 3000 + 40 * (i % 7)).toLong))) ++
+        Seq((90L, Some(500L), Some(100L)), (91L, None, Some(100L))))
+        .toDF("iid", "s", "e")
+      def joined = points.join(ivals,
+        points("p") >= ivals("s") && points("p") <= ivals("e"))
+
+      val naive = joined.collect().map(_.toSeq).toSet // rule off: BNLJ
+      val naivePlan = joined.queryExecution.executedPlan.toString
+      assert(naivePlan.contains("BroadcastNestedLoopJoin"), naivePlan)
+
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "100")
+      try {
+        val binnedPlan = joined.queryExecution.executedPlan.toString
+        assert(!binnedPlan.contains("BroadcastNestedLoopJoin") &&
+          !binnedPlan.contains("CartesianProduct"), binnedPlan)
+        assert(binnedPlan.contains("Generate explode"), binnedPlan)
+        assert(joined.collect().map(_.toSeq).toSet == naive,
+          "binned rewrite changed the join result")
+      } finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("range-join binning rule: equi keys survive, non-matching shapes left alone") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      val points = Seq.tabulate(300)(i => ((i % 5).toLong, i.toLong * 11))
+        .toDF("k", "p")
+      val ivals = Seq.tabulate(40)(i => ((i % 5).toLong, i.toLong * 80, i.toLong * 80 + 120))
+        .toDF("k", "s", "e")
+      def joined = points.join(ivals,
+        points("k") === ivals("k") && points("p") >= ivals("s") && points("p") <= ivals("e"))
+      val naive = joined.collect().map(_.toSeq).toSet
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "128")
+      try {
+        assert(joined.collect().map(_.toSeq).toSet == naive)
+        val p = joined.queryExecution.executedPlan.toString
+        // the pre-existing equi key k must still be a join key next to
+        // the bin — both appear in the hash-join key list
+        assert(p.contains("Generate explode"), p)
+        assert(!p.contains("BroadcastNestedLoopJoin"), p)
+        // a left outer interval join must NOT be rewritten (inner only)
+        val outer = points.join(ivals,
+          points("p") >= ivals("s") && points("p") <= ivals("e"), "left")
+        assert(outer.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        // non-long range columns are left alone
+        val strPts = Seq(("a", "m")).toDF("id", "v")
+        val strIv = Seq(("x", "a", "z")).toDF("iid", "lo", "hi")
+        val sJoin = strPts.join(strIv, strPts("v") >= strIv("lo") && strPts("v") <= strIv("hi"))
+        assert(sJoin.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+      } finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
