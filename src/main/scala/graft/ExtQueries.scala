@@ -24,6 +24,36 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** As-of oracle, shared by the composition key (`asof_join`) and the
+    * native-operator twin (`asof_join_native`): the window formulation
+    * IS the independent re-derivation both implementations must match.
+    */
+  private val asofJoinOracle =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                CAST(round(value * 100) AS BIGINT) AS value_cents
+         FROM events),
+       u AS (
+         SELECT user_id, ts_us, 0 AS side,
+                CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS BIGINT) AS l_value_cents,
+                event_id AS r_event_id, ts_us AS r_ts_us, value_cents AS r_value_cents
+         FROM e WHERE event_type = 'view'
+         UNION ALL
+         SELECT user_id, ts_us, 1, event_id, value_cents,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM e WHERE event_type = 'click'),
+       m AS (
+         SELECT *,
+           last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+           last_value(r_ts_us IGNORE NULLS) OVER w AS a_ts_us,
+           last_value(r_value_cents IGNORE NULLS) OVER w AS a_value_cents
+         FROM u WINDOW w AS (
+           PARTITION BY user_id ORDER BY ts_us, side ROWS UNBOUNDED PRECEDING))
+       SELECT l_event_id AS event_id, user_id, ts_us, l_value_cents AS value_cents,
+              a_event_id AS asof_event_id, a_ts_us AS asof_ts_us,
+              a_value_cents AS asof_value_cents
+       FROM m WHERE side = 1 ORDER BY event_id"""
+
   /** Part co-purchase edges (ea < eb, co-ordered in >= 2 orders): pair
     * generation via in-order set expansion, NOT a self-join — one
     * shuffle keyed by order collects each order's part set, id-ordered
@@ -699,6 +729,21 @@ object ExtQueries {
       val clicks = e.filter(col("event_type") === "click").drop("event_type")
       val views = e.filter(col("event_type") === "view").drop("event_type")
       AsOf.asofJoin(clicks, views, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_cents"),
+          col("asof_event_id"), col("asof_ts_us"), col("asof_value_cents"))
+        .orderBy("event_id")
+    }),
+
+    // the SAME as-of semantics through the custom Catalyst operator
+    // (AsOfJoinPlan -> AsOfJoinExec): one sort-merge pass, one buffered
+    // row of state per partition — oracle-pinned identical to asof_join
+    "asof_join_native" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("value_cents"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      AsOf.asofJoinNative(clicks, views, Seq("user_id"), "ts_us")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value_cents"),
           col("asof_event_id"), col("asof_ts_us"), col("asof_value_cents"))
         .orderBy("event_id")
@@ -1827,31 +1872,10 @@ object ExtQueries {
                 nearest_event_id, nearest_ts_us, nearest_value_cents
          FROM j WHERE rn = 1 ORDER BY event_id""",
 
-    "asof_join" ->
-      """WITH e AS (
-           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
-                  CAST(round(value * 100) AS BIGINT) AS value_cents
-           FROM events),
-         u AS (
-           SELECT user_id, ts_us, 0 AS side,
-                  CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS BIGINT) AS l_value_cents,
-                  event_id AS r_event_id, ts_us AS r_ts_us, value_cents AS r_value_cents
-           FROM e WHERE event_type = 'view'
-           UNION ALL
-           SELECT user_id, ts_us, 1, event_id, value_cents,
-                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-           FROM e WHERE event_type = 'click'),
-         m AS (
-           SELECT *,
-             last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
-             last_value(r_ts_us IGNORE NULLS) OVER w AS a_ts_us,
-             last_value(r_value_cents IGNORE NULLS) OVER w AS a_value_cents
-           FROM u WINDOW w AS (
-             PARTITION BY user_id ORDER BY ts_us, side ROWS UNBOUNDED PRECEDING))
-         SELECT l_event_id AS event_id, user_id, ts_us, l_value_cents AS value_cents,
-                a_event_id AS asof_event_id, a_ts_us AS asof_ts_us,
-                a_value_cents AS asof_value_cents
-         FROM m WHERE side = 1 ORDER BY event_id""",
+    "asof_join" -> asofJoinOracle,
+
+    // native-operator twin: identical semantics, identical oracle
+    "asof_join_native" -> asofJoinOracle,
 
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

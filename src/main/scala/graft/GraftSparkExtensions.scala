@@ -31,5 +31,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // point-in-interval joins -> binned equi-joins, opt-in via
     // spark.graft.rangeJoin.binWidth (see graft.plans.RangeJoinRule)
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+    // whole-operator as-of join (AsOfJoinPlan -> AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -63,6 +63,48 @@ object AsOf {
           rightPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** [[asofJoin]] as a NATIVE operator: same contract, same output
+    * schema, but planned through [[graft.plans.AsOfJoinPlan]] into the
+    * custom sort-merge [[graft.plans.AsOfJoinExec]] (one streaming
+    * merge pass per partition, one buffered row of state — no unioned
+    * null-padded frame, no window buffers). The strategy registers
+    * itself on the session idempotently, so this works on any session,
+    * extensions-injected or not. Spec-pinned equal to [[asofJoin]].
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.graft.Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // self-join hygiene the analyzer does for built-in joins: when both
+    // sides descend from the same scan they share exprIds, which breaks
+    // attribute binding inside the custom node — re-alias the right side
+    // with fresh ids
+    val rp =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val lk = keys.map(attr(lp, _))
+    val rk = keys.map(attr(rp, _))
+    require(lk.map(_.dataType) == rk.map(_.dataType), "key types must match")
+    val (lts, rts) = (attr(lp, tsCol), attr(rp, tsCol))
+    require(lts.dataType == rts.dataType, "ts types must match")
+    val payloadNames = right.columns.filterNot(keys.contains).toSeq
+    val payload = payloadNames.map(attr(rp, _))
+    val node = graft.plans.AsOfJoinPlan(lp, rp, lk, rk, lts, rts, payload)
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+      .toDF(left.columns.toSeq ++ payloadNames.map(n => s"$rightPrefix$n"): _*)
+  }
+
   /** Nearest-in-time variant: for each left row, the right row of the
     * same key minimizing |ts_right − ts_left|; exact ties (equal
     * distance both directions) resolve BACKWARD ("known at t" wins).

@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** The one `private[sql]` doorway graft needs: turning a hand-built
+  * [[LogicalPlan]] (e.g. [[graft.plans.AsOfJoinPlan]]) into a
+  * DataFrame. Spark offers no public constructor for this — every
+  * extension library that contributes whole logical operators ships
+  * the same bridge. Nothing else from the private API is touched.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session. */
+  def addStrategy(spark: SparkSession, s: org.apache.spark.sql.classic.Strategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
+}

@@ -248,6 +248,38 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native as-of join: custom operator equals the window composition, plan has AsOfJoin") {
+    import spark.implicits._
+    // edges: exact-ts tie (must match), no right row for a key, null
+    // keys (grouped, like the window's partitionBy), interleaved keys
+    val clicks = Seq(
+      (1L, Some(10L), 100L), (2L, Some(10L), 200L), (3L, Some(20L), 150L),
+      (4L, None, 50L), (5L, Some(30L), 400L))
+      .toDF("event_id", "user_id", "ts_us")
+    val views = Seq(
+      (11L, Some(10L), 100L), (12L, Some(10L), 180L), (13L, Some(40L), 10L),
+      (14L, None, 50L), (15L, Some(30L), 500L))
+      .toDF("event_id", "user_id", "ts_us")
+    val native = graft.ext.AsOf.asofJoinNative(clicks, views, Seq("user_id"), "ts_us")
+    val composed = graft.ext.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts_us")
+    assert(native.collect().map(_.toSeq).toSet == composed.collect().map(_.toSeq).toSet)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), s"native path must not plan a window:\n$p")
+    // exact-ts tie matched ("known at t"), no-match rows null-padded
+    val byId = native.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(byId(1L).contains(11L), "exact-ts view must match")
+    assert(byId(5L).isEmpty, "future-only view must not match")
+  }
+
+  test("native as-of join: self-join inputs (shared exprIds) work; sf0.001 parity") {
+    val dir = sf("sf0.001")
+    val native = SparkEntry.queries("asof_join_native")(spark, dir).collect()
+    val composed = SparkEntry.queries("asof_join")(spark, dir).collect()
+    assert(native.length == composed.length && native.nonEmpty)
+    assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
+  }
+
   test("range-join binning rule: interval theta join becomes a hash join, results identical") {
     spark
     SparkSession.clearActiveSession()
