@@ -393,6 +393,29 @@ object Queries2 {
       .orderBy("o_orderstatus")
   }
 
+  /** Hive-style partitioned parquet + partition pruning: write orders
+    * partitioned by status, read back with a status filter, and verify
+    * the aggregate. The point is the PLAN (pinned in SourcesSpec): the
+    * filter must become a PartitionFilter on the scan — directory-level
+    * pruning that never opens the other partitions' files — which at
+    * 100 TB is the difference between scanning 1/k of the table and all
+    * of it. Values are oracle-checked against the unpartitioned table.
+    */
+  private def partitionedParquetPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = roundtripDir("part_parquet")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy("o_custkey")
+  }
+
   /** ORC round-trip over lineitem (the other columnar format Spark
     * ships a vectorized reader for).
     */
@@ -431,6 +454,7 @@ object Queries2 {
     "json_source_roundtrip" -> jsonSourceRoundtrip _,
     "csv_source_roundtrip" -> csvSourceRoundtrip _,
     "orc_source_roundtrip" -> orcSourceRoundtrip _,
+    "partitioned_parquet_pruning" -> partitionedParquetPruning _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,5 +665,12 @@ object Queries2 {
       """SELECT l_returnflag, count(*) AS n,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "partitioned_parquet_pruning" ->
+      """SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           min(o_orderkey) AS min_key
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_custkey ORDER BY o_custkey""",
   )
 }
