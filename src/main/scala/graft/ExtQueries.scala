@@ -515,6 +515,30 @@ object ExtQueries {
         .orderBy("bands_agree")
     }),
 
+    // Z-order layout audit: interleave (partkey, suppkey) with the
+    // native graft_zorder expression, cut the z-range into 32
+    // equal-width chunks, and report each chunk's bounding box in BOTH
+    // dimensions — the data-skipping quality a z-ordered file layout
+    // buys (every chunk spans a bounded box, so a 2-D query box
+    // touches O(area) chunks; a single-column sort bounds one
+    // dimension and leaves the other full-range). All integer math;
+    // the only shuffle is the chunk aggregation.
+    "zorder_layout_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .withColumn("z", expr("graft_zorder(pk, sk)"))
+      val ext = li.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      li.crossJoin(broadcast(ext))
+        .withColumn("chunk",
+          expr("(z - zmin) * 32 div (zmax - zmin + 1) + 1"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+          min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+        .orderBy("chunk")
+    }),
+
     // changelog compaction (Debezium-style CDC apply): a deterministic
     // change stream (updates on keys %7, deletes on keys %5, inserts at
     // key+1e7 on keys %11) applied to the orders snapshot by
@@ -1653,6 +1677,20 @@ object ExtQueries {
                 + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
            FROM o JOIN c USING (doc_id))
          GROUP BY 1 ORDER BY 1""",
+
+    "zorder_layout_stats" ->
+      """WITH b AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         z AS (
+           SELECT pk, sk,
+                  CAST(list_sum([(((pk >> i) & 1) << (2*i)) + (((sk >> i) & 1) << (2*i+1))
+                                 FOR i IN range(0, 31)]) AS BIGINT) AS z
+           FROM b),
+         ext AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+         SELECT CAST((z - zmin) * 32 // (zmax - zmin + 1) + 1 AS BIGINT) AS chunk,
+                count(*) AS n,
+                min(pk) AS min_pk, max(pk) AS max_pk,
+                min(sk) AS min_sk, max(sk) AS max_sk
+         FROM z CROSS JOIN ext GROUP BY 1 ORDER BY 1""",
 
     "changelog_compaction" ->
       """WITH base AS (

@@ -291,6 +291,22 @@ class Queries4Spec extends SparkSpec {
       s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
   }
 
+  test("zorder chunks: counts conserve and every chunk bounds the partkey dimension") {
+    val rows = q("zorder_layout_stats").collect()
+    val li = graft.sources.Tables.load(spark, sf("sf0.001"), "lineitem")
+    assert(rows.map(_.getLong(1)).sum == li.count())
+    val pkRange = li.agg(max(col("l_partkey")) - min(col("l_partkey")))
+      .collect()(0).getLong(0)
+    rows.foreach { r =>
+      val span = r.getLong(3) - r.getLong(2)
+      // a contiguous z-range stays inside a bounded quadrant set: with
+      // 32 chunks each box spans at most ~1/4 of the partkey domain
+      assert(span * 4 <= pkRange + 3,
+        s"chunk ${r.getLong(0)}: pk span $span of $pkRange — no locality")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5))
+    }
+  }
+
   test("changelog compaction: deletes win over updates, inserts survive, counts conserve") {
     val rows = q("changelog_compaction").collect()
     val baseKeys = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
