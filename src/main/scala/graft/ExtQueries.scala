@@ -686,6 +686,13 @@ object ExtQueries {
       Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // conversion-window funnel: each step must land within 1 h of the
+    // previous one — the bounded-attribution form production funnels use
+    "events_funnel_windowed" -> ((s, dir) =>
+      Events.funnelWindowed(t(s, dir, "events"),
+          Seq("view", "click", "purchase"), maxGapUs = 3600000000L)
+        .orderBy("user_id")),
+
     "events_top_paths" -> ((s, dir) =>
       Events.topPaths(t(s, dir, "events"))),
 
@@ -1848,6 +1855,25 @@ object ExtQueries {
          s2 AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e
                 JOIN s1 ON s1.user_id = e.user_id
                 WHERE e.event_type = 'purchase' AND e.ts_us > s1.t_click
+                GROUP BY e.user_id)
+         SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase
+         FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id
+         LEFT JOIN s2 ON s2.user_id = s0.user_id
+         ORDER BY s0.user_id""",
+
+    "events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         s0 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts_us) AS t_click FROM e
+                JOIN s0 ON s0.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s0.t_view
+                  AND e.ts_us <= s0.t_view + 3600000000
+                GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s1.t_click
+                  AND e.ts_us <= s1.t_click + 3600000000
                 GROUP BY e.user_id)
          SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase
          FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id

@@ -416,6 +416,31 @@ object Queries2 {
       .orderBy("o_custkey")
   }
 
+  /** Parquet schema evolution: two writers with DIFFERENT schemas (v2
+    * adds a column) land in one dataset; `mergeSchema` reconciles the
+    * footer schemas at read time and back-fills the missing column with
+    * nulls — how a long-lived 100 TB table absorbs schema change
+    * without rewriting history. Values oracle-checked against the
+    * equivalent union-with-null.
+    */
+  private def parquetSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = roundtripDir("evolve_parquet")
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    v1.write.mode("overwrite").parquet(s"$path/v=1")
+    v2.write.mode("overwrite").parquet(s"$path/v=2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v=1", s"$path/v=2")
+      .groupBy((col("o_orderkey") % 100).as("key_mod"))
+      .agg(count(lit(1)).as("n"),
+        count(col("price_c")).as("n_with_price"),
+        sum(coalesce(col("price_c"), lit(0L))).as("sum_c"))
+      .orderBy("key_mod")
+  }
+
   /** ORC round-trip over lineitem (the other columnar format Spark
     * ships a vectorized reader for).
     */
@@ -455,6 +480,7 @@ object Queries2 {
     "csv_source_roundtrip" -> csvSourceRoundtrip _,
     "orc_source_roundtrip" -> orcSourceRoundtrip _,
     "partitioned_parquet_pruning" -> partitionedParquetPruning _,
+    "parquet_schema_evolution" -> parquetSchemaEvolution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +698,17 @@ object Queries2 {
            min(o_orderkey) AS min_key
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "parquet_schema_evolution" ->
+      """WITH merged AS (
+           SELECT o_orderkey, CAST(NULL AS BIGINT) AS price_c
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderkey % 100 AS key_mod, count(*) AS n,
+                count(price_c) AS n_with_price,
+                CAST(sum(coalesce(price_c, 0)) AS BIGINT) AS sum_c
+         FROM merged GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -71,6 +71,32 @@ object Events {
     acc
   }
 
+  /** [[funnel]] with a CONVERSION WINDOW: step k counts only if it
+    * happens within `maxGapUs` of step k-1 — "purchased within an hour
+    * of clicking", the form production funnels actually use (an
+    * unbounded funnel credits conversions days later). Same
+    * greedy-earliest semantics per step, same one-join-per-step shape;
+    * each join is still an equi-join on user_id with the gap bound as
+    * the residual filter.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String], maxGapUs: Long): DataFrame = {
+    require(steps.nonEmpty && maxGapUs > 0)
+    val e = events.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    var acc = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as(s"t_${steps.head}"))
+    steps.sliding(2).foreach {
+      case Seq(prev, st) =>
+        val next = e.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(s"t_$prev")), Seq("user_id"))
+          .where(col("ts_us") > col(s"t_$prev") &&
+            col("ts_us") <= col(s"t_$prev") + maxGapUs)
+          .groupBy("user_id").agg(min("ts_us").as(s"t_$st"))
+        acc = acc.join(next, Seq("user_id"), "left")
+      case _ => ()
+    }
+    acc
+  }
+
   /** Top user journeys: each user's first `maxSteps` events (by time,
     * event_id tie-break) joined into a `a>b>c` path string, then the
     * `k` most common paths. One window pass (shuffle on user_id), one

@@ -291,6 +291,33 @@ class Queries4Spec extends SparkSpec {
       s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
   }
 
+  test("schema evolution: merged read back-fills v1 rows with null price") {
+    val rows = q("parquet_schema_evolution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // corpus-wide: v1 rows survive with null price, v2 rows keep theirs
+    // (sparse orderkeys mean a single bucket may be one-sided)
+    val (n, withPrice) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(withPrice > 0, "v2 rows lost")
+    assert(withPrice < n, "merge didn't null-fill the v1 rows")
+  }
+
+  test("windowed funnel: conversions are a subset of the unbounded funnel's") {
+    val bounded = q("events_funnel_windowed").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    val unbounded = q("events_funnel").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(bounded.keySet == unbounded.keySet) // step-1 cohort identical
+    bounded.foreach { case (u, (c, p)) =>
+      // a user converting within the window also converts unbounded
+      if (c.isDefined) assert(unbounded(u)._1.isDefined, s"user $u")
+      if (p.isDefined) assert(bounded(u)._1.isDefined, s"user $u: purchase without click")
+    }
+    val nB = bounded.values.count(_._2.isDefined)
+    val nU = unbounded.values.count(_._2.isDefined)
+    assert(nB <= nU, s"windowed funnel converted MORE ($nB > $nU)")
+  }
+
   test("zorder chunks: counts conserve and every chunk bounds the partkey dimension") {
     val rows = q("zorder_layout_stats").collect()
     val li = graft.sources.Tables.load(spark, sf("sf0.001"), "lineitem")
