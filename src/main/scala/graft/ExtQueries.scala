@@ -515,6 +515,56 @@ object ExtQueries {
         .orderBy("bands_agree")
     }),
 
+    // revenue concentration curve (CR-k): what share of total revenue
+    // the top-k parts carry, exact ppm at k ∈ {1,5,10,50,100} — the
+    // skew measurement that decides broadcast thresholds and hot-key
+    // treatment. The rank window runs over the per-part AGGREGATE
+    // (|parts| rows, already reduced), never the fact table; at 100 TB
+    // that frame is still millions of rows at most, and the window
+    // could shard by revenue band if it ever mattered.
+    "revenue_concentration_topk" -> ((s, dir) => {
+      val parts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+      val byRev = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val ranked = parts
+        .withColumn("rn", row_number().over(byRev))
+        .withColumn("cum", sum(col("rev")).over(
+          byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = parts.agg(sum(col("rev")).as("total_rev"))
+      ranked.filter(col("rn").isin(1, 5, 10, 50, 100))
+        .crossJoin(broadcast(total))
+        .select(col("rn").as("k"), col("cum").as("topk_rev"), col("total_rev"),
+          expr("cum * 1000000 div total_rev").as("share_ppm"))
+        .orderBy("k")
+    }),
+
+    // time-windowed ingest dedup: rows with identical content keys
+    // (user, type, cents) inside the same hour collapse to the
+    // earliest — the batch twin of streaming dropDuplicates-with-
+    // watermark (graft.streaming Sessionize.dedupStream). Planted
+    // copies at event_id+1e6 guarantee every content key collides.
+    // One shuffle keyed by the content hash; nothing but ids and the
+    // content key ever moves.
+    "dedup_time_windowed" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val corpus = base.unionByName(
+        base.withColumn("event_id", col("event_id") + 1000000L))
+      val kept = corpus
+        .withColumn("hour", expr("t_us div 3600000000"))
+        .groupBy(col("user_id"), col("event_type"), col("cents"), col("hour"))
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("keep_id"))
+      kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_rows")).as("n_total"),
+          expr("(CAST(sum(n_rows) AS BIGINT) - count(1)) * 1000000 div sum(n_rows)")
+            .as("dropped_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Z-order layout audit: interleave (partkey, suppkey) with the
     // native graft_zorder expression, cut the z-range into 32
     // equal-width chunks, and report each chunk's bounding box in BOTH
@@ -1684,6 +1734,43 @@ object ExtQueries {
                 + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
            FROM o JOIN c USING (doc_id))
          GROUP BY 1 ORDER BY 1""",
+
+    "revenue_concentration_topk" ->
+      """WITH p AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT rev,
+                  row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+                  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM p),
+         tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM p)
+         SELECT CAST(rn AS BIGINT) AS k, CAST(cum AS BIGINT) AS topk_rev,
+                total_rev,
+                CAST(cum * 1000000 // total_rev AS BIGINT) AS share_ppm
+         FROM r CROSS JOIN tot
+         WHERE rn IN (1, 5, 10, 50, 100) ORDER BY k""",
+
+    "dedup_time_windowed" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         corpus AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT event_id + 1000000, user_id, event_type, t_us, cents FROM base),
+         kept AS (
+           SELECT user_id, event_type, cents, t_us // 3600000000 AS hour,
+                  count(*) AS n_rows, min(event_id) AS keep_id
+           FROM corpus GROUP BY 1, 2, 3, 4)
+         SELECT event_type, count(*) AS n_kept,
+                CAST(sum(n_rows) AS BIGINT) AS n_total,
+                CAST((sum(n_rows) - count(*)) * 1000000 // sum(n_rows) AS BIGINT)
+                  AS dropped_ppm
+         FROM kept GROUP BY 1 ORDER BY 1""",
 
     "zorder_layout_stats" ->
       """WITH b AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),

@@ -291,6 +291,26 @@ class Queries4Spec extends SparkSpec {
       s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
   }
 
+  test("concentration curve is monotone in k and share; CR-100 below 100%") {
+    val rows = q("revenue_concentration_topk").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L, 50L, 100L))
+    rows.sliding(2).foreach { case Array((_, c1, _, s1), (_, c2, _, s2)) =>
+      assert(c1 <= c2 && s1 <= s2, "cumulative revenue must be monotone")
+    }
+    rows.foreach { case (_, cum, total, ppm) =>
+      assert(cum <= total && ppm == cum * 1000000L / total)
+    }
+  }
+
+  test("time-windowed dedup: planted copies force dropped_ppm >= 500000") {
+    q("dedup_time_windowed").collect().foreach { r =>
+      val (kept, total, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(total >= 2 * kept, "every content key must carry its planted copy")
+      assert(ppm >= 500000, s"${r.getString(0)}: dropped only $ppm ppm")
+    }
+  }
+
   test("schema evolution: merged read back-fills v1 rows with null price") {
     val rows = q("parquet_schema_evolution").collect()
     assert(rows.nonEmpty)
