@@ -515,6 +515,56 @@ object ExtQueries {
         .orderBy("bands_agree")
     }),
 
+    // quantity-WEIGHTED median price per return flag: the histogram-
+    // median pattern with sum-of-weights in place of counts (a 10-unit
+    // line influences the median 10x a 1-unit line). Same scale shape:
+    // one fact scan into a (flag, price, weight) histogram, the rank
+    // window touches |distinct prices| rows only.
+    "weighted_median_price" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      val hist = fact.groupBy(col("l_returnflag"), col("price_c"))
+        .agg(sum(col("qty")).as("w"))
+      val byPrice = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+      val all = Window.partitionBy(col("l_returnflag"))
+      hist
+        .withColumn("cum", sum(col("w")).over(byPrice))
+        .withColumn("n", sum(col("w")).over(all))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("total_qty"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("price_c")))
+            .as("wmedian_price_c"),
+          sum(col("price_c") * col("w")).as("wsum"))
+        .withColumn("wmean_price_c", expr("wsum div total_qty"))
+        .drop("wsum")
+        .orderBy("l_returnflag")
+    }),
+
+    // first-touch attribution THROUGH the native as-of operator: each
+    // purchase takes the latest preceding click of the same user
+    // (AsOfJoinExec — one merge pass), then a 1 h attribution window
+    // decides attributed vs organic; exact revenue split and gap mass.
+    // The second production consumer of the custom operator.
+    "events_attribution_native" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      AsOf.asofJoinNative(purchases, clicks, Seq("user_id"), "ts_us")
+        .withColumn("attributed",
+          col("asof_click_id").isNotNull &&
+            col("ts_us") - col("asof_ts_us") <= 3600000000L)
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"),
+          sum(when(col("attributed"),
+            col("ts_us") - col("asof_ts_us")).otherwise(0L)).as("gap_us_sum"))
+        .orderBy("attributed")
+    }),
+
     // revenue concentration curve (CR-k): what share of total revenue
     // the top-k parts carry, exact ppm at k ∈ {1,5,10,50,100} — the
     // skew measurement that decides broadcast thresholds and hot-key
@@ -1734,6 +1784,54 @@ object ExtQueries {
                 + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
            FROM o JOIN c USING (doc_id))
          GROUP BY 1 ORDER BY 1""",
+
+    "weighted_median_price" ->
+      """WITH fact AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         h AS (SELECT l_returnflag, price_c, sum(qty) AS w FROM fact GROUP BY 1, 2),
+         k AS (
+           SELECT l_returnflag, price_c, w,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c) AS cum,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS n
+           FROM h)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS total_qty,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN price_c END) AS BIGINT)
+                  AS wmedian_price_c,
+                CAST(sum(price_c * w) // max(n) AS BIGINT) AS wmean_price_c
+         FROM k GROUP BY 1 ORDER BY 1""",
+
+    "events_attribution_native" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         u AS (
+           SELECT user_id, ts_us, 0 AS side,
+                  CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_cents,
+                  event_id AS c_id, ts_us AS c_ts
+           FROM e WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts_us, 1, event_id, cents,
+                  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT *,
+             last_value(c_id IGNORE NULLS) OVER w AS a_click,
+             last_value(c_ts IGNORE NULLS) OVER w AS a_ts
+           FROM u WINDOW w AS (
+             PARTITION BY user_id ORDER BY ts_us, side ROWS UNBOUNDED PRECEDING)),
+         p AS (
+           SELECT *,
+                  (a_click IS NOT NULL AND ts_us - a_ts <= 3600000000) AS attributed
+           FROM m WHERE side = 1)
+         SELECT attributed, count(*) AS n_purchases,
+                CAST(sum(p_cents) AS BIGINT) AS revenue_cents,
+                CAST(sum(CASE WHEN attributed THEN ts_us - a_ts ELSE 0 END) AS BIGINT)
+                  AS gap_us_sum
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     "revenue_concentration_topk" ->
       """WITH p AS (

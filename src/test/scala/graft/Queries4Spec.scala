@@ -291,6 +291,30 @@ class Queries4Spec extends SparkSpec {
       s"sum(degree*n_nodes)=$degreeMass must be twice n_edges=$nEdges")
   }
 
+  test("weighted median sits between min and max price; mean consistent with totals") {
+    val direct = graft.sources.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("lo"),
+        max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q("weighted_median_price").collect().foreach { r =>
+      val (lo, hi) = direct(r.getString(0))
+      assert(r.getLong(2) >= lo && r.getLong(2) <= hi, "median outside range")
+      assert(r.getLong(3) >= lo && r.getLong(3) <= hi, "mean outside range")
+    }
+  }
+
+  test("attribution: purchase counts conserve; organic rows carry zero gap") {
+    val rows = q("events_attribution_native").collect()
+    val nPurch = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == nPurch)
+    rows.foreach { r =>
+      if (!r.getBoolean(0)) assert(r.getLong(3) == 0L, "organic gap must be zero")
+      else assert(r.getLong(3) > 0L, "attributed purchases must carry gap mass")
+    }
+  }
+
   test("concentration curve is monotone in k and share; CR-100 below 100%") {
     val rows = q("revenue_concentration_topk").collect()
       .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
