@@ -371,6 +371,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native as-of join equals the window composition on random datasets") {
+    import spark.implicits._
+    val keyGen = Gen.chooseNum(0L, 6L)
+    val tsGen = Gen.chooseNum(-1000L, 1000L)
+    def side(seed: Long, n: Int, idBase: Long) = {
+      val g = Gen.listOfN(n, Gen.zip(keyGen, tsGen))
+      val rows = g(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen"))
+        // (key, ts) must be unique per side — the documented determinism
+        // contract of BOTH implementations
+        .distinct.zipWithIndex.map { case ((k, ts), i) => (idBase + i, k, ts) }
+      rows.toDF("id", "k", "ts")
+    }
+    (1L to 8L).foreach { seed =>
+      val left = side(seed, 60, 1000L)
+      val right = side(seed + 100, 40, 2000L)
+      val native = graft.ext.AsOf.asofJoinNative(left, right, Seq("k"), "ts")
+        .collect().map(_.toSeq).toSet
+      val composed = graft.ext.AsOf.asofJoin(left, right, Seq("k"), "ts")
+        .collect().map(_.toSeq).toSet
+      assert(native == composed, s"seed=$seed")
+    }
+  }
+
+  test("property: range-join binning rule preserves join results for random intervals") {
+    spark // force shared session before building the extensions session
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftSparkExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      val vGen = Gen.chooseNum(-500L, 500L)
+      (1L to 6L).foreach { seed =>
+        val pts = Gen.listOfN(80, vGen)(Gen.Parameters.default, Seed(seed))
+          .getOrElse(sys.error("gen")).zipWithIndex
+          .map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+        val ivs = Gen.listOfN(30, Gen.zip(vGen, Gen.chooseNum(-50L, 200L)))(
+            Gen.Parameters.default, Seed(seed + 7))
+          .getOrElse(sys.error("gen")).zipWithIndex
+          // negative lengths produce EMPTY intervals on purpose
+          .map { case ((s0, len), i) => (i.toLong, s0, s0 + len) }
+          .toDF("iid", "s", "e")
+        def j = pts.join(ivs, pts("p") >= ivs("s") && pts("p") <= ivs("e"))
+        val naive = j.collect().map(_.toSeq).toSet
+        // width 1 (degenerate), small, and large-vs-domain widths
+        Seq(1L, 37L, 5000L).foreach { w =>
+          s2.conf.set("spark.graft.rangeJoin.binWidth", w.toString)
+          try assert(j.collect().map(_.toSeq).toSet == naive, s"seed=$seed w=$w")
+          finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
+        }
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("kNN graph ranks are a permutation prefix: k rows per vector, ranks 1..k, no self") {
     val rows = SparkEntry.queries("knn_graph_blocked")(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
