@@ -159,6 +159,39 @@ object ScalingProbe {
       n
     }
 
+    // CDC last-writer-wins apply (changelog_compaction key): one
+    // row_number window keyed by the primary key; shuffle grows
+    // linearly with the changelog, per-key state is the key's own
+    // change count (bounded by churn, not table size)
+    def changelogApply(d: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      d.select(col("l_orderkey").as("key"), col("l_linenumber").as("seq"),
+          (col("l_linenumber") % 5 === 0).as("del"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && !col("del"))
+        .count()
+    }
+
+    // native as-of join (AsOfJoinExec): disjoint per-copy user spaces,
+    // so match structure grows linearly; the operator's cost is the
+    // exchange+sort both sides pay plus the O(n+m) merge
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+    def eventsX(mult: Int): DataFrame =
+      (0 until mult).map { i =>
+        events
+          .withColumn("user_id", col("user_id") + i.toLong * 1000000000L)
+          .withColumn("event_id", col("event_id") + i.toLong * 1000000000L)
+      }.reduce(_ unionByName _)
+    def asofNative(d: DataFrame): Long = {
+      val clicks = d.filter(col("event_type") === "click").drop("event_type")
+      val views = d.filter(col("event_type") === "view").drop("event_type")
+      graft.ext.AsOf.asofJoinNative(clicks, views, Seq("user_id"), "ts_us")
+        .filter(col("asof_event_id").isNotNull).count()
+    }
+
     // (name, input is the lineitem twin, op)
     val ops: Seq[(String, Boolean, DataFrame => Long)] = Seq(
       ("dedup_exact", false, d => Dedup.exact(d).count()),
@@ -183,6 +216,8 @@ object ScalingProbe {
         (name, input, op) <- (ops.map { case (n, useL, op) =>
           (n, if (useL) lineitemX(mult) else corpus(mult), op)
         } ++ Seq(
+          ("changelog_apply", lineitemX(mult), changelogApply _),
+          ("asof_native", eventsX(mult), asofNative _),
           ("graph_triangles", lineitemXdisjoint(mult), triangles _),
           ("per_order_sets", lineitemX(mult), perOrderSets _),
           ("dedup_containment", corpus(mult), containment(mult) _),
