@@ -517,20 +517,18 @@ object ExtQueries {
 
     // quantity-WEIGHTED median price per return flag: the histogram-
     // median pattern with sum-of-weights in place of counts (a 10-unit
-    // line influences the median 10x a 1-unit line). Same scale shape:
-    // one fact scan into a (flag, price, weight) histogram, the rank
-    // window touches |distinct prices| rows only.
+    // line influences the median 10x a 1-unit line). Prices are
+    // near-unique, so the histogram barely reduces the fact — the
+    // cumulative therefore runs through Scale.chunkedCumSum (the
+    // distributed prefix sum), never a per-flag single-task window.
     "weighted_median_price" -> ((s, dir) => {
       val fact = t(s, dir, "lineitem").select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
       val hist = fact.groupBy(col("l_returnflag"), col("price_c"))
         .agg(sum(col("qty")).as("w"))
-      val byPrice = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
-      val all = Window.partitionBy(col("l_returnflag"))
-      hist
-        .withColumn("cum", sum(col("w")).over(byPrice))
-        .withColumn("n", sum(col("w")).over(all))
+      graft.ext.Scale.chunkedCumSum(hist, Seq("l_returnflag"), "price_c", "w", "cum")
+        .withColumnRenamed("cum_total", "n")
         .groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("total_qty"),
           min(when(col("cum") >= expr("(n + 1) div 2"), col("price_c")))
