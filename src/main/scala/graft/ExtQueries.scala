@@ -24,6 +24,41 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** Interval-containment oracle, shared by the manual binning key
+    * (`range_join_binned`) and the optimizer-rule twin
+    * (`range_join_rule_auto`) — one independent re-derivation both
+    * physical strategies must match.
+    */
+  private val rangeJoinOracle =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us
+         FROM events),
+       l AS (
+         SELECT *, CASE
+           WHEN lag(ts_us) OVER w IS NULL THEN 1
+           WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+           ELSE 0 END AS is_new
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       s AS (
+         SELECT *, CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM l),
+       sess AS (
+         SELECT user_id, session_id,
+           CAST(min(ts_us) AS BIGINT) AS start_us,
+           CAST(max(ts_us) AS BIGINT) AS end_us
+         FROM s GROUP BY user_id, session_id),
+       clicks AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'click')
+       SELECT c.event_id, c.user_id, c.ts_us,
+              ss.session_id, ss.start_us, ss.end_us
+       FROM clicks c JOIN sess ss
+         ON c.user_id = ss.user_id
+        AND c.ts_us BETWEEN ss.start_us AND ss.end_us
+       ORDER BY event_id, session_id"""
+
   /** As-of oracle, shared by the composition key (`asof_join`) and the
     * native-operator twin (`asof_join_native`): the window formulation
     * IS the independent re-derivation both implementations must match.
@@ -396,6 +431,34 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("session_id"), col("start_us"), col("end_us"))
         .orderBy("event_id", "session_id")
+    }),
+
+    // the SAME interval join written NAIVELY (plain BETWEEN theta
+    // join) and rewritten to the binned hash join by RangeJoinRule,
+    // registered at runtime through experimental.extraOptimizations —
+    // the optimizer does mechanically what range_join_binned does by
+    // hand, against the same oracle. localCheckpoint materializes
+    // inside the conf window so the rewrite is active exactly for this
+    // plan and the conf never leaks into other keys.
+    "range_join_rule_auto" -> ((s, dir) => {
+      org.apache.spark.sql.graft.Bridge.addOptimization(s, graft.plans.RangeJoinRule(s))
+      s.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+      try {
+        val clicks = t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        val sessions = Events.sessionize(t(s, dir, "events"))
+          .select(col("user_id").as("s_user_id"), col("session_id"), col("start_us"),
+            (col("start_us") + col("duration_us")).as("end_us"))
+        clicks.join(sessions,
+            clicks("user_id") === sessions("s_user_id") &&
+              clicks("ts_us") >= sessions("start_us") &&
+              clicks("ts_us") <= sessions("end_us"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("session_id"), col("start_us"), col("end_us"))
+          .orderBy("event_id", "session_id")
+          .localCheckpoint(true)
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
 
     "events_window_agg" -> ((s, dir) =>
@@ -1647,35 +1710,10 @@ object ExtQueries {
          CAST(length(text) % 480 AS INT) AS decoded_h
          FROM documents ORDER BY doc_id""",
 
-    "range_join_binned" ->
-      """WITH e AS (
-           SELECT event_id, user_id, epoch_us(ts) AS ts_us
-           FROM events),
-         l AS (
-           SELECT *, CASE
-             WHEN lag(ts_us) OVER w IS NULL THEN 1
-             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
-             ELSE 0 END AS is_new
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         s AS (
-           SELECT *, CAST(sum(is_new) OVER (
-             PARTITION BY user_id ORDER BY ts_us, event_id
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM l),
-         sess AS (
-           SELECT user_id, session_id,
-             CAST(min(ts_us) AS BIGINT) AS start_us,
-             CAST(max(ts_us) AS BIGINT) AS end_us
-           FROM s GROUP BY user_id, session_id),
-         clicks AS (
-           SELECT event_id, user_id, epoch_us(ts) AS ts_us
-           FROM events WHERE event_type = 'click')
-         SELECT c.event_id, c.user_id, c.ts_us,
-                ss.session_id, ss.start_us, ss.end_us
-         FROM clicks c JOIN sess ss
-           ON c.user_id = ss.user_id
-          AND c.ts_us BETWEEN ss.start_us AND ss.end_us
-         ORDER BY event_id, session_id""",
+    "range_join_binned" -> rangeJoinOracle,
+
+    // optimizer-rule twin: identical semantics, identical oracle
+    "range_join_rule_auto" -> rangeJoinOracle,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -20,4 +20,16 @@ object Bridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently add an optimizer rule to the session — the runtime
+    * (public-API) alternative to `SparkSessionExtensions
+    * .injectOptimizerRule` for sessions built without extensions.
+    */
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.exists(_.ruleName == r.ruleName))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

@@ -280,6 +280,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
   }
 
+  test("runtime-registered rule (extraOptimizations): auto key equals the manual binned key") {
+    val dir = sf("sf0.001")
+    val auto = SparkEntry.queries("range_join_rule_auto")(spark, dir).collect()
+    val manual = SparkEntry.queries("range_join_binned")(spark, dir).collect()
+    assert(auto.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq && auto.nonEmpty)
+    // the conf must not leak out of the key
+    assert(spark.conf.getOption("spark.graft.rangeJoin.binWidth").isEmpty)
+    // with the rule registered and the conf set, the naive BETWEEN join
+    // plans as a binned hash join (the key materializes before returning,
+    // so we re-derive the pre-checkpoint plan here)
+    org.apache.spark.sql.graft.Bridge.addOptimization(spark, graft.plans.RangeJoinRule(spark))
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+    try {
+      import org.apache.spark.sql.functions._
+      val clicks = graft.sources.Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val sessions = graft.ext.Events.sessionize(
+          graft.sources.Tables.load(spark, dir, "events"))
+        .select(col("user_id").as("s_user_id"), col("session_id"), col("start_us"),
+          (col("start_us") + col("duration_us")).as("end_us"))
+      val p = clicks.join(sessions,
+          clicks("user_id") === sessions("s_user_id") &&
+            clicks("ts_us") >= sessions("start_us") &&
+            clicks("ts_us") <= sessions("end_us"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Generate explode") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("range-join binning rule: interval theta join becomes a hash join, results identical") {
     spark
     SparkSession.clearActiveSession()
