@@ -986,6 +986,25 @@ object ExtQueries {
     // the same sketch (HLL of a set == HLL of its multiset), so each
     // branch shuffles map-side-reduced pairs once and the tiny per-flag
     // results broadcast-join back together.
+    // the NATIVE mergeable-sketch twin of approx_distinct_hll: our own
+    // TypedImperativeAggregate (functions/HllDistinct) instead of the
+    // built-in — per-partition register arrays merged by element-wise
+    // max, so the same sketch could persist per day and merge across
+    // windows without raw data. Estimate is partition-order invariant
+    // (spec-pinned); the oracle asserts the 5% envelope around exact.
+    "approx_distinct_hll_native" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
+      li.groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_parts"),
+          call_function("graft_hll_distinct", col("l_partkey")).as("_hll"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_hll") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("hll_native_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     "approx_distinct_hll" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       // null keys excluded BEFORE the pair aggregate: count(DISTINCT x)
@@ -1060,6 +1079,12 @@ object ExtQueries {
            count(DISTINCT l_partkey) AS exact_parts,
            count(DISTINCT l_suppkey) AS exact_supps,
            TRUE AS hll_parts_ok, TRUE AS hll_supps_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "approx_distinct_hll_native" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_native_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "approx_quantiles_kll" ->

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native HyperLogLog distinct-count aggregate — the MERGEABLE-sketch
+  * tier of the extension ladder (a custom `TypedImperativeAggregate`,
+  * complementing the scalar expressions in this package).
+  *
+  * Mergeability is the whole point at 100 TB: each partition folds its
+  * rows into a fixed 2^p-byte register array, partial buffers combine
+  * by element-wise max in any order and any grouping — so the
+  * aggregation is one map-side pass plus a tiny shuffle of sketches,
+  * and the SAME sketch can be persisted per day/partition and merged
+  * across arbitrary time windows later without touching raw data
+  * (the property count(DISTINCT) fundamentally lacks).
+  *
+  * Standard HLL (Flajolet et al. 2007): register index = top `p` bits
+  * of a 64-bit hash, register value = leading-zero rank of the
+  * remaining bits; harmonic-mean estimate with the small-range
+  * linear-counting correction. The estimate is a pure function of the
+  * register array, which is a pure function of the input SET — so
+  * results are deterministic under any partitioning, ordering, or
+  * partial-aggregation plan (spec-pinned). p=12 → 4096 one-byte
+  * registers, rsd ≈ 1.04/√4096 ≈ 1.6%.
+  */
+case class HllDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val p = 12
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  private def hash(v: Any): Long = v match {
+    case l: java.lang.Long    => XXH64.hashLong(l, 42L)
+    case i: java.lang.Integer => XXH64.hashLong(i.toLong, 42L)
+    case s: UTF8String =>
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    case other => XXH64.hashLong(other.hashCode.toLong, 42L)
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash(v)
+      val idx = (h >>> (64 - p)).toInt
+      val rank = math.min(64 - p + 1,
+        java.lang.Long.numberOfLeadingZeros(h << p) + 1).toByte
+      if (rank > buf(idx)) buf(idx) = rank
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -buf(i).toDouble)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m.toDouble * m.toDouble / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren.head)
+}

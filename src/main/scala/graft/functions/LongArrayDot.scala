@@ -82,7 +82,10 @@ object GraftFunctions {
     "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))),
     "graft_jaccard" -> (args => ArrayJaccard(args(0), args(1))),
     "graft_containment" -> (args => ArrayContainment(args(0), args(1))),
-    "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))))
+    "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry into an AggregateExpression, same as the built-ins
+    "graft_hll_distinct" -> (args => HllDistinct(args.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -248,6 +248,33 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native HLL aggregate: partition-invariant, accurate at all ranges, SQL-callable") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col}
+    // accuracy sweep incl. the linear-counting small range and dups
+    Seq(10, 500, 20000).foreach { n =>
+      val ds = (1 to n).flatMap(i => Seq(i.toLong, i.toLong)).toDF("v")
+      val est = ds.agg(call_function("graft_hll_distinct", col("v")))
+        .collect()(0).getLong(0)
+      assert(math.abs(est - n) <= math.max(1L, (n * 0.05).toLong), s"n=$n est=$est")
+      // merge correctness: the estimate is a pure function of the input
+      // SET — any partitioning produces bit-identical registers
+      val est13 = ds.repartition(13).agg(call_function("graft_hll_distinct", col("v")))
+        .collect()(0).getLong(0)
+      assert(est13 == est, s"partitioning changed the estimate: $est13 != $est")
+    }
+    // string inputs and the SQL surface
+    val sqlEst = spark.sql(
+      "SELECT graft_hll_distinct(CAST(id AS STRING)) FROM range(3000)")
+      .collect()(0).getLong(0)
+    assert(math.abs(sqlEst - 3000) <= 150, s"sql est=$sqlEst")
+    // nulls are ignored, empty input estimates zero
+    assert(Seq[Option[Long]](None, None).toDF("v")
+      .agg(call_function("graft_hll_distinct", col("v")))
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("native as-of join: custom operator equals the window composition, plan has AsOfJoin") {
     import spark.implicits._
     // edges: exact-ts tie (must match), no right row for a key, null
