@@ -986,6 +986,34 @@ object ExtQueries {
     // the same sketch (HLL of a set == HLL of its multiset), so each
     // branch shuffles map-side-reduced pairs once and the tiny per-flag
     // results broadcast-join back together.
+    // the two-level sketch workflow: per-(flag, linestatus) sketches
+    // (as a persisted daily sketch table would hold), rolled up to
+    // per-flag estimates by merging REGISTERS — no raw data re-read.
+    // Registers are a pure function of the input set and merge by max,
+    // so the rolled-up estimate is BIT-IDENTICAL to estimating the
+    // coarse group directly (asserted in-query; DuckDB pins TRUE).
+    "hll_sketch_rollup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
+      val fine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(call_function("graft_hll_sketch", col("l_partkey")).as("sk"))
+      val rolled = fine.groupBy(col("l_returnflag"))
+        .agg(call_function("graft_hll_merge_estimate", col("sk")).as("est_rolled"))
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(call_function("graft_hll_distinct", col("l_partkey")).as("est_direct"))
+      val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      exact
+        .join(broadcast(rolled), Seq("l_returnflag"))
+        .join(broadcast(direct), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (col("est_rolled") === col("est_direct")).as("rollup_eq_direct"),
+          (abs(col("est_rolled") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("rollup_within_5pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // the NATIVE mergeable-sketch twin of approx_distinct_hll: our own
     // TypedImperativeAggregate (functions/HllDistinct) instead of the
     // built-in — per-partition register arrays merged by element-wise
@@ -1085,6 +1113,13 @@ object ExtQueries {
       """SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS hll_native_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "hll_sketch_rollup" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS rollup_eq_direct,
+           TRUE AS rollup_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "approx_quantiles_kll" ->

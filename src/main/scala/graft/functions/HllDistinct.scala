@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native HyperLogLog distinct-count aggregate — the MERGEABLE-sketch
@@ -27,23 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * partial-aggregation plan (spec-pinned). p=12 → 4096 one-byte
   * registers, rsd ≈ 1.04/√4096 ≈ 1.6%.
   */
-case class HllDistinct(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+/** Shared HLL register math (p=12, 4096 one-byte registers). */
+private[functions] object Hll {
+  val p = 12
+  val m: Int = 1 << p
 
-  private val p = 12
-  private val m = 1 << p
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_hll_distinct"
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  private def hash(v: Any): Long = v match {
+  def hash(v: Any): Long = v match {
     case l: java.lang.Long    => XXH64.hashLong(l, 42L)
     case i: java.lang.Integer => XXH64.hashLong(i.toLong, 42L)
     case s: UTF8String =>
@@ -51,25 +40,21 @@ case class HllDistinct(
     case other => XXH64.hashLong(other.hashCode.toLong, 42L)
   }
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = hash(v)
-      val idx = (h >>> (64 - p)).toInt
-      val rank = math.min(64 - p + 1,
-        java.lang.Long.numberOfLeadingZeros(h << p) + 1).toByte
-      if (rank > buf(idx)) buf(idx) = rank
-    }
-    buf
+  def add(buf: Array[Byte], v: Any): Unit = if (v != null) {
+    val h = hash(v)
+    val idx = (h >>> (64 - p)).toInt
+    val rank = math.min(64 - p + 1,
+      java.lang.Long.numberOfLeadingZeros(h << p) + 1).toByte
+    if (rank > buf(idx)) buf(idx) = rank
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  def estimate(buf: Array[Byte]): Long = {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     var sum = 0.0
     var zeros = 0
@@ -85,6 +70,27 @@ case class HllDistinct(
       else raw
     math.round(est)
   }
+}
+
+case class HllDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    Hll.add(buf, child.eval(input)); buf
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(a, b)
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
@@ -95,5 +101,84 @@ case class HllDistinct(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren.head)
+}
+
+/** Sketch-RETURNING variant: emits the raw register array (binary) so
+  * sketches can be stored per fine-grained group (a day, a partition)
+  * and later rolled up by [[HllMergeEstimate]] — the two-level
+  * workflow that never re-reads raw data. Register bytes are a pure
+  * function of the input set, so the emitted sketch is deterministic
+  * and [[HllMergeEstimate]] over finer sketches is bit-identical to
+  * direct estimation (spec-pinned).
+  */
+case class HllSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    Hll.add(buf, child.eval(input)); buf
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(a, b)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketch =
+    copy(child = newChildren.head)
+}
+
+/** Merge pre-built [[HllSketch]] binaries and estimate — the rollup
+  * side of the two-level workflow.
+  */
+case class HllMergeEstimate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_merge_estimate"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    child.eval(input) match {
+      case b: Array[Byte] =>
+        require(b.length == Hll.m,
+          s"graft_hll_merge_estimate: expected a ${Hll.m}-byte sketch, got ${b.length}")
+        Hll.mergeInto(buf, b)
+      case null => buf
+      case other => throw new IllegalArgumentException(
+        s"graft_hll_merge_estimate takes binary sketches, got $other")
+    }
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(a, b)
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeEstimate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeEstimate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeEstimate =
     copy(child = newChildren.head)
 }

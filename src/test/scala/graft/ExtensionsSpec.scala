@@ -275,6 +275,15 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("HLL sketch rollup: merged fine-grained sketches equal direct estimation exactly") {
+    val rows = SparkEntry.queries("hll_sketch_rollup")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: rollup != direct — merge is lossy")
+      assert(r.getBoolean(3), s"${r.getString(0)}: estimate outside 5%")
+    }
+  }
+
   test("native as-of join: custom operator equals the window composition, plan has AsOfJoin") {
     import spark.implicits._
     // edges: exact-ts tie (must match), no right row for a key, null
