@@ -202,6 +202,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: per-batch sketches merge to the EXACT batch-built estimate") {
+    // same mergeability claim for the native HLL aggregate: registers
+    // are per-set maxima, so merging per-micro-batch sketch binaries
+    // reproduces the full-data registers bit-for-bit — a streaming
+    // distinct-count needs no state beyond one 4 KB sketch per batch
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_stream").toFile
+    val sk = new java.io.File(dir, "sketches").getPath
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("k")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.agg(call_function("graft_hll_sketch", col("k")).as("sk"))
+          .write.mode("append").parquet(sk)
+      }
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
+      .start()
+    try {
+      in.addData(1L to 800L: _*)
+      q.processAllAvailable()
+      in.addData(401L to 1200L: _*) // overlapping second batch
+      q.processAllAvailable()
+      val mergedEst = spark.read.parquet(sk)
+        .agg(call_function("graft_hll_merge_estimate", col("sk")))
+        .collect()(0).getLong(0)
+      val directEst = spark.range(1, 1201).toDF("k")
+        .agg(call_function("graft_hll_distinct", col("k")))
+        .collect()(0).getLong(0)
+      assert(mergedEst == directEst,
+        s"streamed merge $mergedEst != batch-built $directEst")
+      assert(math.abs(directEst - 1200L) <= 60L, s"est $directEst off 1200")
+    } finally q.stop()
+  }
+
   test("drift monitor diffs each streamed snapshot drop against the base") {
     implicit val s = spark
     import spark.implicits._
