@@ -626,6 +626,56 @@ object ExtQueries {
         .orderBy("attributed")
     }),
 
+    // order-book backlog over time: +1 the day a line is ordered, -1
+    // the day it ships; the running sum is the open-lines count per
+    // day — the event-sourcing sweep, with the cumulative through the
+    // distributed prefix sum (timeline is one global series, so the
+    // plain window would be a single task).
+    "open_lines_backlog" -> ((s, dir) => {
+      val epoch = lit("1992-01-01").cast("date")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = l.select(datediff(to_date(col("o_orderdate")), epoch)
+          .cast("long").as("day"), lit(1L).as("delta"))
+        .unionByName(l.select(datediff(to_date(col("l_shipdate")), epoch)
+          .cast("long").as("day"), lit(-1L).as("delta")))
+      val daily = deltas.groupBy(col("day")).agg(sum(col("delta")).as("net"))
+        .withColumn("_g", lit(0))
+      graft.ext.Scale.chunkedCumSum(daily, Seq("_g"), "day", "net", "open_lines")
+        .select(col("day"), col("net"), col("open_lines"))
+        .orderBy("day")
+    }),
+
+    // order→ship latency distribution per return flag: exact p50/p90
+    // over the day-gap histogram (gaps are small integers, so the
+    // histogram is genuinely tiny — the favorable case for the
+    // histogram-percentile pattern)
+    "order_ship_latency_stats" -> ((s, dir) => {
+      val f = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("gap"))
+      val hist = f.groupBy(col("l_returnflag"), col("gap")).agg(count(lit(1)).as("c"))
+      val byGap = Window.partitionBy(col("l_returnflag")).orderBy(col("gap"))
+      val all = Window.partitionBy(col("l_returnflag"))
+      hist
+        .withColumn("cum", sum(col("c")).over(byGap))
+        .withColumn("n", sum(col("c")).over(all))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_lines"),
+          min(col("gap")).as("min_days"), max(col("gap")).as("max_days"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("gap"))).as("p50_days"),
+          min(when(expr("cum * 10 >= n * 9"), col("gap"))).as("p90_days"),
+          sum(col("gap") * col("c")).as("_gsum"))
+        .withColumn("mean_days_floor", expr("_gsum div n_lines"))
+        .drop("_gsum")
+        .orderBy("l_returnflag")
+    }),
+
     // revenue concentration curve (CR-k): what share of total revenue
     // the top-k parts carry, exact ppm at k ∈ {1,5,10,50,100} — the
     // skew measurement that decides broadcast thresholds and hot-key
@@ -1928,6 +1978,43 @@ object ExtQueries {
                 CAST(sum(CASE WHEN attributed THEN ts_us - a_ts ELSE 0 END) AS BIGINT)
                   AS gap_us_sum
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "open_lines_backlog" ->
+      """WITH l AS (
+           SELECT o.o_orderdate AS od, li.l_shipdate AS sd
+           FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+         d AS (
+           SELECT CAST(CAST(od AS DATE) - DATE '1992-01-01' AS BIGINT) AS day,
+                  1 AS delta
+           FROM l
+           UNION ALL
+           SELECT CAST(CAST(sd AS DATE) - DATE '1992-01-01' AS BIGINT), -1 FROM l),
+         g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY 1)
+         SELECT day, net,
+                CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_lines
+         FROM g ORDER BY day""",
+
+    "order_ship_latency_stats" ->
+      """WITH f AS (
+           SELECT li.l_returnflag,
+                  CAST(CAST(li.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                       AS BIGINT) AS gap
+           FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+         h AS (SELECT l_returnflag, gap, count(*) AS c FROM f GROUP BY 1, 2),
+         k AS (
+           SELECT l_returnflag, gap, c,
+                  sum(c) OVER (PARTITION BY l_returnflag ORDER BY gap) AS cum,
+                  sum(c) OVER (PARTITION BY l_returnflag) AS n
+           FROM h)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_lines,
+                CAST(min(gap) AS BIGINT) AS min_days,
+                CAST(max(gap) AS BIGINT) AS max_days,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS BIGINT)
+                  AS p50_days,
+                CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS BIGINT)
+                  AS p90_days,
+                CAST(sum(gap * c) // max(n) AS BIGINT) AS mean_days_floor
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     "revenue_concentration_topk" ->
       """WITH p AS (

@@ -315,6 +315,27 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("backlog sweep: balanced deltas, never-negative open count, ends at zero") {
+    val rows = q("open_lines_backlog").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._2).sum == 0L, "every ordered line must eventually ship")
+    // (no non-negativity claim: the synthetic generator allows a ship
+    // date before the order date, a data-quality fact the sweep
+    // faithfully surfaces as a transient negative balance)
+    assert(rows.last._3 == 0L, "backlog must drain by the end of the timeline")
+    // cumulative really is the running sum of net
+    assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq == rows.map(_._3).toSeq)
+  }
+
+  test("latency stats: ordered percentiles, mean inside the range") {
+    q("order_ship_latency_stats").collect().foreach { r =>
+      val (mn, mx, p50, p90, mean) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+      assert(mean >= mn && mean <= mx)
+    }
+  }
+
   test("concentration curve is monotone in k and share; CR-100 below 100%") {
     val rows = q("revenue_concentration_topk").collect()
       .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
