@@ -394,6 +394,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native as-of join: mismatched input partitionings still co-align under AQE") {
+    import spark.implicits._
+    // wildly different child layouts force EnsureRequirements + AQE
+    // coalescing to agree on ONE partitioning for both sides — the
+    // contract AsOfJoinExec's zipPartitions merge depends on
+    val left = (1L to 500L).map(i => (i, i % 11, i * 3)).toDF("id", "k", "ts")
+      .repartition(37)
+    val right = (1L to 200L).map(i => (1000L + i, i % 11, i * 7)).toDF("id", "k", "ts")
+      .repartition(1)
+    val native = graft.ext.AsOf.asofJoinNative(left, right, Seq("k"), "ts")
+      .collect().map(_.toSeq).toSet
+    val composed = graft.ext.AsOf.asofJoin(left, right, Seq("k"), "ts")
+      .collect().map(_.toSeq).toSet
+    assert(native == composed && native.size == 500)
+  }
+
   test("property: range-join binning rule preserves join results for random intervals") {
     spark // force shared session before building the extensions session
     org.apache.spark.sql.SparkSession.clearActiveSession()
