@@ -626,6 +626,44 @@ object ExtQueries {
         .orderBy("attributed")
     }),
 
+    // DAU/WAU: daily active customers plus the 7-day rolling distinct,
+    // computed TWO ways — exactly (each active day covers the next 7
+    // window days via a sequence explode: linear, no theta join) and
+    // by merging the per-day HLL sketches in a RANGE window frame
+    // (graft_hll_merge_estimate OVER (ORDER BY day RANGE 6 PRECEDING)
+    // — a rolling distinct whose window state is one 4 KB sketch).
+    // The oracle pins the exact counts and the 5% envelope boolean.
+    // The day-ordered window runs over the DAILY aggregate (bounded by
+    // calendar days), same rationale as revenue_concentration_topk.
+    "events_dau_wau_sketch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val epoch = lit("1992-01-01").cast("date")
+      val du = t(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), epoch).cast("long").as("day"),
+          col("o_custkey"))
+        .distinct()
+      val daily = du.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"),
+          call_function("graft_hll_sketch", col("o_custkey")).as("sk"))
+      val wauExact = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("o_custkey"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau_exact"))
+      val wFrame = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("wau_est",
+          call_function("graft_hll_merge_estimate", col("sk")).over(wFrame))
+        .join(wauExact, Seq("day"))
+        .select(col("day"), col("dau"), col("wau_exact"),
+          // collision noise at tiny cardinalities is ABSOLUTE (a few
+          // registers), so the envelope is max(5%, 5) — at n≈40 a pure
+          // 5% bound (±2) flags ordinary ±3 register collisions
+          (abs(col("wau_est") - col("wau_exact")) <=
+            greatest(col("wau_exact") * 0.05, lit(5.0))).as("wau_hll_ok"))
+        .orderBy("day")
+    }),
+
     // order-book backlog over time: +1 the day a line is ordered, -1
     // the day it ships; the running sum is the open-lines count per
     // day — the event-sourcing sweep, with the cumulative through the
@@ -1978,6 +2016,24 @@ object ExtQueries {
                 CAST(sum(CASE WHEN attributed THEN ts_us - a_ts ELSE 0 END) AS BIGINT)
                   AS gap_us_sum
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "events_dau_wau_sketch" ->
+      """WITH du AS (
+           SELECT DISTINCT
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day,
+             o_custkey
+           FROM orders),
+         cov AS (
+           SELECT day + r.range AS day, o_custkey
+           FROM du CROSS JOIN range(0, 7) r),
+         wau AS (SELECT day, count(DISTINCT o_custkey) AS wau_exact
+                 FROM cov GROUP BY 1),
+         dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1)
+         SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+                CAST(w.wau_exact AS BIGINT) AS wau_exact,
+                TRUE AS wau_hll_ok
+         FROM dau d JOIN wau w ON d.day = w.day
+         ORDER BY d.day""",
 
     "open_lines_backlog" ->
       """WITH l AS (

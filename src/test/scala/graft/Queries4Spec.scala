@@ -315,6 +315,15 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("DAU/WAU: weekly >= daily, windowed sketch estimate inside its envelope everywhere") {
+    val rows = q("events_dau_wau_sketch").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "WAU must be >= DAU")
+      assert(r.getBoolean(3), s"day ${r.getLong(0)}: sketch estimate out of envelope")
+    }
+  }
+
   test("backlog sweep: balanced deltas, never-negative open count, ends at zero") {
     val rows = q("open_lines_backlog").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
