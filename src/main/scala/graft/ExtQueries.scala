@@ -714,6 +714,39 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // longitudinal decile mobility: each customer's revenue decile in
+    // the first half of the timeline vs the second, as a 10x10
+    // transition count matrix — per-half decile boundaries come from
+    // the value histogram with the CHUNKED prefix sum (revenues are
+    // near-unique, the same degeneracy weighted_median dodges), and
+    // the boundary frame broadcasts onto the per-customer revenue rows.
+    "customer_decile_transitions" -> ((s, dir) => {
+      val half = when(to_date(col("o_orderdate")) < lit("1995-06-01").cast("date"),
+        "H1").otherwise("H2")
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"), half.as("half"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+        .groupBy(col("o_custkey"), col("half")).agg(sum(col("p")).as("rev"))
+      val hist = rev.groupBy(col("half"), col("rev")).agg(count(lit(1)).as("c"))
+      val cum = graft.ext.Scale.chunkedCumSum(hist, Seq("half"), "rev", "c", "cum")
+        .withColumnRenamed("cum_total", "n")
+      val ds = (1 to 9).map(k =>
+        min(when(col("cum") >= expr(s"(n * $k + 9) div 10"), col("rev")))
+          .as(s"d$k"))
+      val bounds = cum.groupBy(col("half")).agg(ds.head, ds.tail: _*)
+      val binned = rev.join(broadcast(bounds), Seq("half"))
+        .select(col("o_custkey"), col("half"),
+          (lit(1) + (1 to 9).map(k =>
+            (col("rev") > col(s"d$k")).cast("int")).reduce(_ + _)).as("bin"))
+      binned.filter(col("half") === "H1")
+        .select(col("o_custkey"), col("bin").as("bin_h1"))
+        .join(binned.filter(col("half") === "H2")
+          .select(col("o_custkey"), col("bin").as("bin_h2")), Seq("o_custkey"))
+        .groupBy(col("bin_h1"), col("bin_h2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("bin_h1", "bin_h2")
+    }),
+
     // revenue concentration curve (CR-k): what share of total revenue
     // the top-k parts carry, exact ppm at k ∈ {1,5,10,50,100} — the
     // skew measurement that decides broadcast thresholds and hot-key
@@ -1074,6 +1107,30 @@ object ExtQueries {
     // the same sketch (HLL of a set == HLL of its multiset), so each
     // branch shuffles map-side-reduced pairs once and the tiny per-flag
     // results broadcast-join back together.
+    // sketches through a multi-level aggregate: distinct parts per
+    // (flag, status), per flag, and grand-total in ONE pass via cube +
+    // the native HLL — the Expand operator feeds every grouping level
+    // the same rows, and the sketch envelope is asserted per level
+    // against the exact two-phase count.
+    "hll_grouping_sets" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
+      val est = li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(call_function("graft_hll_distinct", col("l_partkey")).as("_est"))
+      val exact = li
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey")).distinct()
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, est("l_returnflag") <=> exact("l_returnflag") &&
+          est("l_linestatus") <=> exact("l_linestatus"))
+        .select(coalesce(est("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(est("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("exact_parts"),
+          (abs(col("_est") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("hll_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // the two-level sketch workflow: per-(flag, linestatus) sketches
     // (as a persisted daily sketch table would hold), rolled up to
     // per-flag estimates by merging REGISTERS — no raw data re-read.
@@ -1202,6 +1259,54 @@ object ExtQueries {
            count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS hll_native_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "customer_decile_transitions" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-06-01'
+                       THEN 'H1' ELSE 'H2' END AS half,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY 1, 2),
+         h AS (SELECT half, rev, count(*) AS c FROM rev GROUP BY 1, 2),
+         k AS (
+           SELECT half, rev, c,
+                  sum(c) OVER (PARTITION BY half ORDER BY rev) AS cum,
+                  sum(c) OVER (PARTITION BY half) AS n
+           FROM h),
+         b AS (
+           SELECT half,
+                  min(CASE WHEN cum >= (n * 1 + 9) // 10 THEN rev END) AS d1,
+                  min(CASE WHEN cum >= (n * 2 + 9) // 10 THEN rev END) AS d2,
+                  min(CASE WHEN cum >= (n * 3 + 9) // 10 THEN rev END) AS d3,
+                  min(CASE WHEN cum >= (n * 4 + 9) // 10 THEN rev END) AS d4,
+                  min(CASE WHEN cum >= (n * 5 + 9) // 10 THEN rev END) AS d5,
+                  min(CASE WHEN cum >= (n * 6 + 9) // 10 THEN rev END) AS d6,
+                  min(CASE WHEN cum >= (n * 7 + 9) // 10 THEN rev END) AS d7,
+                  min(CASE WHEN cum >= (n * 8 + 9) // 10 THEN rev END) AS d8,
+                  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN rev END) AS d9
+           FROM k GROUP BY 1),
+         binned AS (
+           SELECT r.o_custkey, r.half,
+                  1 + CAST(rev > d1 AS INT) + CAST(rev > d2 AS INT)
+                    + CAST(rev > d3 AS INT) + CAST(rev > d4 AS INT)
+                    + CAST(rev > d5 AS INT) + CAST(rev > d6 AS INT)
+                    + CAST(rev > d7 AS INT) + CAST(rev > d8 AS INT)
+                    + CAST(rev > d9 AS INT) AS bin
+           FROM rev r JOIN b ON r.half = b.half)
+         SELECT h1.bin AS bin_h1, h2.bin AS bin_h2, count(*) AS n_customers
+         FROM (SELECT o_custkey, bin FROM binned WHERE half = 'H1') h1
+         JOIN (SELECT o_custkey, bin FROM binned WHERE half = 'H2') h2
+           ON h1.o_custkey = h2.o_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "hll_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                TRUE AS hll_ok
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
 
     "hll_sketch_rollup" ->
       """SELECT l_returnflag,

@@ -315,6 +315,31 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("HLL through cube: every grouping level inside the envelope; ALL dominates") {
+    val rows = q("hll_grouping_sets").collect()
+    assert(rows.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+      .get.getLong(2)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"(${r.getString(0)},${r.getString(1)}): out of envelope")
+      assert(r.getLong(2) <= grand)
+    }
+  }
+
+  test("decile transition matrix: bins in range, counts cover the both-halves cohort") {
+    val rows = q("customer_decile_transitions").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 10 && r.getInt(1) >= 1 && r.getInt(1) <= 10)
+    }
+    val half = when(to_date(col("o_orderdate")) < lit("1995-06-01").cast("date"), "H1")
+      .otherwise("H2")
+    val both = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_custkey"), half.as("half")).distinct()
+      .groupBy("o_custkey").count().filter(col("count") === 2).count()
+    assert(rows.map(_.getLong(2)).sum == both,
+      "matrix must cover exactly the customers active in both halves")
+  }
+
   test("DAU/WAU: weekly >= daily, windowed sketch estimate inside its envelope everywhere") {
     val rows = q("events_dau_wau_sketch").collect()
     assert(rows.nonEmpty)
