@@ -626,6 +626,45 @@ object ExtQueries {
         .orderBy("attributed")
     }),
 
+    // weekly event-type mix vs the overall mix, exact ppm, with a
+    // >25%-relative-shift flag — the composition-drift monitor that
+    // catches a logging change or a traffic-mix break. Two tiny
+    // aggregates; the overall mix broadcasts.
+    "events_type_mix_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 604800000000").as("week"))
+      val cell = e.groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("n"))
+      val byWeek = cell.groupBy(col("week")).agg(sum(col("n")).as("n_week"))
+      val overall = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+        .crossJoin(e.agg(count(lit(1)).as("n_total")))
+      cell
+        .join(broadcast(byWeek), Seq("week"))
+        .join(broadcast(overall), Seq("event_type"))
+        .select(col("week"), col("event_type"), col("n"),
+          expr("n * 1000000 div n_week").as("week_share_ppm"),
+          expr("n_type * 1000000 div n_total").as("overall_share_ppm"))
+        .withColumn("is_shifted",
+          expr("abs(week_share_ppm - overall_share_ppm) * 100 > overall_share_ppm * 25"))
+        .orderBy("week", "event_type")
+    }),
+
+    // Herfindahl–Hirschman concentration of order volume across
+    // customers, per order status — HHI = Σ share² as exact ppm via
+    // integer cross-multiplication (sum(n²)·1e6 div total²); the
+    // third concentration lens next to the Gini and CR-k keys.
+    "customer_hhi_by_status" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n")).as("n_orders"),
+          sum(col("n") * col("n")).as("_sq"))
+        .withColumn("hhi_ppm", expr("_sq * 1000000 div (n_orders * n_orders)"))
+        .drop("_sq")
+        .orderBy("o_orderstatus")
+    }),
+
     // DAU/WAU: daily active customers plus the 7-day rolling distinct,
     // computed TWO ways — exactly (each active day covers the next 7
     // window days via a sequence explode: linear, no theta join) and
@@ -2121,6 +2160,31 @@ object ExtQueries {
                 CAST(sum(CASE WHEN attributed THEN ts_us - a_ts ELSE 0 END) AS BIGINT)
                   AS gap_us_sum
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "events_type_mix_drift" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) // 604800000000 AS week FROM events),
+         cell AS (SELECT week, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+         w AS (SELECT week, sum(n) AS n_week FROM cell GROUP BY 1),
+         o AS (SELECT event_type, count(*) AS n_type FROM e GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM e)
+         SELECT CAST(cell.week AS BIGINT) AS week, cell.event_type,
+                CAST(n AS BIGINT) AS n,
+                CAST(n * 1000000 // n_week AS BIGINT) AS week_share_ppm,
+                CAST(n_type * 1000000 // n_total AS BIGINT) AS overall_share_ppm,
+                (abs(n * 1000000 // n_week - n_type * 1000000 // n_total) * 100
+                  > (n_type * 1000000 // n_total) * 25) AS is_shifted
+         FROM cell JOIN w USING (week) JOIN o USING (event_type) CROSS JOIN tot
+         ORDER BY week, event_type""",
+
+    "customer_hhi_by_status" ->
+      """WITH cnt AS (
+           SELECT o_orderstatus, o_custkey, count(*) AS n
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, count(*) AS n_customers,
+                CAST(sum(n) AS BIGINT) AS n_orders,
+                CAST(sum(n * n) * 1000000 // (sum(n) * sum(n)) AS BIGINT) AS hhi_ppm
+         FROM cnt GROUP BY 1 ORDER BY 1""",
 
     "events_dau_wau_sketch" ->
       """WITH du AS (

@@ -315,6 +315,29 @@ class Queries4Spec extends SparkSpec {
     }
   }
 
+  test("mix drift: weekly shares sum to ~1e6 per week; flag consistent with shares") {
+    val rows = q("events_type_mix_drift").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (week, g) =>
+      val s = g.map(_.getLong(3)).sum
+      // integer-floor shares lose at most (types-1) ppm
+      assert(s > 1000000L - g.length && s <= 1000000L, s"week $week shares sum $s")
+    }
+    rows.foreach { r =>
+      val flag = math.abs(r.getLong(3) - r.getLong(4)) * 100 > r.getLong(4) * 25
+      assert(r.getBoolean(5) == flag)
+    }
+  }
+
+  test("HHI bounded by [1e6/n_customers, 1e6]; equals 1e6 only under monopoly") {
+    q("customer_hhi_by_status").collect().foreach { r =>
+      val (nc, hhi) = (r.getLong(1), r.getLong(3))
+      assert(hhi <= 1000000L)
+      // floor division can undershoot the 1/n lower bound by <= 1 ppm
+      assert(hhi >= 1000000L / nc - 1, s"${r.getString(0)}: hhi $hhi below 1/n")
+      if (nc > 1) assert(hhi < 1000000L)
+    }
+  }
+
   test("HLL through cube: every grouping level inside the envelope; ALL dominates") {
     val rows = q("hll_grouping_sets").collect()
     assert(rows.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))
