@@ -626,6 +626,27 @@ object ExtQueries {
         .orderBy("attributed")
     }),
 
+    // price realization: transacted unit price vs the catalog retail
+    // price per part type, exact ppm by integer cross-multiplication —
+    // the two-table "are we selling at list" reconciliation. The part
+    // dimension broadcasts onto the fact; unit price stays exact by
+    // comparing price*catalog_qty products instead of dividing.
+    "price_realization_by_type" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("retail_c"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("ext_c")).as("sum_ext_c"),
+          sum(col("retail_c") * col("qty")).as("sum_list_c"))
+        .withColumn("realization_ppm",
+          expr("sum_ext_c * 1000000 div sum_list_c"))
+        .orderBy("p_type")
+    }),
+
     // weekly event-type mix vs the overall mix, exact ppm, with a
     // >25%-relative-shift flag — the composition-drift monitor that
     // catches a logging change or a traffic-mix break. Two tiny
@@ -2160,6 +2181,24 @@ object ExtQueries {
                 CAST(sum(CASE WHEN attributed THEN ts_us - a_ts ELSE 0 END) AS BIGINT)
                   AS gap_us_sum
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "price_realization_by_type" ->
+      """WITH li AS (
+           SELECT l_partkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         p AS (
+           SELECT p_partkey, p_type,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c
+           FROM part)
+         SELECT p_type, count(*) AS n_lines,
+                CAST(sum(ext_c) AS BIGINT) AS sum_ext_c,
+                CAST(sum(retail_c * qty) AS BIGINT) AS sum_list_c,
+                CAST(sum(ext_c) * 1000000 // sum(retail_c * qty) AS BIGINT)
+                  AS realization_ppm
+         FROM li JOIN p ON li.l_partkey = p.p_partkey
+         GROUP BY 1 ORDER BY 1""",
 
     "events_type_mix_drift" ->
       """WITH e AS (

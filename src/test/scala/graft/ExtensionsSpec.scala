@@ -316,6 +316,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
   }
 
+  test("range-join rule: garbage or non-positive binWidth conf disables the rewrite, never throws") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.Bridge.addOptimization(spark, graft.plans.RangeJoinRule(spark))
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    def j = pts.join(ivs, pts("p") >= ivs("s") && pts("p") <= ivs("e"))
+    Seq("abc", "-5", "0", "").foreach { bad =>
+      spark.conf.set("spark.graft.rangeJoin.binWidth", bad)
+      try {
+        assert(j.collect().length == 1, s"conf='$bad'")
+        assert(!j.queryExecution.executedPlan.toString.contains("Generate explode"),
+          s"conf='$bad' must not enable the rewrite")
+      } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    }
+  }
+
   test("runtime-registered rule (extraOptimizations): auto key equals the manual binned key") {
     val dir = sf("sf0.001")
     val auto = SparkEntry.queries("range_join_rule_auto")(spark, dir).collect()
