@@ -248,6 +248,26 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("error paths: wrong-length sketch and missing as-of columns fail with clear messages") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.functions.GraftFunctions.register(spark)
+    // a non-sketch binary into the merge aggregate → explicit require
+    val bad = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("sk")
+        .agg(call_function("graft_hll_merge_estimate", col("sk"))).collect()
+    }
+    assert(bad.getMessage.contains("4096-byte sketch") ||
+      Option(bad.getCause).exists(_.getMessage.contains("4096-byte sketch")),
+      s"unhelpful error: ${bad.getMessage}")
+    // a missing key column in the as-of builder → named-column error
+    val left = Seq((1L, 2L)).toDF("id", "ts")
+    val miss = intercept[IllegalArgumentException] {
+      graft.ext.AsOf.asofJoinNative(left, left, Seq("nope"), "ts")
+    }
+    assert(miss.getMessage.contains("nope"))
+  }
+
   test("native HLL aggregate: partition-invariant, accurate at all ranges, SQL-callable") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
