@@ -146,12 +146,15 @@ object Main {
     // MySQL table comments: the reference leaves the fetch as a TODO
     // (mysql.rs:144) and never compares them; our MySQL dialect DOES
     // fetch them (information_schema.tables.table_comment), so the
-    // comparison defaults ON for MySQL — suppress with
-    // `--ignore CommentOfTable`. Postgres keeps reference parity
-    // (off unless the library caller opts in).
-    val diffOpts =
-      if (dialect == graft.dialect.MySql) opts.diff.copy(compareTableComments = true)
-      else opts.diff
+    // comparison defaults ON for MySQL. The default applies only when
+    // the caller didn't set `--table-comments` explicitly — an explicit
+    // on/off always wins, for either dialect.
+    val diffOpts = opts.tableComments match {
+      case Some(v) => opts.diff.copy(compareTableComments = v)
+      case None if dialect == graft.dialect.MySql =>
+        opts.diff.copy(compareTableComments = true)
+      case None => opts.diff
+    }
     val progress = new graft.diff.Progress(spark)
     try {
       progress.step("connect") {
@@ -168,12 +171,17 @@ object Main {
     } finally progress.close()
   }
 
+  /** @param tableComments explicit `--table-comments on|off`; None =
+    *   not set, letting the per-dialect default apply (MySQL on,
+    *   Postgres off — see [[runJdbcDiff]]).
+    */
   private case class CliOptions(
       diff: DiffOptions = DiffOptions(),
       out: Option[String] = None,
       dialect: Option[graft.dialect.Dialect] = None,
       configPath: Option[String] = None,
-      pairName: Option[String] = None)
+      pairName: Option[String] = None,
+      tableComments: Option[Boolean] = None)
 
   private def parseFlags(flags: List[String]): CliOptions = flags match {
     case Nil => CliOptions()
@@ -195,6 +203,16 @@ object Main {
       parseFlags(rest).transformDiff(_.copy(ignore = checks))
     case "--strict-null-defaults" :: rest =>
       parseFlags(rest).transformDiff(_.copy(strictNullDefaults = true))
+    case "--table-comments" :: v :: rest =>
+      val on = v match {
+        case "on"  => true
+        case "off" => false
+        case _ => throw new IllegalArgumentException(
+          s"--table-comments must be on|off, got: $v")
+      }
+      val o = parseFlags(rest)
+      o.copy(tableComments = Some(on),
+        diff = o.diff.copy(compareTableComments = on))
     case "--dialect" :: v :: rest =>
       val d = v match {
         case "postgres" => graft.dialect.Postgres
@@ -238,6 +256,6 @@ object Main {
       |       graft.cli.Main run [--pair <name>] [--config <path>] [flags]
       |       graft.cli.Main init --name <n> --type postgres|mysql --base-url <u> --target-url <u>
       |                           [--lang en|ko] [--config <path>]
-      |flags: --lang en|ko  --bidirectional  --ignore c1,c2  --strict-null-defaults  --out <dir>
+      |flags: --lang en|ko  --bidirectional  --ignore c1,c2  --strict-null-defaults  --table-comments on|off  --out <dir>
       |check types: CommentOfColumn, CommentOfTable, TypeOfColumn, IndexOfTable""".stripMargin)
 }

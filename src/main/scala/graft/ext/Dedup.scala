@@ -162,7 +162,9 @@ object Dedup {
     * capped at `maxBucket` lowest ids before the join, bounding a
     * degenerate signature's pair expansion at maxBucket².
     *
-    * Output: (old_id, new_id, jaccard) with jaccard >= threshold.
+    * Output: (old_id, new_id, jaccard) with jaccard >= threshold —
+    * materialized and persisted (pair-sized; unpersist when done). The
+    * intermediate shingle caches are released before returning.
     */
   def minhashLshIncremental(
       corpus: DataFrame,
@@ -194,12 +196,22 @@ object Dedup {
         Seq("band_id", "sig"))
       .select(col("old_id"), col("new_id"))
       .distinct()
-    cand
+    val verified = cand
       .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
       .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
       .select(col("old_id"), col("new_id"),
         graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Materialize the (small) verified-pair output, then release the two
+    // big shingle caches — returning a lazy frame over them would leak
+    // MEMORY_AND_DISK blocks for the session lifetime on every call.
+    // The returned frame stays persisted (it is re-consumed by callers'
+    // anti-joins); it is pair-sized, and callers may unpersist it.
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    oldSh.unpersist()
+    newSh.unpersist()
+    out
   }
 
   /** The LSH candidate-generation core: group rows by `bucketCols`,

@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native HyperLogLog distinct-count aggregate — the MERGEABLE-sketch
@@ -28,16 +30,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * registers, rsd ≈ 1.04/√4096 ≈ 1.6%.
   */
 /** Shared HLL register math (p=12, 4096 one-byte registers). */
-private[functions] object Hll {
+private[graft] object Hll {
   val p = 12
   val m: Int = 1 << p
 
+  /** Canonical 64-bit hash per data type. Every atomic type hashes a
+    * canonical byte representation with the full 64-bit domain — a
+    * `hashCode`-based fallback would collapse the domain to 32 bits of
+    * entropy and systematically underestimate cardinalities near
+    * 10^8-10^9 (birthday collisions among 2^32 hash values). Doubles and
+    * floats canonicalize -0.0 to 0.0 (value-equal inputs must hash
+    * equal; `doubleToLongBits` already canonicalizes NaN); decimals hash
+    * the unscaled value bytes mixed with the scale. Non-atomic types are
+    * rejected by `checkInputDataTypes` before execution.
+    */
   def hash(v: Any): Long = v match {
     case l: java.lang.Long    => XXH64.hashLong(l, 42L)
     case i: java.lang.Integer => XXH64.hashLong(i.toLong, 42L)
     case s: UTF8String =>
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    case sh: java.lang.Short  => XXH64.hashLong(sh.toLong, 42L)
+    case by: java.lang.Byte   => XXH64.hashLong(by.toLong, 42L)
+    case b: java.lang.Boolean => XXH64.hashLong(if (b) 1L else 0L, 42L)
+    case d: java.lang.Double =>
+      val dv = if (d.doubleValue == 0.0d) 0.0d else d.doubleValue
+      XXH64.hashLong(java.lang.Double.doubleToLongBits(dv), 42L)
+    case f: java.lang.Float =>
+      val fv = if (f.floatValue == 0.0f) 0.0f else f.floatValue
+      XXH64.hashLong(java.lang.Float.floatToIntBits(fv).toLong, 42L)
+    case dec: Decimal =>
+      val bd = dec.toJavaBigDecimal
+      val bytes = bd.unscaledValue.toByteArray
+      XXH64.hashLong(bd.scale.toLong,
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L))
+    case bytes: Array[Byte] =>
+      XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
     case other => XXH64.hashLong(other.hashCode.toLong, 42L)
+  }
+
+  /** Input gate shared by the sketch-building aggregates. */
+  def checkAtomicInput(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case NullType | BooleanType | ByteType | ShortType | IntegerType |
+        LongType | FloatType | DoubleType | StringType | BinaryType |
+        DateType | TimestampType | TimestampNTZType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _: DecimalType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires an atomic input type (numeric, string, binary, " +
+        s"datetime, decimal or boolean), got ${other.catalogString}")
   }
 
   def add(buf: Array[Byte], v: Any): Unit = if (v != null) {
@@ -82,6 +122,8 @@ case class HllDistinct(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hll_distinct"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Hll.checkAtomicInput(prettyName, child.dataType)
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m)
 
@@ -122,6 +164,8 @@ case class HllSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_hll_sketch"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Hll.checkAtomicInput(prettyName, child.dataType)
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.m)
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {

@@ -34,9 +34,20 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def binWidth: Long =
-    try session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong
-    catch { case _: NumberFormatException => 0L }
+  private def binWidth: Long = {
+    val raw = session.conf.get("spark.graft.rangeJoin.binWidth", "0")
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        // The user explicitly opted in with a value we can't parse —
+        // silently running the O(n·m) nested loop instead would be the
+        // worst failure mode, so say so loudly.
+        logWarning(s"spark.graft.rangeJoin.binWidth='$raw' is not a " +
+          "long; range-join bin rewrite DISABLED — interval joins fall " +
+          "back to the nested-loop plan")
+        0L
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth

@@ -135,6 +135,17 @@ object Sessionize {
     * |batch| × bucket collisions, never |corpus|²; at warehouse scale
     * `sigs` is a bucketed table on (band_id, sig) making the probe
     * exchange-free ([[graft.ext.Scale.writeBucketed]]).
+    *
+    * Idempotence: foreachBatch is at-least-once, and this sink does
+    * THREE non-atomic appends (gold, sh, sigs). Two mechanisms make a
+    * replay safe: a fully-committed batch leaves a
+    * `indexDir/_committed/<batchId>` marker and replays as a no-op;
+    * a partially-committed batch self-heals because each of the three
+    * appends anti-joins the doc_ids already present in its target
+    * table, so exactly the missing suffix of the three writes lands on
+    * retry. The gold append stays FIRST: the probe reads `sigs`, so a
+    * doc may be indexed only after it is durably in gold — the reverse
+    * order could drop a future duplicate of a doc that never landed.
     */
   def nearDupIngest(
       docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
@@ -143,55 +154,70 @@ object Sessionize {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ext.TextPrimitives._
         graft.functions.GraftFunctions.register(spark)
         val sigsDir = s"$indexDir/sigs"
         val shDir = s"$indexDir/sh"
         val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
         val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
+        if (!fs.exists(marker)) {
+          // (1) in-batch collapse: lowest id of each verified pair wins
+          val inBatchDrop = graft.ext.Dedup
+            .minhashLsh(batch.toDF(), k, bands, rowsPerBand, threshold)
+            .select(col("b_id").as("doc_id")).distinct()
+          val kept = batch.toDF().join(inBatchDrop, Seq("doc_id"), "left_anti")
 
-        // (1) in-batch collapse: lowest id of each verified pair wins
-        val inBatchDrop = graft.ext.Dedup
-          .minhashLsh(batch.toDF(), k, bands, rowsPerBand, threshold)
-          .select(col("b_id").as("doc_id")).distinct()
-        val kept = batch.toDF().join(inBatchDrop, Seq("doc_id"), "left_anti")
+          val sh = kept.select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+            .withColumn("shh", shingleHashes(col("sh")))
+            .persist()
+          def bandSigs(frame: DataFrame): DataFrame = frame.select(col("doc_id"),
+            posexplode(array((0 until bands).map(b =>
+              bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
+              .as(Seq("band_id", "sig")))
 
-        val sh = kept.select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
-          .withColumn("shh", shingleHashes(col("sh")))
-          .persist()
-        def bandSigs(frame: DataFrame): DataFrame = frame.select(col("doc_id"),
-          posexplode(array((0 until bands).map(b =>
-            bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
-            .as(Seq("band_id", "sig")))
+          // (2) probe the corpus index: candidates by bucket, exact verify
+          val dupIds =
+            if (fs.exists(sigsPath)) {
+              val cand = spark.read.parquet(sigsDir)
+                .withColumnRenamed("doc_id", "old_id")
+                .join(bandSigs(sh).withColumnRenamed("doc_id", "new_id"),
+                  Seq("band_id", "sig"))
+                .select(col("old_id"), col("new_id")).distinct()
+              cand
+                .join(spark.read.parquet(shDir)
+                  .select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
+                .join(sh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
+                .filter(graft.functions.GraftFunctions
+                  .jaccardNative(col("a_sh"), col("b_sh")) >= threshold)
+                .select(col("new_id").as("doc_id")).distinct()
+            } else kept.select(col("doc_id")).limit(0)
 
-        // (2) probe the corpus index: candidates by bucket, exact verify
-        val dupIds =
-          if (fs.exists(sigsPath)) {
-            val cand = spark.read.parquet(sigsDir)
-              .withColumnRenamed("doc_id", "old_id")
-              .join(bandSigs(sh).withColumnRenamed("doc_id", "new_id"),
-                Seq("band_id", "sig"))
-              .select(col("old_id"), col("new_id")).distinct()
-            cand
-              .join(spark.read.parquet(shDir)
-                .select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
-              .join(sh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
-              .filter(graft.functions.GraftFunctions
-                .jaccardNative(col("a_sh"), col("b_sh")) >= threshold)
-              .select(col("new_id").as("doc_id")).distinct()
-          } else kept.select(col("doc_id")).limit(0)
-
-        // (3) append survivors + their index material
-        val fresh = kept.join(dupIds, Seq("doc_id"), "left_anti").persist()
-        fresh.write.mode("append").parquet(outDir)
-        val freshSh = sh.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
-          .persist()
-        freshSh.select("doc_id", "sh").write.mode("append").parquet(shDir)
-        bandSigs(freshSh).write.mode("append").parquet(sigsDir)
-        freshSh.unpersist()
-        fresh.unpersist()
-        sh.unpersist()
+          // (3) append survivors + their index material. Each append
+          // anti-joins the ids already in its target so a replay of a
+          // partially-committed batch writes exactly the missing suffix
+          // (see the idempotence scaladoc note above).
+          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+              frame.join(spark.read.parquet(dir).select("doc_id").distinct(),
+                Seq("doc_id"), "left_anti")
+            else frame
+          }
+          val surv = kept.join(dupIds, Seq("doc_id"), "left_anti").persist()
+          notAlreadyIn(surv, outDir).write.mode("append").parquet(outDir)
+          val survSh = sh.join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+            .persist()
+          notAlreadyIn(survSh.select("doc_id", "sh"), shDir)
+            .write.mode("append").parquet(shDir)
+          notAlreadyIn(bandSigs(survSh), sigsDir)
+            .write.mode("append").parquet(sigsDir)
+          survSh.unpersist()
+          surv.unpersist()
+          sh.unpersist()
+          fs.mkdirs(marker)
+        }
         ()
       }
       .start()

@@ -197,6 +197,23 @@ class ExtSpec extends SparkSpec {
     assert(r.forall { case (o, n) => o < 100L && n >= 100L })
   }
 
+  test("incremental LSH releases its shingle caches; only the pair output stays cached") {
+    // Repeated daily-ingest calls must not accumulate MEMORY_AND_DISK
+    // blocks for the session lifetime: the two big intermediate shingle
+    // frames are unpersisted before returning; the (pair-sized) output
+    // is the single surviving cache entry and the caller can drop it.
+    spark.sharedState.cacheManager.clearCache()
+    val olds = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight")
+    val news = docsDf(101L -> "alpha beta gamma delta epsilon zeta eta")
+    val out = Dedup.minhashLshIncremental(olds, news)
+    assert(!spark.sharedState.cacheManager.isEmpty, "output frame should be cached")
+    out.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shingle caches leaked past minhashLshIncremental")
+  }
+
   test("gopher rules: each gate trips on its own boundary; clean doc passes all") {
     val fifty = (1 to 50).map(i => s"tok$i").mkString(" ")          // 50 distinct words
     val good = ((1 to 46).map(i => s"tok$i") ++ Seq("the", "of", "and", "in")).mkString(" ")

@@ -295,6 +295,36 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("HLL hash: canonical full-width bytes per type, non-atomic inputs rejected") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col}
+    // value-equal doubles must hash equal: -0.0 ≡ 0.0
+    assert(graft.functions.Hll.hash(java.lang.Double.valueOf(-0.0d)) ==
+      graft.functions.Hll.hash(java.lang.Double.valueOf(0.0d)))
+    assert(graft.functions.Hll.hash(java.lang.Float.valueOf(-0.0f)) ==
+      graft.functions.Hll.hash(java.lang.Float.valueOf(0.0f)))
+    // doubles/decimals/binary hash their canonical bytes, not a 32-bit
+    // hashCode — estimates over such columns stay in tolerance
+    val dEst = (1 to 20000).map(_ * 0.25).toDF("v")
+      .agg(call_function("graft_hll_distinct", col("v")))
+      .collect()(0).getLong(0)
+    assert(math.abs(dEst - 20000) <= 1000, s"double est=$dEst")
+    val decEst = spark.sql(
+      "SELECT graft_hll_distinct(CAST(id AS DECIMAL(20,2)) / 4) FROM range(20000)")
+      .collect()(0).getLong(0)
+    assert(math.abs(decEst - 20000) <= 1000, s"decimal est=$decEst")
+    val binEst = spark.sql(
+      "SELECT graft_hll_distinct(CAST(CAST(id AS STRING) AS BINARY)) FROM range(20000)")
+      .collect()(0).getLong(0)
+    assert(math.abs(binEst - 20000) <= 1000, s"binary est=$binEst")
+    // non-atomic input types fail analysis instead of degrading silently
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hll_distinct(array(id)) FROM range(10)").collect()
+    }
+    assert(err.getMessage.contains("atomic"), err.getMessage)
+  }
+
   test("HLL sketch rollup: merged fine-grained sketches equal direct estimation exactly") {
     val rows = SparkEntry.queries("hll_sketch_rollup")(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)

@@ -115,6 +115,32 @@ class StreamingSpec extends SparkSpec {
       val idxIds = spark.read.parquet(s"$idx/sigs").select("doc_id")
         .distinct().collect().map(_.getLong(0)).sorted.toSeq
       assert(idxIds == Seq(1L, 2L, 12L, 13L))
+
+      // replay safety: foreachBatch is at-least-once, and the sink does
+      // three non-atomic appends — replaying the SAME batches (fresh
+      // checkpoint restarts batchIds at 0 over the same out/index dirs)
+      // must not duplicate gold rows or index entries. Fully-committed
+      // batches no-op on their _committed marker; a partial commit
+      // would self-heal via the per-append anti-joins.
+      val ckpt2 = new java.io.File(dir, "ckpt2").getPath
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = Sessionize.nearDupIngest(in2.toDS().toDF("doc_id", "text"), out, idx, ckpt2)
+      try {
+        in2.addData(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+          2L -> "one two three four five six seven")
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val idsAfter = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(idsAfter == Seq(1L, 2L, 12L, 13L), "replayed batch duplicated gold rows")
+      val sigCountAfter = spark.read.parquet(s"$idx/sigs").count()
+      val shIdsAfter = spark.read.parquet(s"$idx/sh").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(shIdsAfter == Seq(1L, 2L, 12L, 13L), "replayed batch duplicated shingle index rows")
+      assert(new java.io.File(s"$idx/_committed").list().nonEmpty, "commit markers missing")
+      assert(sigCountAfter ==
+        spark.read.parquet(s"$idx/sigs").select("doc_id", "band_id", "sig").distinct().count(),
+        "replayed batch duplicated signature index rows")
     } finally q.stop()
   }
 
