@@ -67,8 +67,19 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
 
+  /** Exact clustering on the FULL key set, both sides. Plain
+    * `ClusteredDistribution(keys)` can be satisfied by a child already
+    * hash-partitioned on a strict subset of the keys; if the two sides
+    * then settle on different partitionings, `zipPartitions` would pair
+    * rows of the same key from DIFFERENT partition indexes and silently
+    * mis-join. `requireAllClusterKeys = true` makes EnsureRequirements
+    * accept only a partitioning over exactly these keys (same set, same
+    * order), inserting an exchange otherwise — co-partitioning holds by
+    * construction, independent of what the children arrive with.
+    */
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true),
+    ClusteredDistribution(rightKeys, requireAllClusterKeys = true))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),

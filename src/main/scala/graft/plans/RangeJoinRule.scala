@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite a point-in-interval theta join into a binned
   * equi-join.
@@ -28,9 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * unit of the range columns) on the session; unset/0 disables the
   * rewrite. Width tuning is the usual selectivity tradeoff: too small
   * explodes many bins per interval, too large puts many candidates in a
-  * bin. Fires only on INNER joins with long-typed, deterministic,
-  * single-side point/bound expressions; idempotent via the `graft_bin`
-  * marker attributes it introduces.
+  * bin. Fires on INNER joins and on LEFT/RIGHT OUTER joins whose
+  * preserved side is the point side (the interval side explodes into
+  * bins, so an unmatched preserved interval row would be duplicated
+  * once per bin — those shapes are left alone). Point/bound expressions
+  * may be any integral, date or timestamp type: each is mapped through
+  * a monotone to-long conversion (int/short/byte widen; date → epoch
+  * days, so `binWidth` is in DAYS; timestamp/ntz → epoch micros, so
+  * `binWidth` is in MICROSECONDS) and the original predicate stays as
+  * the exact residual filter. Requires deterministic, single-side
+  * expressions; idempotent via the `graft_bin` marker attributes it
+  * introduces.
   */
 case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -53,7 +61,7 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     val w = binWidth
     if (w <= 0) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, Inner | LeftOuter | RightOuter, Some(cond), hint)
           if !cond.references.exists(_.name.startsWith("graft_bin")) =>
         rewrite(j, left, right, cond, hint, w).getOrElse(j)
     }
@@ -63,6 +71,26 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     * `point <= bound` (upper); strictness is irrelevant for coverage.
     */
   private case class RangeConj(point: Expression, bound: Expression, lower: Boolean)
+
+  /** Monotone (non-decreasing) conversion to Long, or None for an
+    * unsupported type. Monotonicity is all bin coverage needs:
+    * s ≤ p ≤ e under the column type implies
+    * toLong(s) ≤ toLong(p) ≤ toLong(e), so the point's bin always falls
+    * inside the interval's bin range; exactness is restored by the
+    * residual filter on the ORIGINAL typed predicate.
+    */
+  private def toLong(e: Expression): Option[Expression] = e.dataType match {
+    case LongType => Some(e)
+    case IntegerType | ShortType | ByteType => Some(Cast(e, LongType))
+    case DateType => Some(Cast(UnixDate(e), LongType))
+    case TimestampType => Some(UnixMicros(e))
+    case TimestampNTZType =>
+      // NTZ micros relative to the session zone; the same zone is applied
+      // to both sides of every conjunct, preserving monotonicity.
+      Some(UnixMicros(Cast(e, TimestampType,
+        Some(session.sessionState.conf.sessionLocalTimeZone))))
+    case _ => None
+  }
 
   private def rewrite(
       j: Join,
@@ -76,7 +104,7 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
       e.references.nonEmpty && e.references.subsetOf(left.outputSet)
     def fromRight(e: Expression) =
       e.references.nonEmpty && e.references.subsetOf(right.outputSet)
-    def usable(e: Expression) = e.deterministic && e.dataType == LongType
+    def usable(e: Expression) = e.deterministic && toLong(e).isDefined
 
     // orient every comparison conjunct as (point, bound, isLower) where
     // point and bound sit on opposite sides of the join
@@ -101,16 +129,27 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // find one point expression with BOTH a lower and an upper bound on
     // the opposite side
-    val candidate = oriented.filter(_.lower).flatMap { lo =>
+    val candidates = oriented.filter(_.lower).flatMap { lo =>
       oriented.find(up => !up.lower && up.point.semanticEquals(lo.point) &&
         // both bounds must come from the same (opposite) side
         (fromLeft(lo.bound) == fromLeft(up.bound)))
         .map(up => (lo.point, lo.bound, up.bound))
-    }.headOption
+    }
+    // outer joins: only the point side may be the preserved side — the
+    // interval side explodes into bins, so a preserved-but-unmatched
+    // interval row would be emitted once per bin
+    val candidate = candidates.find { case (p, _, _) =>
+      j.joinType match {
+        case Inner      => true
+        case LeftOuter  => fromLeft(p)
+        case RightOuter => fromRight(p)
+        case _          => false
+      }
+    }
 
     candidate.map { case (p, s, e) =>
       val pointOnLeft = fromLeft(p)
-      def div(x: Expression) = new IntegralDivide(x, Literal(w))
+      def div(x: Expression) = new IntegralDivide(toLong(x).get, Literal(w))
 
       val binP = Alias(div(p), "graft_bin_p")()
       val binRange = AttributeReference("graft_bin_r", LongType)()
@@ -137,7 +176,7 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (pointOnLeft) (newPoint, newRange) else (newRange, newPoint)
       // keep every original conjunct: the range predicate is the
       // residual filter, pre-existing equi keys stay equi keys
-      val newJoin = Join(newLeft, newRight, Inner, Some(And(cond, binEq)), hint)
+      val newJoin = Join(newLeft, newRight, j.joinType, Some(And(cond, binEq)), hint)
       Project(j.output, newJoin)
     }
   }

@@ -410,6 +410,32 @@ class PropertySpec extends SparkSpec {
     assert(native == composed && native.size == 500)
   }
 
+  test("native as-of join: a child pre-partitioned on a strict key SUBSET cannot mis-join") {
+    import spark.implicits._
+    // Left arrives hash-partitioned on k1 only, right on (k1,k2):
+    // subset clustering would SATISFY a plain ClusteredDistribution on
+    // both sides while the partition indexes of equal (k1,k2) keys
+    // disagree — zipPartitions would then merge rows of different
+    // partitions and drop/misattribute matches. The exec requires
+    // exact full-key clustering (requireAllClusterKeys), so
+    // EnsureRequirements must re-exchange and the result stays
+    // oracle-equal to the window composition.
+    val left = (1L to 400L).map(i => (i, i % 7, i % 5, i * 3)).toDF("id", "k1", "k2", "ts")
+      .repartition(8, $"k1")
+    val right = (1L to 300L).map(i => (2000L + i, i % 7, i % 5, i * 5)).toDF("id", "k1", "k2", "ts")
+      .repartition(16, $"k1", $"k2")
+    val native = graft.ext.AsOf.asofJoinNative(left, right, Seq("k1", "k2"), "ts")
+      .collect().map(_.toSeq).toSet
+    val composed = graft.ext.AsOf.asofJoin(left, right, Seq("k1", "k2"), "ts")
+      .collect().map(_.toSeq).toSet
+    assert(native == composed && native.size == 400)
+    // and the reverse subset assignment
+    val native2 = graft.ext.AsOf.asofJoinNative(
+      left.repartition(16, $"k1", $"k2"), right.repartition(8, $"k2"), Seq("k1", "k2"), "ts")
+      .collect().map(_.toSeq).toSet
+    assert(native2 == composed)
+  }
+
   test("property: range-join binning rule preserves join results for random intervals") {
     spark // force shared session before building the extensions session
     org.apache.spark.sql.SparkSession.clearActiveSession()
