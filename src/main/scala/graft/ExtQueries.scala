@@ -205,6 +205,21 @@ object ExtQueries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, blockCols = Seq("lang", "source"))
         .orderBy("a_id", "b_id")),
 
+    // the integer-domain (production) LSH promoted to a first-class
+    // oracle key: same verified-pair contract as dedup_minhash_lsh but
+    // everything that shuffles is a LONG (xxhash64 double-hash minhash
+    // family), never an md5 hex string. Band family r=1 × b=24 puts the
+    // per-pair detection-miss probability at the 0.5 threshold below
+    // (1-0.5)^24 ≈ 6e-8, so the exact-Jaccard-verified output equals
+    // the all-pairs ground truth the oracle computes — precision is
+    // exact by construction, recall is the band knob. Production
+    // configs (r≥3, fewer candidates) are covered by the recall-floor
+    // spec against the md5 twin.
+    "dedup_minhash_lsh_fast" -> ((s, dir) =>
+      Dedup.minhashLshFast(t(s, dir, "documents"), k = 3, bands = 24,
+          rowsPerBand = 1, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupsBlocked(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("a_id", "b_id")),
@@ -400,6 +415,20 @@ object ExtQueries {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(t(s, dir, "documents"))(s).orderBy("doc_id")),
 
+    // REAL format decode at the batching seam: spec-compliant RIFF/WAVE
+    // PCM payloads are assembled per doc and pushed through a genuine
+    // chunk-walking WAV parser inside the batched mapPartitions stage.
+    // The oracle recomputes every decoded statistic from the seeded
+    // sample formula — a wrong header field or byte order anywhere in
+    // the codec would shift peak/sum-of-squares and fail the hash.
+    "multimodal_wav_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeWavBatch(
+          Multimodal.wavFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // the 1-record -> N-frames flatMap expansion (video frame sampling /
     // audio chunking shape); output projects each frame to (len, md5) so
     // payload bytes never reach the result
@@ -457,6 +486,67 @@ object ExtQueries {
           .select(col("event_id"), col("user_id"), col("ts_us"),
             col("session_id"), col("start_us"), col("end_us"))
           .orderBy("event_id", "session_id")
+          .localCheckpoint(true)
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
+
+    // DateType variant of the optimizer rewrite: a PURE-range (no equi
+    // key) point-in-window join over dates. Windows are overlapping
+    // month windows ([month_start - 10 days, last_day]) derived from
+    // the data, so boundary orders match two windows and bin coverage
+    // across the overlap is exercised. binWidth is in DAYS for DateType
+    // points (the rule's monotone to-long maps a date to its epoch day).
+    "range_join_rule_date" -> ((s, dir) => {
+      org.apache.spark.sql.graft.Bridge.addOptimization(s, graft.plans.RangeJoinRule(s))
+      s.conf.set("spark.graft.rangeJoin.binWidth", "7")
+      try {
+        val o = t(s, dir, "orders").select(
+          to_date(col("o_orderdate")).as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val windows = o.select(trunc(col("d"), "MM").as("m")).distinct()
+          .select(col("m"), date_sub(col("m"), 10).as("w_start"),
+            last_day(col("m")).as("w_end"))
+        o.join(windows, o("d") >= windows("w_start") && o("d") <= windows("w_end"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+          // string month key: DATE-typed outputs hash differently across
+          // the oracle bridge (date32 vs datetime64), same as elsewhere
+          .select(date_format(col("m"), "yyyy-MM-dd").as("month"),
+            col("n_orders"), col("sum_cents"))
+          .orderBy("month")
+          .localCheckpoint(true)
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
+
+    // TimestampType + LEFT OUTER variant: clicks (the preserved POINT
+    // side — the only outer shape the rule may rewrite, since the
+    // interval side explodes into bins) left-joined to long-session
+    // windows on genuine timestamp columns; clicks outside every
+    // >=5-event session survive null-padded. binWidth is in
+    // MICROSECONDS for timestamp points.
+    "range_join_rule_ts_left" -> ((s, dir) => {
+      org.apache.spark.sql.graft.Bridge.addOptimization(s, graft.plans.RangeJoinRule(s))
+      s.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+      try {
+        val clicks = t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("click_ts"))
+        val sessions = Events.sessionize(t(s, dir, "events"))
+          .filter(col("n_events") >= 5)
+          .select(col("user_id").as("s_user_id"), col("session_id"),
+            timestamp_micros(col("start_us")).as("start_ts"),
+            timestamp_micros(col("start_us") + col("duration_us")).as("end_ts"),
+            col("start_us"))
+        clicks.join(sessions,
+            clicks("user_id") === sessions("s_user_id") &&
+              clicks("click_ts") >= sessions("start_ts") &&
+              clicks("click_ts") <= sessions("end_ts"),
+            "left_outer")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("ts_us"),
+            col("session_id"), col("start_us"))
+          .orderBy(col("event_id"), col("session_id"))
           .localCheckpoint(true)
       } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
@@ -1690,6 +1780,24 @@ object ExtQueries {
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY a_id, b_id""",
 
+    // ground truth for the integer-LSH key: exact all-pairs shingle-set
+    // Jaccard at the same threshold (see the key's comment on why the
+    // near-exhaustive band family makes LSH output == ground truth)
+    "dedup_minhash_lsh_fast" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(w[i+1:i+3], ' ')
+                            FOR i IN range(0, greatest(len(w)-2, 0))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(a.sh) + len(b.sh)
+                  - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
     "dedup_embedding_cosine" ->
       s"""WITH q AS ($quantSql),
          scored AS (
@@ -2015,6 +2123,22 @@ object ExtQueries {
                 md5(fr['s']) AS frame_md5
          FROM f ORDER BY doc_id, frame_index""",
 
+    "multimodal_wav_decode" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                           256 + (doc_id % 512) AS n
+                    FROM documents),
+         s AS (SELECT d.doc_id, d.sample_rate, d.n,
+                      ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
+               FROM d, range(768) t(i) WHERE t.i < d.n)
+         SELECT doc_id, sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST((n * 1000) // sample_rate AS BIGINT) AS duration_ms,
+                CAST(max(abs(v)) AS INT) AS peak_abs,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq
+         FROM s GROUP BY doc_id, sample_rate, n
+         ORDER BY doc_id""",
+
     "multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2027,6 +2151,45 @@ object ExtQueries {
 
     // optimizer-rule twin: identical semantics, identical oracle
     "range_join_rule_auto" -> rangeJoinOracle,
+
+    "range_join_rule_date" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+         w AS (SELECT m, m - 10 AS w_start, last_day(m) AS w_end
+               FROM (SELECT DISTINCT CAST(date_trunc('month', d) AS DATE) AS m FROM o))
+         SELECT strftime(w.m, '%Y-%m-%d') AS month,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o.cents) AS BIGINT) AS sum_cents
+         FROM o JOIN w ON o.d >= w.w_start AND o.d <= w.w_end
+         GROUP BY w.m ORDER BY month""",
+
+    "range_join_rule_ts_left" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         l AS (
+           SELECT *, CASE
+             WHEN lag(ts_us) OVER w IS NULL THEN 1
+             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (
+           SELECT *, CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM l),
+         g AS (
+           SELECT user_id, session_id,
+                  CAST(min(ts_us) AS BIGINT) AS start_us,
+                  CAST(max(ts_us) AS BIGINT) AS end_us
+           FROM s GROUP BY user_id, session_id HAVING count(*) >= 5),
+         c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts_us, g.session_id, g.start_us
+         FROM c LEFT JOIN g
+           ON c.user_id = g.user_id
+          AND c.ts_us >= g.start_us AND c.ts_us <= g.end_us
+         ORDER BY c.event_id, g.session_id NULLS FIRST""",
 
     "events_sessionize" ->
       """WITH e AS (

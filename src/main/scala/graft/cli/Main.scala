@@ -54,7 +54,7 @@ object Main {
       require(new java.io.File(base).isDirectory, s"not a directory: $base")
       require(new java.io.File(target).isDirectory, s"not a directory: $target")
       val opts = parseFlags(flags)
-      val progress = new graft.diff.Progress(spark)
+      val progress = Tui.auto(spark, opts.tui)
       try {
         val b = progress.step("base snapshot")(Snapshot.fromParquetDir(spark, base))
         val t = progress.step("target snapshot")(Snapshot.fromParquetDir(spark, target))
@@ -155,7 +155,9 @@ object Main {
         opts.diff.copy(compareTableComments = true)
       case None => opts.diff
     }
-    val progress = new graft.diff.Progress(spark)
+    // plain step logging for pipes/CI; in-place interactive view (with
+    // `q` to abort) on a real terminal or with an explicit --tui on
+    val progress = Tui.auto(spark, opts.tui)
     try {
       progress.step("connect") {
         Snapshot.ping(spark, baseUrl, dialect)
@@ -181,7 +183,8 @@ object Main {
       dialect: Option[graft.dialect.Dialect] = None,
       configPath: Option[String] = None,
       pairName: Option[String] = None,
-      tableComments: Option[Boolean] = None)
+      tableComments: Option[Boolean] = None,
+      tui: Option[Boolean] = None)
 
   private def parseFlags(flags: List[String]): CliOptions = flags match {
     case Nil => CliOptions()
@@ -220,6 +223,13 @@ object Main {
         case _ => throw new IllegalArgumentException(s"--dialect must be postgres|mysql, got: $v")
       }
       parseFlags(rest).copy(dialect = Some(d))
+    case "--tui" :: v :: rest =>
+      val on = v match {
+        case "on"  => true
+        case "off" => false
+        case _ => throw new IllegalArgumentException(s"--tui must be on|off, got: $v")
+      }
+      parseFlags(rest).copy(tui = Some(on))
     case "--out" :: v :: rest => parseFlags(rest).copy(out = Some(v))
     case "--config" :: v :: rest => parseFlags(rest).copy(configPath = Some(v))
     case "--pair" :: v :: rest => parseFlags(rest).copy(pairName = Some(v))

@@ -13,7 +13,16 @@ import org.apache.spark.sql.SparkSession
   * lines with per-step wall time and the Spark task/stage counts that
   * ran inside the step.
   */
-class Progress(spark: SparkSession, out: String => Unit = Console.err.println) {
+/** Common surface of the progress reporters (plain listener logging
+  * here, the interactive in-place view in [[graft.cli.TuiProgress]]).
+  */
+trait ProgressLike {
+  def step[T](name: String)(body: => T): T
+  def close(): Unit
+}
+
+class Progress(spark: SparkSession, out: String => Unit = Console.err.println)
+    extends ProgressLike {
 
   private val tasks = new AtomicLong(0)
   private val stages = new AtomicInteger(0)

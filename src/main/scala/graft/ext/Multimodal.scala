@@ -114,6 +114,137 @@ object Multimodal {
     })
   }
 
+  /** A REAL media format at the batching seam: RIFF/WAVE PCM.
+    *
+    * Unlike [[decodeStub]], nothing here is a stand-in: [[encodeWav]]
+    * assembles a genuine, spec-compliant WAV file (RIFF header, `fmt `
+    * chunk, little-endian 16-bit mono PCM `data` chunk — playable by
+    * any audio tool), and [[decodeWavBatch]] walks the chunk list like
+    * a real reader (tolerating extra chunks, validating magic numbers
+    * and the PCM format fields) and decodes the samples. The payload
+    * content is seeded deterministically from (doc_id) so the oracle
+    * can recompute the decoded statistics independently — if the
+    * encoder's header layout or the decoder's endianness were wrong,
+    * every statistic would diverge.
+    */
+  case class WavRecord(doc_id: Long, payload: Array[Byte])
+
+  case class WavStats(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      peak_abs: Int,
+      sum_sq: Long)
+
+  /** Deterministic sample stream: s(i) = ((id·2654435761 + i·40503)
+    * mod 65536) − 32768 — pure integer arithmetic so DuckDB can
+    * reproduce it with a `range()` expansion.
+    */
+  private[graft] def wavSample(docId: Long, i: Int): Int =
+    (((docId * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
+
+  private[graft] def wavRate(docId: Long): Int = 8000 + (docId % 4).toInt * 4000
+
+  private[graft] def wavSampleCount(docId: Long): Int = 256 + (docId % 512).toInt
+
+  /** Assemble a complete RIFF/WAVE file: 16-bit mono PCM. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSampleCount(docId)
+    val rate = wavRate(docId)
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(rate)
+      .putInt(rate * 2)                  // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { bb.putShort(wavSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** documents → real WAV payloads (map-only; payload never shuffles). */
+  def wavFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[WavRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => WavRecord(id, encodeWav(id))))
+  }
+
+  /** Real RIFF/WAVE parse + PCM decode of one payload. Throws
+    * IllegalArgumentException with the offending field on malformed
+    * input — the per-batch error contract a production decode stage
+    * wants (fail the record, not the executor).
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavStats = {
+    require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "missing RIFF magic")
+    val riffSize = bb.getInt
+    require(riffSize == bytes.length - 8, s"RIFF size $riffSize != ${bytes.length - 8}")
+    require(tag() == "WAVE", "missing WAVE form type")
+    var rate = -1; var bits = -1; var channels = -1
+    var samples: Array[Short] = null
+    // real readers iterate chunks — `fmt `/`data` may be interleaved
+    // with LIST/fact/cue chunks written by other tools
+    while (bb.remaining() >= 8) {
+      val id = tag(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(), s"chunk $id overruns: $size")
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"not PCM: format=$audioFormat")
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align (derived)
+          bits = bb.getShort.toInt
+          bb.position(fmtEnd)
+        case "data" =>
+          require(rate > 0, "data chunk before fmt")
+          require(bits == 16 && channels == 1,
+            s"unsupported PCM layout: ${bits}bit x$channels")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+        case _ =>
+          bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+      }
+    }
+    require(samples != null, "no data chunk")
+    var peak = 0; var sumSq = 0L; var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v.toLong
+      i += 1
+    }
+    WavStats(docId, rate, samples.length.toLong,
+      samples.length.toLong * 1000L / rate, peak, sumSq)
+  }
+
+  /** The batched decode stage over real WAV payloads — identical
+    * partition/batch dataflow to [[extractFeatures]], genuine decoder.
+    */
+  def decodeWavBatch(
+      media: Dataset[WavRecord],
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[WavStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r => decodeWav(r.doc_id, r.payload)))
+    }
+  }
+
   /** One sampled "frame" of a media payload: the 1-record → N-frames
     * expansion shape (video frame sampling, audio chunking). */
   case class MediaFrame(

@@ -26,16 +26,50 @@ object Scale {
     * (the 100 TB case: thousands of input splits), so it never
     * DOWN-scales a big scan or adds a shuffle where parallelism exists.
     *
-    * Reading the partition count (`df.rdd`) forces a physical plan for
-    * `df` — cheap for the raw table scans the in-repo callers pass, but
-    * a caller holding a complex frame (or calling in a loop) should
-    * pass `inputPartitions` (e.g. from a previously materialized
-    * lineage) to skip that planning entirely.
+    * The width probe never forces a physical plan (no `df.rdd`): for
+    * file-source scans the planned split count is derived from the
+    * already-listed FileIndex with the same byte arithmetic Spark's
+    * FilePartition packing uses; any other lineage (local relations,
+    * shuffled frames a caller shouldn't pass here anyway) is assumed
+    * narrow and widened — a repartition to cluster width is exactly the
+    * contract, and for an already-wide frame it is the caller's bug the
+    * docs warn about. `inputPartitions` overrides the probe entirely.
     */
   def widen(df: DataFrame, inputPartitions: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val current = inputPartitions.getOrElse(df.rdd.getNumPartitions)
+    val current = inputPartitions.getOrElse(estimatedScanPartitions(df, target))
     if (current < target) df.repartition(target) else df
+  }
+
+  /** Estimated file-scan partition count from the ANALYZED plan only —
+    * `FilePartition.maxSplitBytes` arithmetic (maxPartitionBytes cap,
+    * open-cost floor, bytes-per-core target) over `FileIndex
+    * .sizeInBytes`, which the read already listed. Returns 0 ("narrow,
+    * widen it") when any leaf is not a file scan.
+    */
+  private def estimatedScanPartitions(df: DataFrame, target: Int): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val leafSizes = df.queryExecution.analyzed.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          // the FileIndex already holds the listing; count files so the
+          // per-file open cost matches FilePartition's packing (a
+          // many-small-files scan IS wide even at few total bytes)
+          Some((fs.location.sizeInBytes, fs.location.inputFiles.length))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (leafSizes.isEmpty || leafSizes.exists(_.isEmpty)) 0
+    else {
+      val open = conf.filesOpenCostInBytes
+      val nFiles = leafSizes.flatten.map(_._2.toLong).sum
+      val total = leafSizes.flatten.map(_._1).sum + open * math.max(1L, nFiles)
+      val bytesPerCore = total / math.max(1, target.toLong)
+      val split = math.min(conf.filesMaxPartitionBytes, math.max(open, bytesPerCore))
+      math.max(1, math.ceil(total.toDouble / split).toInt)
+    }
   }
 
   /** Skew-safe equi-join of a large skewed frame against a smaller one.

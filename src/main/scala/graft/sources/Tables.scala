@@ -14,11 +14,38 @@ object Tables {
 
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    tsToNanosLong(spark.read.parquet(path))
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     parquet(spark, s"$dir/$name.parquet")
+
+  /** Restore the engine-wide `ts` contract: nanos-since-epoch as LONG.
+    *
+    * The generator historically wrote `events.ts` as TIMESTAMP(NANOS),
+    * which Spark can only read via `nanosAsLong` — a long of nanos —
+    * and every downstream consumer (`ts div 1000` → micros) is written
+    * against that. Newer generations write TIMESTAMP(MICROS), which
+    * Spark reads as a timestamp column instead; convert it back so both
+    * generations are indistinguishable downstream. The NTZ branch casts
+    * through a Cast pinned to UTC — NOT the session zone — so the
+    * stored micros value round-trips bit-exactly under any session.
+    */
+  private def tsToNanosLong(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.graft.Bridge
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        val utc = Bridge.column(
+          Cast(Bridge.expression(col("ts")), TimestampType, Some("UTC")))
+        df.withColumn("ts", unix_micros(utc) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** events.ts (nanos since epoch as long) → TimestampType (micros).
     * Integer `div`, NOT the Column `/` operator: `/` divides through

@@ -21,6 +21,17 @@ object Bridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 
+  /** Catalyst Expression → public Column (and back) — needed when a
+    * transformation requires an expression Spark exposes no function
+    * for (e.g. a Cast pinned to an explicit time zone instead of the
+    * session zone).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Idempotently add an optimizer rule to the session — the runtime
     * (public-API) alternative to `SparkSessionExtensions
     * .injectOptimizerRule` for sessions built without extensions.

@@ -487,6 +487,61 @@ class ExtSpec extends SparkSpec {
     assert(f.getString(3) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
+  test("wav codec: encode is a spec-compliant RIFF file and decode inverts it exactly") {
+    implicit val s = spark
+    val bytes = Multimodal.encodeWav(5L)
+    // header fields, byte-for-byte
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(bytes.slice(12, 16), "US-ASCII") == "fmt ")
+    assert(new String(bytes.slice(36, 40), "US-ASCII") == "data")
+    val stats = Multimodal.decodeWav(5L, bytes)
+    val n = Multimodal.wavSampleCount(5L)
+    assert(stats.sample_rate == Multimodal.wavRate(5L) && stats.n_samples == n)
+    val expected = (0 until n).map(Multimodal.wavSample(5L, _))
+    assert(stats.peak_abs == expected.map(math.abs).max)
+    assert(stats.sum_sq == expected.map(v => v.toLong * v.toLong).sum)
+    assert(stats.duration_ms == n.toLong * 1000L / stats.sample_rate)
+  }
+
+  test("wav decode: tolerates foreign chunks, rejects malformed input with a field-level error") {
+    // a LIST chunk between fmt and data (what real encoders emit) must be skipped
+    val base = Multimodal.encodeWav(9L)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix the RIFF size for the inserted 12 bytes (little-endian at offset 4)
+    val bb = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withList.length - 8)
+    assert(Multimodal.decodeWav(9L, withList) == Multimodal.decodeWav(9L, base))
+    // malformed inputs: each fails with the offending field named
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.decodeWav(1L, b)).getMessage
+    assert(msg(base.take(20)).contains("truncated"))
+    val badMagic = base.clone(); badMagic(0) = 'X'.toByte
+    assert(msg(badMagic).contains("RIFF"))
+    val badFmt = base.clone(); badFmt(20) = 3 // audioFormat = 3 (IEEE float)
+    assert(msg(badFmt).contains("not PCM"))
+    val badSize = base.clone()
+    java.nio.ByteBuffer.wrap(badSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data chunk claims more than remains
+    assert(msg(badSize).contains("overruns"))
+  }
+
+  test("wav pipeline: batched decode over generated payloads matches the formula on a sample") {
+    implicit val s = spark
+    val d = Seq((3L, "x", "en", "s", 1L), (300L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeWavBatch(Multimodal.wavFromDocuments(d))
+      .collect().map(w => w.doc_id -> w).toMap
+    Seq(3L, 300L).foreach { id =>
+      val n = Multimodal.wavSampleCount(id)
+      val samples = (0 until n).map(Multimodal.wavSample(id, _))
+      assert(out(id).n_samples == n)
+      assert(out(id).sum_sq == samples.map(v => v.toLong * v.toLong).sum)
+      assert(out(id).peak_abs == samples.map(math.abs).max)
+    }
+  }
+
   test("sessionize splits on gap, aggregates exactly") {
     val us = 1000000L
     val events = Seq(

@@ -412,6 +412,65 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("range-join rule: fires on DATE intervals and on LEFT OUTER with a preserved point side") {
+    val dir = sf("sf0.001")
+    org.apache.spark.sql.graft.Bridge.addOptimization(spark, graft.plans.RangeJoinRule(spark))
+    import org.apache.spark.sql.functions._
+    // date shape: pure-range month-window join, binWidth in days
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
+    try {
+      val o = graft.sources.Tables.load(spark, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"))
+      val w = o.select(trunc(col("d"), "MM").as("m")).distinct()
+        .select(col("m"), date_sub(col("m"), 10).as("w_start"), last_day(col("m")).as("w_end"))
+      val p = o.join(w, o("d") >= w("w_start") && o("d") <= w("w_end"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Generate explode") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    // timestamp + left-outer shape: rewrite fires when the point side is
+    // preserved, and unmatched point rows still come out null-padded
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+    try {
+      val df = SparkEntry.queries("range_join_rule_ts_left")(spark, dir)
+      val rows = df.collect()
+      assert(rows.nonEmpty && rows.exists(_.isNullAt(3)),
+        "left outer must emit unmatched clicks with null session_id")
+      // distinct event_ids with a null session never also appear matched
+      val nullIds = rows.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+      val matchedIds = rows.filterNot(_.isNullAt(3)).map(_.getLong(0)).toSet
+      assert(nullIds.intersect(matchedIds).isEmpty)
+      // the registry key unsets the conf in its own finally — restore it
+      // for the plan-shape assertions below
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+      val clicks = graft.sources.Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      val sessions = graft.ext.Events.sessionize(
+          graft.sources.Tables.load(spark, dir, "events"))
+        .filter(col("n_events") >= 5)
+        .select(col("user_id").as("s_user_id"), col("session_id"),
+          timestamp_micros(col("start_us")).as("start_ts"),
+          timestamp_micros(col("start_us") + col("duration_us")).as("end_ts"))
+      val plan = clicks.join(sessions,
+          clicks("user_id") === sessions("s_user_id") &&
+            clicks("click_ts") >= sessions("start_ts") &&
+            clicks("click_ts") <= sessions("end_ts"),
+          "left_outer")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Generate explode") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the mirror-image shape (preserved INTERVAL side) must NOT be
+      // rewritten — bin explosion would duplicate unmatched intervals
+      val wrongSide = sessions.join(clicks,
+          clicks("user_id") === sessions("s_user_id") &&
+            clicks("click_ts") >= sessions("start_ts") &&
+            clicks("click_ts") <= sessions("end_ts"),
+          "left_outer")
+        .queryExecution.executedPlan.toString
+      assert(!wrongSide.contains("Generate explode"), wrongSide)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("range-join binning rule: interval theta join becomes a hash join, results identical") {
     spark
     SparkSession.clearActiveSession()
@@ -478,11 +537,26 @@ class ExtensionsSpec extends SparkSpec {
         // the bin — both appear in the hash-join key list
         assert(p.contains("Generate explode"), p)
         assert(!p.contains("BroadcastNestedLoopJoin"), p)
-        // a left outer interval join must NOT be rewritten (inner only)
+        // a left outer preserving the POINT side is rewritten (points are
+        // never exploded, so preserved rows can't duplicate) and stays
+        // result-identical to the nested-loop plan
         val outer = points.join(ivals,
           points("p") >= ivals("s") && points("p") <= ivals("e"), "left")
         assert(outer.queryExecution.executedPlan.toString
-          .contains("BroadcastNestedLoopJoin"))
+          .contains("Generate explode"))
+        val outerRows = outer.collect().map(_.toSeq).toSet
+        s2.conf.unset("spark.graft.rangeJoin.binWidth")
+        val outerNaive = points.join(ivals,
+            points("p") >= ivals("s") && points("p") <= ivals("e"), "left")
+          .collect().map(_.toSeq).toSet
+        s2.conf.set("spark.graft.rangeJoin.binWidth", "128")
+        assert(outerRows == outerNaive)
+        // a left outer preserving the INTERVAL side must NOT be rewritten
+        // (bin explosion would emit an unmatched interval once per bin)
+        val outerWrong = ivals.join(points,
+          points("p") >= ivals("s") && points("p") <= ivals("e"), "left")
+        assert(!outerWrong.queryExecution.executedPlan.toString
+          .contains("Generate explode"))
         // non-long range columns are left alone
         val strPts = Seq(("a", "m")).toDF("id", "v")
         val strIv = Seq(("x", "a", "z")).toDF("iid", "lo", "hi")

@@ -89,6 +89,42 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(lines(1).matches(""".*done in .* s \(\d+ stages, \d+ tasks\)"""))
   }
 
+  test("TuiProgress renders in-place frames with live counts and a final newline") {
+    val out = new StringBuilder
+    val p = new graft.cli.TuiProgress(spark, totalSteps = 2,
+      write = s => out.synchronized { out.append(s); () },
+      input = () => -2, framePeriodMs = 20L)
+    try {
+      val n = p.step("base snapshot")(spark.range(50).count())
+      assert(n == 50L)
+      Thread.sleep(80) // let the ticker paint a few frames
+      p.step("check")(())
+    } finally p.close()
+    val s = out.synchronized(out.toString)
+    val frames = s.split('\r').filter(_.nonEmpty)
+    assert(frames.length >= 3, s"expected repainted frames, got: $s")
+    assert(frames.exists(_.contains("[1/2]")) && frames.exists(_.contains("[2/2]")))
+    assert(frames.exists(f => f.contains("base snapshot") && f.matches(""".*\d+ stages \d+ tasks.*""")))
+    assert(s.endsWith("\n"), "close() must move off the progress line")
+  }
+
+  test("TuiProgress: q aborts — jobs cancelled, AbortRequested surfaces") {
+    val sent = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val p = new graft.cli.TuiProgress(spark, totalSteps = 5,
+      write = _ => (),
+      input = () => if (sent.compareAndSet(false, true)) 'q' else -2,
+      framePeriodMs = 10L)
+    try {
+      intercept[graft.cli.AbortRequested] {
+        p.step("base snapshot") {
+          // long enough that the abort lands mid-step
+          spark.range(2000000000L).selectExpr("sum(id * id)").collect()
+        }
+        p.step("target snapshot")(())
+      }
+    } finally p.close()
+  }
+
   test("JDBC sink round-trip: Spark writes a table over JDBC, snapshot + read see it") {
     val dbDir = java.nio.file.Files.createTempDirectory("derbysink").toString
     val url = s"jdbc:derby:$dbDir/sinkdb;create=true"

@@ -121,15 +121,30 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("widen raises narrow inputs to cluster width, no-ops on wide ones") {
+  test("widen raises narrow inputs to cluster width, no-ops on wide scans, forces no plan") {
     val target = spark.sparkContext.defaultParallelism
     val narrow = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
       .coalesce(1)
     assert(Scale.widen(narrow).rdd.getNumPartitions == target)
+    // a single-file scan is narrow: it must be widened — decided from
+    // the FileIndex alone, never by forcing a physical plan (df.rdd)
+    val dir = java.nio.file.Files.createTempDirectory("widen").toString
+    (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    val narrowScan = spark.read.parquet(s"$dir/one")
+    assert(Scale.widen(narrowScan).rdd.getNumPartitions == target)
+    // a scan with more files than cores is already wide (per-file open
+    // cost makes many small files a wide scan, as FilePartition packs
+    // them): no repartition added
+    (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      .repartition(target * 2).write.mode("overwrite").parquet(s"$dir/many")
+    val wideScan = spark.read.parquet(s"$dir/many")
+    assert(Scale.widen(wideScan).queryExecution.logical eq wideScan.queryExecution.logical)
+    // caller-supplied width always wins, any lineage
     val wide = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
       .repartition(target * 2)
-    // already wider than the cluster: must not add a repartition
-    assert(Scale.widen(wide).queryExecution.logical eq wide.queryExecution.logical)
+    assert(Scale.widen(wide, inputPartitions = Some(target * 2))
+      .queryExecution.logical eq wide.queryExecution.logical)
   }
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
