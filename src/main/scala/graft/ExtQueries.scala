@@ -429,6 +429,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image decode at the batching seam: genuine 24-bit BI_RGB BMP
+    // files assembled per doc (bottom-up rows, 4-byte row padding) and
+    // parsed back by a real header-walking decoder. The positional
+    // checksum weights every pixel by its logical index and channel, so
+    // a forgotten bottom-up flip, a mis-stepped row pad, or a B/R swap
+    // diverges the hash even when plain channel sums would not.
+    "multimodal_bmp_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeBmpBatch(
+          Multimodal.bmpFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // the 1-record -> N-frames flatMap expansion (video frame sampling /
     // audio chunking shape); output projects each frame to (len, md5) so
     // payload bytes never reach the result
@@ -2137,6 +2151,25 @@ object ExtQueries {
                 CAST(max(abs(v)) AS INT) AS peak_abs,
                 CAST(sum(v * v) AS BIGINT) AS sum_sq
          FROM s GROUP BY doc_id, sample_rate, n
+         ORDER BY doc_id""",
+
+    "multimodal_bmp_decode" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(8 + doc_id % 9 AS INT) AS width,
+                           CAST(4 + doc_id % 5 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height, t.i,
+                       (d.doc_id * 2654435761 + t.i * 97) % 256 AS b,
+                       (d.doc_id * 2654435761 + t.i * 97 + 31) % 256 AS g,
+                       (d.doc_id * 2654435761 + t.i * 97 + 62) % 256 AS r
+                FROM d, range(128) t(i) WHERE t.i < d.width * d.height)
+         SELECT doc_id, width, height,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS peak_luma,
+                CAST(sum((i + 1) * (r + 256 * g + 65536 * b)) AS BIGINT) AS pos_checksum
+         FROM px GROUP BY doc_id, width, height
          ORDER BY doc_id""",
 
     "multimodal_features" ->

@@ -45,6 +45,10 @@ object Main {
       case e: java.sql.SQLException =>
         System.err.println(s"error: database connection failed: ${e.getMessage}")
         sys.exit(1)
+      case _: AbortRequested =>
+        // user pressed q in the TUI — a clean abort, not a crash
+        System.err.println("aborted")
+        sys.exit(130)
     }
     finally spark.stop()
   }
@@ -54,7 +58,7 @@ object Main {
       require(new java.io.File(base).isDirectory, s"not a directory: $base")
       require(new java.io.File(target).isDirectory, s"not a directory: $target")
       val opts = parseFlags(flags)
-      val progress = Tui.auto(spark, opts.tui)
+      val progress = Tui.auto(spark, opts.tui, steps = 4) // no connect step locally
       try {
         val b = progress.step("base snapshot")(Snapshot.fromParquetDir(spark, base))
         val t = progress.step("target snapshot")(Snapshot.fromParquetDir(spark, target))
@@ -157,7 +161,7 @@ object Main {
     }
     // plain step logging for pipes/CI; in-place interactive view (with
     // `q` to abort) on a real terminal or with an explicit --tui on
-    val progress = Tui.auto(spark, opts.tui)
+    val progress = Tui.auto(spark, opts.tui, steps = 5)
     try {
       progress.step("connect") {
         Snapshot.ping(spark, baseUrl, dialect)

@@ -53,20 +53,29 @@ class TuiProgress(
   private def frame(): String = {
     val spin = spinner((frameNo.getAndIncrement() % 4).toInt)
     val secs = (System.nanoTime() - stepStartNs) / 1e9
-    val done = "█" * stepNo
+    val done = "█" * math.min(stepNo, totalSteps)
     val todo = "░" * math.max(0, totalSteps - stepNo)
     f"\r[2K$spin [$stepNo/$totalSteps] $done$todo $stepName%-16s " +
       f"${stages.get()}%d stages ${tasks.get()}%d tasks ${secs}%.1f s  (q to abort)"
   }
 
+  // a closed/broken stdin (e.g. `< /dev/null` then EOF, or a detached
+  // pty) throws from available()/read(); that must not kill the ticker
+  // — degrade to repaint-only (no q-abort) instead of silently freezing
+  @volatile private var inputBroken = false
   private val ticker = new Thread(() => {
     while (!closed.get()) {
-      if (stepNo > 0) write(frame())
-      input() match {
-        case 'q' | 'Q' =>
-          aborted.set(true)
-          spark.sparkContext.cancelAllJobs()
-        case _ => ()
+      try {
+        if (stepNo > 0) write(frame())
+        if (!inputBroken) input() match {
+          case 'q' | 'Q' =>
+            aborted.set(true)
+            spark.sparkContext.cancelAllJobs()
+          case _ => ()
+        }
+      } catch {
+        case _: java.io.IOException => inputBroken = true
+        case _: InterruptedException => () // spurious wake; keep ticking
       }
       Thread.sleep(framePeriodMs)
     }
@@ -102,9 +111,11 @@ class TuiProgress(
 
 object Tui {
   /** Plain log lines when not attached to a terminal (CI, pipes, the
-    * driver), the in-place view when stderr is a console.
+    * driver), the in-place view when stderr is a console. `steps` is
+    * the flow's actual step count (local diff runs 4, diff-jdbc 5) so
+    * the bar ends full, never at [4/5] or past [n/n].
     */
-  def auto(spark: SparkSession, interactive: Option[Boolean]): ProgressLike =
-    if (interactive.getOrElse(System.console() != null)) new TuiProgress(spark)
+  def auto(spark: SparkSession, interactive: Option[Boolean], steps: Int = 5): ProgressLike =
+    if (interactive.getOrElse(System.console() != null)) new TuiProgress(spark, totalSteps = steps)
     else new graft.diff.Progress(spark)
 }

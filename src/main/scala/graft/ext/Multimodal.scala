@@ -211,11 +211,18 @@ object Multimodal {
           bb.position(fmtEnd)
         case "data" =>
           require(rate > 0, "data chunk before fmt")
+          require(samples == null, "duplicate data chunk")
           require(bits == 16 && channels == 1,
             s"unsupported PCM layout: ${bits}bit x$channels")
           samples = new Array[Short](size / 2)
           var i = 0
           while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          // odd-sized data chunks pad to even like any other chunk; the
+          // 16-bit read loop consumed size/2*2 bytes, so an odd size
+          // leaves 1 payload byte + 1 RIFF pad byte before the next
+          // chunk header (pad may be absent when data is the last chunk)
+          if ((size & 1) == 1)
+            bb.position(math.min(bb.limit(), bb.position() + 2))
         case _ =>
           bb.position(bb.position() + size + (size & 1)) // chunks pad to even
       }
@@ -242,6 +249,160 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(r => decodeWav(r.doc_id, r.payload)))
+    }
+  }
+
+  /** A REAL image format at the batching seam: Windows BMP (24-bit
+    * BI_RGB). The imaging-library formats (JPEG/PNG) stay out of reach
+    * in this container, but BMP needs no library: a 14-byte file
+    * header, a 40-byte BITMAPINFOHEADER, then bottom-up pixel rows of
+    * little-endian B,G,R triples padded to 4-byte boundaries. Nothing
+    * here is a stand-in — [[encodeBmp]] emits a file any image viewer
+    * opens, and [[decodeBmp]] is a genuine parser: it honors the
+    * header's pixel-data offset (not a hardcoded 54), handles both
+    * bottom-up (positive height) and top-down (negative height) row
+    * order, steps the per-row padding, and fails field-by-field on
+    * malformed input.
+    *
+    * Pixel content is seeded from (doc_id, pixel index, channel) with
+    * pure integer arithmetic so the oracle recomputes every statistic
+    * independently. The positional checksum weights each pixel by its
+    * LOGICAL (top-down row-major) index and each channel differently,
+    * so a decoder that forgot the bottom-up flip, mis-stepped the row
+    * padding, or swapped B/R diverges even when plain channel sums
+    * would not.
+    */
+  case class BmpRecord(doc_id: Long, payload: Array[Byte])
+
+  case class BmpStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      peak_luma: Long,
+      pos_checksum: Long)
+
+  /** Deterministic channel value at logical pixel i (top-down
+    * row-major), channel c (0=B, 1=G, 2=R):
+    * ((id·2654435761 + i·97 + c·31) mod 256).
+    */
+  private[graft] def bmpChannel(docId: Long, i: Int, c: Int): Int =
+    ((docId * 2654435761L + i.toLong * 97L + c.toLong * 31L) % 256L).toInt
+
+  /** Widths 8..16: width·3 mod 4 cycles through all paddings 0..3. */
+  private[graft] def bmpWidth(docId: Long): Int = 8 + (docId % 9).toInt
+
+  private[graft] def bmpHeight(docId: Long): Int = 4 + (docId % 5).toInt
+
+  /** Assemble a complete BMP file (bottom-up, 24-bit BI_RGB). */
+  def encodeBmp(docId: Long): Array[Byte] = {
+    val w = bmpWidth(docId)
+    val h = bmpHeight(docId)
+    val stride = (w * 3 + 3) / 4 * 4
+    val imgSize = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imgSize)  // file size
+      .putInt(0)             // reserved
+      .putInt(54)            // pixel data offset
+    bb.putInt(40)            // BITMAPINFOHEADER size
+      .putInt(w).putInt(h)   // positive height = bottom-up rows
+      .putShort(1)           // planes
+      .putShort(24)          // bits per pixel
+      .putInt(0)             // BI_RGB (uncompressed)
+      .putInt(imgSize)
+      .putInt(2835).putInt(2835) // 72 DPI in pixels/metre
+      .putInt(0).putInt(0)   // palette sizes (none for 24-bit)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up: first stored row is the last logical one
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        bb.put(bmpChannel(docId, i, 0).toByte)
+          .put(bmpChannel(docId, i, 1).toByte)
+          .put(bmpChannel(docId, i, 2).toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      fileRow += 1
+    }
+    bb.array()
+  }
+
+  /** documents → real BMP payloads (map-only; payload never shuffles). */
+  def bmpFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BmpRecord(id, encodeBmp(id))))
+  }
+
+  /** Real BMP parse + pixel decode of one payload. Field-level errors
+    * on malformed input (fail the record, not the executor).
+    */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): BmpStats = {
+    require(bytes.length >= 54, s"truncated BMP: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "missing BM magic")
+    val fileSize = bb.getInt
+    require(fileSize == bytes.length, s"file size $fileSize != ${bytes.length}")
+    bb.getInt // reserved
+    val dataOffset = bb.getInt
+    val headerSize = bb.getInt
+    require(headerSize >= 40, s"unsupported DIB header: $headerSize bytes")
+    val w = bb.getInt
+    val rawH = bb.getInt
+    // negative height = top-down row order (valid per the spec)
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    require(w > 0 && h > 0, s"bad dimensions: ${w}x$rawH")
+    val planes = bb.getShort
+    require(planes == 1, s"bad planes: $planes")
+    val bpp = bb.getShort
+    require(bpp == 24, s"unsupported bit depth: $bpp")
+    val compression = bb.getInt
+    require(compression == 0, s"not BI_RGB: compression=$compression")
+    val stride = (w * 3 + 3) / 4 * 4
+    require(dataOffset >= 14 + headerSize && dataOffset + stride.toLong * h <= bytes.length,
+      s"pixel array overruns: offset=$dataOffset stride=$stride h=$h")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var peakLuma = 0L; var checksum = 0L
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = if (topDown) fileRow else h - 1 - fileRow
+      var base = dataOffset + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val b = bytes(base).toInt & 0xff
+        val g = bytes(base + 1).toInt & 0xff
+        val r = bytes(base + 2).toInt & 0xff
+        sumR += r; sumG += g; sumB += b
+        // BT.709 luma ×10000 — exact integers, no division
+        val luma = 2126L * r + 7152L * g + 722L * b
+        if (luma > peakLuma) peakLuma = luma
+        val i = y * w + x
+        checksum += (i + 1).toLong * (r + 256L * g + 65536L * b)
+        x += 1
+        base += 3
+      }
+      fileRow += 1
+    }
+    BmpStats(docId, w, h, sumR, sumG, sumB, peakLuma, checksum)
+  }
+
+  /** The batched decode stage over real BMP payloads — same
+    * partition/batch dataflow as [[decodeWavBatch]].
+    */
+  def decodeBmpBatch(
+      media: Dataset[BmpRecord],
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[BmpStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r => decodeBmp(r.doc_id, r.payload)))
     }
   }
 

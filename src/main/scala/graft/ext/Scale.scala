@@ -26,26 +26,34 @@ object Scale {
     * (the 100 TB case: thousands of input splits), so it never
     * DOWN-scales a big scan or adds a shuffle where parallelism exists.
     *
-    * The width probe never forces a physical plan (no `df.rdd`): for
-    * file-source scans the planned split count is derived from the
+    * The width probe is plan-free for the common case (registry keys
+    * pass raw file scans): the planned split count is derived from the
     * already-listed FileIndex with the same byte arithmetic Spark's
-    * FilePartition packing uses; any other lineage (local relations,
-    * shuffled frames a caller shouldn't pass here anyway) is assumed
-    * narrow and widened — a repartition to cluster width is exactly the
-    * contract, and for an already-wide frame it is the caller's bug the
-    * docs warn about. `inputPartitions` overrides the probe entirely.
+    * FilePartition packing uses. Any other lineage (local relations,
+    * shuffled/derived frames, mixed scans) makes the estimate UNKNOWN —
+    * there the probe falls back to `df.rdd.getNumPartitions`, which
+    * costs one physical planning pass but is exact, so an
+    * already-wide frame (e.g. a caller's `repartition(2·cores)`) is a
+    * guaranteed no-op and widen never down-scales or inserts a gratuitous
+    * shuffle. `inputPartitions` overrides the probe entirely.
     */
   def widen(df: DataFrame, inputPartitions: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val current = inputPartitions.getOrElse(estimatedScanPartitions(df, target))
+    val current = inputPartitions.getOrElse {
+      val est = estimatedScanPartitions(df, target)
+      // 0 = "not a pure file-scan lineage" — unknown, not narrow. Fall
+      // back to the exact (plan-forcing) probe rather than assuming
+      // narrow and silently repartitioning a frame that is already wide.
+      if (est > 0) est else df.rdd.getNumPartitions
+    }
     if (current < target) df.repartition(target) else df
   }
 
   /** Estimated file-scan partition count from the ANALYZED plan only —
     * `FilePartition.maxSplitBytes` arithmetic (maxPartitionBytes cap,
     * open-cost floor, bytes-per-core target) over `FileIndex
-    * .sizeInBytes`, which the read already listed. Returns 0 ("narrow,
-    * widen it") when any leaf is not a file scan.
+    * .sizeInBytes`, which the read already listed. Returns 0 ("unknown —
+    * caller must probe exactly") when any leaf is not a file scan.
     */
   private def estimatedScanPartitions(df: DataFrame, target: Int): Int = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -525,6 +525,105 @@ class ExtSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(badSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, Int.MaxValue) // data chunk claims more than remains
     assert(msg(badSize).contains("overruns"))
+    // a second data chunk must be rejected, not silently overwrite the first
+    val dup = base ++ "data".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 1, 0, 2, 0)
+    java.nio.ByteBuffer.wrap(dup).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, dup.length - 8)
+    assert(msg(dup).contains("duplicate data"))
+  }
+
+  test("bmp codec: encode is a real 24-bit BI_RGB file and decode inverts it exactly") {
+    val bytes = Multimodal.encodeBmp(11L)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val w = Multimodal.bmpWidth(11L); val h = Multimodal.bmpHeight(11L)
+    val stride = (w * 3 + 3) / 4 * 4
+    assert(bytes.length == 54 + stride * h)
+    val stats = Multimodal.decodeBmp(11L, bytes)
+    assert(stats.width == w && stats.height == h)
+    val px = (0 until w * h).map(i =>
+      (Multimodal.bmpChannel(11L, i, 2), Multimodal.bmpChannel(11L, i, 1),
+        Multimodal.bmpChannel(11L, i, 0))) // (r, g, b)
+    assert(stats.sum_r == px.map(_._1.toLong).sum)
+    assert(stats.sum_g == px.map(_._2.toLong).sum)
+    assert(stats.sum_b == px.map(_._3.toLong).sum)
+    assert(stats.peak_luma == px.map { case (r, g, b) => 2126L * r + 7152L * g + 722L * b }.max)
+    assert(stats.pos_checksum == px.zipWithIndex.map { case ((r, g, b), i) =>
+      (i + 1).toLong * (r + 256L * g + 65536L * b) }.sum)
+  }
+
+  test("bmp decode: honors pixel offset, top-down rows; rejects malformed input") {
+    val base = Multimodal.encodeBmp(4L)
+    val expect = Multimodal.decodeBmp(4L, base)
+    // a gap between the headers and the pixel array (real writers emit
+    // these for palettes/ICC profiles): decoder must honor dataOffset
+    val gap = 16
+    val shifted = base.slice(0, 54) ++ Array.fill(gap)(0x7f.toByte) ++ base.drop(54)
+    val sb = java.nio.ByteBuffer.wrap(shifted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putInt(2, shifted.length) // file size
+    sb.putInt(10, 54 + gap)      // pixel data offset
+    assert(Multimodal.decodeBmp(4L, shifted) == expect)
+    // top-down variant (negative height): same logical image, rows
+    // stored first-row-first — decode must agree exactly
+    val w = Multimodal.bmpWidth(4L); val h = Multimodal.bmpHeight(4L)
+    val stride = (w * 3 + 3) / 4 * 4
+    val td = base.clone()
+    val tb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tb.putInt(22, -h)
+    (0 until h).foreach { j =>
+      System.arraycopy(base, 54 + (h - 1 - j) * stride, td, 54 + j * stride, stride)
+    }
+    assert(Multimodal.decodeBmp(4L, td) == expect)
+    // malformed inputs fail with the offending field named
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.decodeBmp(1L, b)).getMessage
+    assert(msg(base.take(40)).contains("truncated"))
+    val badMagic = base.clone(); badMagic(0) = 'X'.toByte
+    assert(msg(badMagic).contains("BM magic"))
+    val badBpp = base.clone()
+    java.nio.ByteBuffer.wrap(badBpp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 32)
+    assert(msg(badBpp).contains("bit depth"))
+    val badComp = base.clone()
+    java.nio.ByteBuffer.wrap(badComp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1) // BI_RLE8
+    assert(msg(badComp).contains("BI_RGB"))
+    val badOffset = base.clone()
+    java.nio.ByteBuffer.wrap(badOffset).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, base.length - 4) // pixel array would overrun the file
+    assert(msg(badOffset).contains("overruns"))
+  }
+
+  test("bmp pipeline: batched decode over generated payloads matches the formula") {
+    implicit val s = spark
+    import s.implicits._
+    val d = Seq((6L, "x", "en", "s", 1L), (601L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeBmpBatch(Multimodal.bmpFromDocuments(d))
+      .collect().map(b => b.doc_id -> b).toMap
+    Seq(6L, 601L).foreach { id =>
+      val w = Multimodal.bmpWidth(id); val h = Multimodal.bmpHeight(id)
+      val rs = (0 until w * h).map(Multimodal.bmpChannel(id, _, 2))
+      assert(out(id).width == w && out(id).height == h)
+      assert(out(id).sum_r == rs.map(_.toLong).sum)
+    }
+  }
+
+  test("wav decode: odd-sized data chunk keeps the chunk walker aligned") {
+    // a foreign 16-bit WAV whose data size is odd (a byte-accurate but
+    // block-misaligned writer): decode must consume the stray payload
+    // byte + RIFF pad so a trailing chunk still parses from its header
+    val base = Multimodal.encodeWav(7L)
+    val bbBase = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataSize = bbBase.getInt(40)
+    val trailer = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    // extra payload byte (odd size) + pad byte, then the trailing chunk
+    val odd = base ++ Array[Byte](0x55, 0x00) ++ trailer
+    val bb = java.nio.ByteBuffer.wrap(odd).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, dataSize + 1)
+    bb.putInt(4, odd.length - 8)
+    assert(Multimodal.decodeWav(7L, odd) == Multimodal.decodeWav(7L, base))
   }
 
   test("wav pipeline: batched decode over generated payloads matches the formula on a sample") {

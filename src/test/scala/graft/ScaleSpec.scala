@@ -145,6 +145,16 @@ class ScaleSpec extends SparkSpec {
       .repartition(target * 2)
     assert(Scale.widen(wide, inputPartitions = Some(target * 2))
       .queryExecution.logical eq wide.queryExecution.logical)
+    // a derived lineage (not a pure file scan) is UNKNOWN width, not
+    // narrow: the probe falls back to the exact partition count, so an
+    // already-wide shuffled frame is left alone — never down-scaled
+    assert(Scale.widen(wide).queryExecution.logical eq wide.queryExecution.logical)
+    // ... and a file scan joined with an in-memory dim (mixed leaves)
+    // takes the same exact-probe path without repartitioning when wide
+    val dim = (1 to 5).map(i => (i.toLong, s"t$i")).toDF("doc_id", "tag")
+    val mixedWide = spark.read.parquet(s"$dir/one").join(dim, "doc_id")
+      .repartition(target * 2)
+    assert(Scale.widen(mixedWide).rdd.getNumPartitions == target * 2)
   }
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
