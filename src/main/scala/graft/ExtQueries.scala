@@ -254,6 +254,13 @@ object ExtQueries {
       Similarity.knnGraphBlocked(t(s, dir, "embeddings"), k = 3)
         .orderBy("q_id", "rank")),
 
+    // SemDeDup: cluster-then-prune semantic dedup — pairwise cosine
+    // only WITHIN a coarse cell (the clustering is the blocking), keep
+    // the lowest id of each near-dup pair
+    "semdedup_prune" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), cells = 16, threshold = 0.4)
+        .orderBy("vec_id")),
+
     // incremental ingest dedup: near-copies (+1e6, last two words
     // dropped) are "today's batch", matched against the original corpus
     // only — never corpus×corpus
@@ -268,6 +275,11 @@ object ExtQueries {
 
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // model-based quality filtering plumbing: hashed-feature linear
+    // scorer (deterministic weights stand in for the learned table)
+    "text_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(t(s, dir, "documents")).orderBy("doc_id")),
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1769,6 +1781,20 @@ object ExtQueries {
                  AND nstop * 50 >= n AND ndist * 2 >= n AND maxlen <= 20) AS passes_all
          FROM m ORDER BY doc_id""",
 
+    "text_quality_classifier" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(list_sum([
+                    list_reduce(
+                      [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                        regexp_extract_all(md5('qw|' || tok), '.')],
+                      (a, b) -> (a * 31 + b) % 1000000007) % 2001 - 1000
+                    FOR tok IN string_split(text, ' ')]), 0) AS BIGINT) AS score_sum
+           FROM documents)
+         SELECT doc_id, n_tokens, score_sum, score_sum >= 0 AS keep
+         FROM s ORDER BY doc_id""",
+
     "dedup_simhash" ->
       s"""WITH corpus AS ($nearCorpusSql),
          sig AS (
@@ -1903,6 +1929,26 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "semdedup_prune" ->
+      s"""WITH q AS ($quantSql),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 16),
+         assigned AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         pruned AS (
+           SELECT DISTINCT b.n_id AS vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.n_id < b.n_id
+           WHERE ${qcosSql("a.n_q", "b.n_q")} > 0.4)
+         SELECT a.n_id AS vec_id, a.cell_id,
+                (p.vec_id IS NULL) AS keep
+         FROM assigned a LEFT JOIN pruned p ON a.n_id = p.vec_id
+         ORDER BY vec_id""",
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($nearCorpusSql),

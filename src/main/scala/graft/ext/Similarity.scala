@@ -163,6 +163,59 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** SemDeDup-style semantic deduplication: coarse-cluster the corpus,
+    * then prune near-duplicates WITHIN each cluster only (the pattern
+    * of Abbas et al. 2023, "SemDeDup" — cluster with k-means, compare
+    * pairs inside a cluster, keep one representative per duplicate
+    * group). Near-identical meaning lands in the same cell, so the
+    * pairwise work is Σ|cell|² instead of the n² an all-pairs semantic
+    * sweep costs — the clustering IS the blocking.
+    *
+    * Determinism contract (what the oracle pins): centroids are the
+    * `cells` lowest-id vectors (same coarse quantizer as [[ivfTopK]];
+    * production swaps in Lloyd-iterated centroids without touching the
+    * dataflow), assignment ties break toward the lowest cell, and a
+    * vector is pruned when ANY lower-id vector in its cell has cosine
+    * above `threshold` — the greedy keep-lowest-id policy (the paper
+    * keeps the vector farthest from the centroid; the keep rule is a
+    * per-group tie policy and swaps freely).
+    *
+    * Scale shape: ONE corpus shuffle keyed by cell_id for the pair
+    * stage (plus the broadcast-join assignment pass), bounded per-task
+    * memory set by the largest cell — cap cell sizes with more cells,
+    * exactly like the LSH `maxBucket` knob.
+    */
+  def semDedup(corpus: DataFrame, cells: Int = 16, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        quantized(col("embedding")).as("c_q"))
+      .withColumn("c_nrm", qnorm(col("c_q")))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+    val assigned = c.join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell_id"),
+          struct(qcosinePre(col("q"), col("c_q"), col("nrm"), col("c_nrm")),
+            -col("cell_id"))).as("cell_id"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+    val a = assigned.select(col("cell_id"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("nrm").as("b_nrm"))
+    val pruned = a.join(b, Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(qcosinePre(col("a_q"), col("b_q"), col("a_nrm"), col("b_nrm")) > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(pruned.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        when(col("pruned"), lit(false)).otherwise(lit(true)).as("keep"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `cells` centroids partitions
     * the corpus into inverted lists; each query scans only its `probes`
     * nearest cells.

@@ -56,6 +56,34 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** Hashed-feature linear text classifier — the model-based quality
+    * filtering stage of a training-data pipeline (the fastText-style
+    * bag-of-words scorer of CCNet/LLaMA data prep) with its weight
+    * LOOKUP replaced by a deterministic hash-derived weight so the
+    * whole path is engine-reproducible: w(token) =
+    * (portableHash(seed|token) mod 2001) − 1000 ∈ [−1000, 1000], score
+    * = Σ w(token) over the token stream (multiplicity counts), label =
+    * score ≥ 0. Swapping the hash for a broadcast `token → weight`
+    * table (the learned model) changes nothing structural.
+    *
+    * Scale shape: pure per-row projection — the weight sum folds inside
+    * one codegen'd `aggregate` over the token array, no explode, no
+    * shuffle, no driver-side model state. A real 10^6-row weight table
+    * would broadcast-join an exploded token stream instead; the
+    * per-row-fold form is what a hashed featurizer (feature hashing /
+    * "hashing trick") runs at any corpus size.
+    */
+  def qualityClassifier(docs: DataFrame, seed: String = "qw"): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = transform(toks, t =>
+      TrainPrep.portableHash(concat(lit(s"$seed|"), t)) % 2001L - 1000L)
+    Scale.widen(docs).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(w, lit(0L), (a, x) => a + x).as("score_sum"))
+      .withColumn("keep", col("score_sum") >= 0)
+  }
+
   /** Canonical text normalization — the form every exact-dedup /
     * fingerprint pass should hash: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim. Ships the canonical md5 alongside

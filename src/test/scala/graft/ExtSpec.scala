@@ -444,6 +444,55 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("semDedup prunes within cells only, keeps the lowest id of each near-dup pair") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid 0
+      (1L, Array(0.0f, 1.0f)),    // centroid 1
+      (2L, Array(0.99f, 0.01f)),  // cell 0, near-dup of 0 -> pruned
+      (3L, Array(0.01f, 0.99f)),  // cell 1, near-dup of 1 -> pruned
+      (4L, Array(-0.6f, 0.8f)),   // cell 1, cos 0.8 to its centroid — under τ=0.9
+      // near-dup of 0 in DIRECTION but it lands in cell 0 with 0 and 2;
+      // pruned because 0 (a lower id) is above threshold
+      (5L, Array(0.98f, 0.02f))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(e, cells = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq(
+      (0L, 0, true), (1L, 1, true), (2L, 0, false),
+      (3L, 1, false), (4L, 1, true), (5L, 0, false)))
+    // cross-cell near-dups are NOT pruned (the clustering is the
+    // blocking): two near-identical vectors forced into different cells
+    // both survive — the approximation SemDeDup trades for Σ|cell|² cost
+    val cross = Seq(
+      (0L, Array(1.0f, 0.05f)),  // centroid 0
+      (1L, Array(1.0f, -0.05f)), // centroid 1 (near-identical to 0)
+      (2L, Array(0.9f, 0.1f)),   // cell 0
+      (3L, Array(0.9f, -0.1f))). // cell 1
+      toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(cross, cells = 2, threshold = 0.9)
+      .filter(col("keep")).count()
+    assert(kept >= 2) // 0 and 1 both kept despite cosine ~0.995
+  }
+
+  test("hashed linear quality classifier: additive over tokens, deterministic, multiplicity counts") {
+    val d = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "alpha beta"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityClassifier(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    val wAlpha = r(0)._3
+    assert(r(1)._3 == 2 * wAlpha)              // multiplicity counts
+    val wBeta = r(2)._3 - wAlpha               // additivity
+    assert(wAlpha.abs <= 1000 && wBeta.abs <= 1000)
+    // split("") yields one empty token: the empty doc scores w("") once,
+    // deterministically — same in the oracle (string_split('', ' '))
+    assert(r(3)._2 == 1L)
+    assert(r.forall(x => x._4 == (x._3 >= 0)))
+    // rerun is bit-identical (pure projection, no randomness)
+    val again = TextAnalysis.qualityClassifier(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(again.toSeq == r.toSeq)
+  }
+
   test("token counts / quality / language-id / fingerprints are per-row projections") {
     val d = Seq((1L, "the cat sat on a mat!", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
