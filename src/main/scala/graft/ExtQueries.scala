@@ -455,6 +455,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL resize: decode → nearest-neighbor ×1/2 downsample → re-encode
+    // → decode; the oracle recomputes the thumbnail's stats from the
+    // source pixel formula at the sampled positions, so a wrong sampling
+    // kernel, row order, or re-encode padding diverges the hash
+    "multimodal_bmp_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resizeBmpBatch(
+          Multimodal.bmpFromDocuments(t(s, dir, "documents")), factor = 2)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // the 1-record -> N-frames flatMap expansion (video frame sampling /
     // audio chunking shape); output projects each frame to (len, md5) so
     // payload bytes never reach the result
@@ -2216,6 +2228,29 @@ object ExtQueries {
                 CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS peak_luma,
                 CAST(sum((i + 1) * (r + 256 * g + 65536 * b)) AS BIGINT) AS pos_checksum
          FROM px GROUP BY doc_id, width, height
+         ORDER BY doc_id""",
+
+    "multimodal_bmp_resize" ->
+      """WITH d AS (SELECT doc_id,
+                           8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                           CAST((8 + doc_id % 9 + 1) // 2 AS INT) AS width,
+                           CAST((4 + doc_id % 5 + 1) // 2 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height, t.j,
+                       ((t.j // d.width) * 2 * d.w + (t.j % d.width) * 2) AS i
+                FROM d, range(40) t(j) WHERE t.j < d.width * d.height),
+         ch AS (SELECT doc_id, width, height, j,
+                       (doc_id * 2654435761 + i * 97) % 256 AS b,
+                       (doc_id * 2654435761 + i * 97 + 31) % 256 AS g,
+                       (doc_id * 2654435761 + i * 97 + 62) % 256 AS r
+                FROM px)
+         SELECT doc_id, width, height,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(max(2126 * r + 7152 * g + 722 * b) AS BIGINT) AS peak_luma,
+                CAST(sum((j + 1) * (r + 256 * g + 65536 * b)) AS BIGINT) AS pos_checksum
+         FROM ch GROUP BY doc_id, width, height
          ORDER BY doc_id""",
 
     "multimodal_features" ->

@@ -643,6 +643,28 @@ class ExtSpec extends SparkSpec {
     assert(msg(badOffset).contains("overruns"))
   }
 
+  test("bmp resize: nearest-neighbor downsample samples (x·f, y·f), re-encode round-trips") {
+    val id = 13L // w=8+4=12, h=4+3=7 -> 6x4 at factor 2 (odd height path)
+    val src = Multimodal.encodeBmp(id)
+    val w = Multimodal.bmpWidth(id); val h = Multimodal.bmpHeight(id)
+    val resized = Multimodal.resizeBmp(id, src, factor = 2)
+    val stats = Multimodal.decodeBmp(id, resized)
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    assert(stats.width == ow && stats.height == oh)
+    // expected: source-formula channels at the sampled positions
+    val px = for (oy <- 0 until oh; ox <- 0 until ow) yield {
+      val i = (oy * 2) * w + (ox * 2)
+      (Multimodal.bmpChannel(id, i, 2), Multimodal.bmpChannel(id, i, 1),
+        Multimodal.bmpChannel(id, i, 0))
+    }
+    assert(stats.sum_r == px.map(_._1.toLong).sum)
+    assert(stats.pos_checksum == px.zipWithIndex.map { case ((r, g, b), j) =>
+      (j + 1).toLong * (r + 256L * g + 65536L * b) }.sum)
+    // factor=1 is the identity on pixel content (container re-normalized)
+    assert(Multimodal.decodeBmp(id, Multimodal.resizeBmp(id, src, factor = 1)) ==
+      Multimodal.decodeBmp(id, src))
+  }
+
   test("bmp pipeline: batched decode over generated payloads matches the formula") {
     implicit val s = spark
     import s.implicits._
