@@ -261,6 +261,16 @@ object ExtQueries {
       Similarity.semDedup(t(s, dir, "embeddings"), cells = 16, threshold = 0.4)
         .orderBy("vec_id")),
 
+    // int8 index-compression QC: symmetric per-vector quantization and
+    // its reconstruction error, all in exact integer arithmetic
+    "embedding_int8_quant" -> ((s, dir) =>
+      Similarity.int8QuantQc(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // deterministic global shuffle + shard assignment: training order
+    // as a pure function of (seed, id) — re-runs emit identical shards
+    "dataset_shard_shuffle" -> ((s, dir) =>
+      TrainPrep.shardShuffle(t(s, dir, "documents")).orderBy("doc_id")),
+
     // incremental ingest dedup: near-copies (+1e6, last two words
     // dropped) are "today's batch", matched against the original corpus
     // only — never corpus×corpus
@@ -2055,6 +2065,36 @@ object ExtQueries {
            CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+
+    "embedding_int8_quant" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         m AS (SELECT vec_id, q,
+                      greatest(list_max([abs(v) FOR v IN q]), 1) AS maxabs FROM q),
+         e AS (SELECT vec_id, maxabs, len(q) AS n_dims,
+                      [abs(abs(v)*127 - ((abs(v)*127 + maxabs//2)//maxabs)*maxabs) FOR v IN q] AS errs,
+                      [((abs(v)*127 + maxabs//2)//maxabs) FOR v IN q] AS sabs
+               FROM m)
+         SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs_q,
+                CAST(n_dims AS INT) AS n_dims,
+                CAST(list_sum(errs) AS BIGINT) AS sum_err,
+                CAST(list_max(errs) AS BIGINT) AS max_err,
+                CAST(len(list_filter(sabs, x -> x = 127)) AS BIGINT) AS n_sat
+         FROM e ORDER BY vec_id""",
+
+    "dataset_shard_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_reduce(
+               [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                 regexp_extract_all(md5('shuffle|' || CAST(doc_id AS VARCHAR)), '.')],
+               (a, b) -> (a * 31 + b) % 1000000007) AS sort_key
+           FROM documents)
+         SELECT doc_id, sort_key % 8 AS shard, sort_key,
+                CAST(row_number() OVER (PARTITION BY sort_key % 8
+                  ORDER BY sort_key, doc_id) AS BIGINT) AS position
          FROM h ORDER BY doc_id""",
 
     "sequence_packing" ->

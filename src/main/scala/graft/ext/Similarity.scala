@@ -163,6 +163,37 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Int8 vector-quantization QC — the compression check an embedding
+    * index runs before switching its storage from float32 to int8
+    * (4× smaller, SIMD-friendlier scans): per-vector SYMMETRIC
+    * quantization s_i = round(|q_i|·127 / max|q|)·sign on the exact
+    * 1e6-integer grid, with the reconstruction error reported in the
+    * same integer domain (err_i = | |q_i|·127 − |s_i|·max|q| | — scale
+    * by 127·max|q| to read it as a fraction). Every operation is
+    * integer add/multiply/floor-div on non-negative operands, so the
+    * output is bit-identical across engines — no float accumulation
+    * anywhere.
+    *
+    * Scale shape: pure per-row projection over the scan (the transforms
+    * fold inside codegen); zero shuffles. The QC verdict per vector —
+    * saturation count and max error — is what decides quantile-clip vs
+    * plain max scaling in a production index build.
+    */
+  def int8QuantQc(embeddings: DataFrame): DataFrame =
+    Scale.widen(embeddings)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .selectExpr("vec_id", "q",
+        "greatest(array_max(transform(q, v -> abs(v))), cast(1 as bigint)) AS maxabs")
+      .selectExpr("vec_id",
+        "cast(maxabs as bigint) AS maxabs_q",
+        "cast(size(q) as int) AS n_dims",
+        "transform(q, v -> abs(abs(v)*127 - ((abs(v)*127 + maxabs div 2) div maxabs)*maxabs)) AS errs",
+        "transform(q, v -> (abs(v)*127 + maxabs div 2) div maxabs) AS sabs")
+      .selectExpr("vec_id", "maxabs_q", "n_dims",
+        "cast(aggregate(errs, cast(0 as bigint), (a, x) -> a + x) as bigint) AS sum_err",
+        "cast(array_max(errs) as bigint) AS max_err",
+        "cast(size(filter(sabs, x -> x = 127)) as bigint) AS n_sat")
+
   /** SemDeDup-style semantic deduplication: coarse-cluster the corpus,
     * then prune near-duplicates WITHIN each cluster only (the pattern
     * of Abbas et al. 2023, "SemDeDup" — cluster with k-means, compare

@@ -172,6 +172,33 @@ object TrainPrep {
         sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_unk"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the "shuffle the
+    * corpus, write N training shards" step, made reproducible: shard =
+    * hash(seed|id) mod n, position = rank of hash WITHIN the shard
+    * (ties by id). The training order is a pure function of (seed, id
+    * set): re-runs, retries, and incremental rebuilds emit identical
+    * shards, and changing the seed is a full reshuffle — what
+    * `orderBy(rand())` can never give.
+    *
+    * Scale shape: one hash projection + one shuffle keyed by shard with
+    * a per-shard sort (each window partition is corpus/n docs — n is
+    * picked so a shard fits a writer task). At 100 TB this is exactly
+    * the `repartition(n, shard).sortWithinPartitions(hash)` layout a
+    * shard writer runs.
+    */
+  def shardShuffle(
+      docs: DataFrame,
+      shards: Int = 8,
+      seed: String = "shuffle"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = portableHash(concat(lit(s"$seed|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("sort_key"))
+      .withColumn("shard", pmod(col("sort_key"), lit(shards.toLong)))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("sort_key"), col("position"))
+  }
+
   /** Temperature-resampling mixture weights (α = 0.5): per slice,
     * weight ∝ √n normalized to ppm — the standard multilingual
     * data-mixing recipe that upsamples small languages relative to

@@ -444,6 +444,38 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("int8 quantization QC: exact integer errors, saturation count, zero-vector guard") {
+    val e = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantQc(e).orderBy("vec_id").collect()
+    // q = [1e6, -5e5, 2.5e5]; s_abs = [127, 64, 32] (round-half-up)
+    assert(r(0).getLong(1) == 1000000L)          // maxabs_q
+    assert(r(0).getInt(2) == 3)
+    assert(r(0).getLong(3) == 750000L)           // 0 + 500000 + 250000
+    assert(r(0).getLong(4) == 500000L)
+    assert(r(0).getLong(5) == 1L)                // only the max dim saturates
+    // zero vector: guard divides by 1, everything quantizes to 0 exactly
+    assert(r(1).getLong(1) == 1L && r(1).getLong(3) == 0L && r(1).getLong(5) == 0L)
+  }
+
+  test("shard shuffle: deterministic, seed-sensitive, contiguous positions per shard") {
+    val d = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TrainPrep.shardShuffle(d, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TrainPrep.shardShuffle(d, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // re-run identical
+    // positions are 1..n within each shard, no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed is a genuine reshuffle (some assignment moves)
+    val c = TrainPrep.shardShuffle(d, shards = 4, seed = "epoch2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.toMap != a.map(r => (r._1, r._2)).toMap)
+  }
+
   test("semDedup prunes within cells only, keeps the lowest id of each near-dup pair") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),    // centroid 0
