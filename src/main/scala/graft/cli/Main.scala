@@ -106,12 +106,17 @@ object Main {
       runJdbcDiff(spark, pair.base_connection, pair.target_connection, pair.dialect,
         opts.copy(diff = cfg.diffOptions))
 
-    // `magiceye init` analog, non-interactive (reference action/init.rs
-    // is a TUI wizard; flags replace it — engine-scope decision, §3.2)
+    // `magiceye init` — the reference's interactive wizard
+    // (action/init.rs: arrow-key enum cycling) when run bare on a real
+    // terminal; explicit flags always take the non-interactive path
+    // (CI/scripting)
+    case "init" :: flags
+        if (flags.isEmpty || flags == List("--wizard")) && System.console() != null =>
+      runInitWizard()
     case "init" :: flags =>
       val kv = flags.grouped(2).collect { case List(k, v) => k -> v }.toMap
       val name = kv.getOrElse("--name",
-        throw new IllegalArgumentException("init requires --name"))
+        throw new IllegalArgumentException("init requires --name (or run `init` on a terminal for the wizard)"))
       val pair = graft.config.DatabasePair(
         name = name,
         database_type = kv.getOrElse("--type",
@@ -137,6 +142,37 @@ object Main {
 
     case other =>
       throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
+  }
+
+  /** Interactive init (reference init.rs wizard): raw terminal mode via
+    * stty (the JVM has no termios; restored in finally, wizard degrades
+    * to line-buffered input when stty is unavailable), arrow-key state
+    * machine in [[Wizard]], then the same config write as the flag path
+    * — pair saved under the reference's "default" name (init.rs:181).
+    */
+  private def runInitWizard(): Unit = {
+    val raw =
+      try scala.sys.process.Process(Seq("sh", "-c", "stty -icanon -echo < /dev/tty")).! == 0
+      catch { case _: Exception => false }
+    try {
+      new Wizard(Console.err.print, () => System.in.read()).run() match {
+        case Some((pair, lang)) =>
+          val path = graft.config.Config.defaultPath
+          val cfg = graft.config.Config.load(path)
+          val updated = cfg.copy(
+            database_pairs = cfg.database_pairs.filterNot(_.name == pair.name) :+ pair,
+            default_database_pair = pair.name,
+            current_language = lang)
+          graft.config.Config.save(updated, path)
+          println("Config file saved.") // reference init.rs:189
+          println("Goodbye!")
+        case None =>
+          println("Goodbye!") // reference prints it on every exit path
+      }
+    } finally if (raw) {
+      try { scala.sys.process.Process(Seq("sh", "-c", "stty icanon echo < /dev/tty")).!; () }
+      catch { case _: Exception => () }
+    }
   }
 
   /** The reference's 5-step `magiceye run` pipeline shape

@@ -1,0 +1,109 @@
+package graft.cli
+
+import graft.config.DatabasePair
+
+/** Interactive `init` wizard — the reference's 4-step state machine
+  * (reference src/action/init.rs:34-41 `Step` enum; :228-318 key
+  * handling): database type and report language cycle with arrow keys,
+  * the two connection URLs are typed; Enter advances, Esc aborts (`q`
+  * also aborts on the selection steps — on text steps it is a
+  * character), Backspace deletes one char, Delete clears the field.
+  *
+  * Terminal mechanics re-expressed for a JVM CLI: the reference runs a
+  * ratatui alternate-screen frame loop; here each state change
+  * repaints one in-place line (`\r` + ANSI erase), and the raw byte
+  * stream is decoded directly (arrows arrive as `ESC [ A/B`, Delete as
+  * `ESC [ 3 ~`). IO is injected so specs drive the complete state
+  * machine headlessly — the same convention as [[TuiProgress]].
+  */
+class Wizard(
+    write: String => Unit,
+    read: () => Int) {
+
+  /** Option lists mirror reference DatabaseType::list() / Language::list(). */
+  private val dbTypes = Vector("postgres", "mysql")
+  private val languages = Vector("English", "Korean")
+
+  private sealed trait Key
+  private case object Up extends Key
+  private case object Down extends Key
+  private case object Enter extends Key
+  private case object Esc extends Key
+  private case object Backspace extends Key
+  private case object Delete extends Key
+  private case object Eof extends Key
+  private case class Ch(c: Char) extends Key
+
+  /** Decode one key event from the byte stream. Unknown control bytes
+    * are skipped (never aborts on line noise).
+    */
+  @annotation.tailrec
+  private def readKey(): Key = read() match {
+    case -1 => Eof
+    case 27 => read() match {
+      case '[' => read() match {
+        case 'A' => Up
+        case 'B' => Down
+        case '3' => read(); Delete // ESC [ 3 ~
+        case _ => Esc
+      }
+      case _ => Esc // bare ESC (or unrecognized sequence head)
+    }
+    case 13 | 10 => Enter
+    case 127 | 8 => Backspace
+    case c if c >= 32 => Ch(c.toChar)
+    case _ => readKey()
+  }
+
+  /** Arrow-cycled selection; None = abort (Esc/q/EOF). */
+  private def choose(label: String, options: Vector[String]): Option[String] = {
+    var i = 0
+    while (true) {
+      val rendered = options.zipWithIndex
+        .map { case (o, j) => if (j == i) s"[$o]" else s" $o " }.mkString(" ")
+      write(s"\r[2K> $label: $rendered  (arrows cycle, Enter accepts)")
+      readKey() match {
+        case Up => i = (i + options.size - 1) % options.size
+        case Down => i = (i + 1) % options.size
+        case Enter => write("\n"); return Some(options(i))
+        case Esc | Ch('q') | Ch('Q') | Eof => write("\n"); return None
+        case _ => ()
+      }
+    }
+    None // unreachable
+  }
+
+  /** Typed field with Backspace/Delete editing; None = abort (Esc/EOF). */
+  private def textField(label: String): Option[String] = {
+    val sb = new StringBuilder
+    while (true) {
+      write(s"\r[2K> $label: $sb")
+      readKey() match {
+        case Ch(c) => sb.append(c); ()
+        case Backspace => if (sb.nonEmpty) sb.setLength(sb.length - 1)
+        case Delete => sb.setLength(0)
+        case Enter => write("\n"); return Some(sb.toString)
+        case Esc | Eof => write("\n"); return None
+        case Up | Down => ()
+      }
+    }
+    None // unreachable
+  }
+
+  /** Run the flow. Returns the configured pair (named "default", as the
+    * reference does — init.rs:181) and the chosen language; None on
+    * abort at any step.
+    */
+  def run(): Option[(DatabasePair, String)] =
+    for {
+      dt <- choose("Select Database Type", dbTypes)
+      lang <- choose("Select Language", languages)
+      base <- textField(
+        s"Base Connection URL (e.g. $dt://user:password@host:port/dbname)")
+      target <- textField("Target Connection URL")
+    } yield (DatabasePair(
+      name = "default",
+      database_type = dt,
+      base_connection = base,
+      target_connection = target), lang)
+}
