@@ -830,7 +830,7 @@ object ExtQueries {
     // by merging the per-day HLL sketches in a RANGE window frame
     // (graft_hll_merge_estimate OVER (ORDER BY day RANGE 6 PRECEDING)
     // — a rolling distinct whose window state is one 4 KB sketch).
-    // The oracle pins the exact counts and the 5% envelope boolean.
+    // The oracle pins the exact counts and the envelope boolean.
     // The day-ordered window runs over the DAILY aggregate (bounded by
     // calendar days), same rationale as revenue_concentration_topk.
     "events_dau_wau_sketch" -> ((s, dir) => {
@@ -855,10 +855,15 @@ object ExtQueries {
         .join(wauExact, Seq("day"))
         .select(col("day"), col("dau"), col("wau_exact"),
           // collision noise at tiny cardinalities is ABSOLUTE (a few
-          // registers), so the envelope is max(5%, 5) — at n≈40 a pure
-          // 5% bound (±2) flags ordinary ±3 register collisions
+          // registers), so the envelope has an absolute floor; the
+          // relative part is max-error-calibrated, not 1σ: p=12 raw rsd
+          // is 1.63%, and over THOUSANDS of rolling windows a 5% (3σ)
+          // bound is statistically guaranteed to trip near the
+          // linear-counting→raw crossover (measured: 2/2405 days at
+          // ×10 data; 2/2700 trials in HllEnvelopeSpec, worst 5.7%).
+          // max(8%, 8) ≈ 5σ keeps even 10⁵ windows clean.
           (abs(col("wau_est") - col("wau_exact")) <=
-            greatest(col("wau_exact") * 0.05, lit(5.0))).as("wau_hll_ok"))
+            greatest(col("wau_exact") * 0.08, lit(8.0))).as("wau_hll_ok"))
         .orderBy("day")
     }),
 
@@ -1324,7 +1329,9 @@ object ExtQueries {
         .select(coalesce(est("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(est("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("exact_parts"),
-          (abs(col("_est") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          // 8% = ~5σ for the p=12 estimator (HllEnvelopeSpec) — a 5%
+          // bound is 3σ and trips on tail groups when data regenerates
+          (abs(col("_est") - col("exact_parts")) <= col("exact_parts") * 0.08)
             .as("hll_ok"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -1352,8 +1359,8 @@ object ExtQueries {
         .join(broadcast(direct), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (col("est_rolled") === col("est_direct")).as("rollup_eq_direct"),
-          (abs(col("est_rolled") - col("exact_parts")) <= col("exact_parts") * 0.05)
-            .as("rollup_within_5pct"))
+          (abs(col("est_rolled") - col("exact_parts")) <= col("exact_parts") * 0.08)
+            .as("rollup_within_tol"))
         .orderBy("l_returnflag")
     }),
 
@@ -1362,7 +1369,8 @@ object ExtQueries {
     // built-in — per-partition register arrays merged by element-wise
     // max, so the same sketch could persist per day and merge across
     // windows without raw data. Estimate is partition-order invariant
-    // (spec-pinned); the oracle asserts the 5% envelope around exact.
+    // (spec-pinned); the oracle asserts the calibrated envelope (8% =
+    // ~5σ for p=12, HllEnvelopeSpec) around exact.
     "approx_distinct_hll_native" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val li = t(s, dir, "lineitem").filter(col("l_partkey").isNotNull)
@@ -1371,7 +1379,7 @@ object ExtQueries {
         .agg(count(lit(1)).as("exact_parts"),
           call_function("graft_hll_distinct", col("l_partkey")).as("_hll"))
         .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("_hll") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          (abs(col("_hll") - col("exact_parts")) <= col("exact_parts") * 0.08)
             .as("hll_native_ok"))
         .orderBy("l_returnflag")
     }),
@@ -1510,7 +1518,7 @@ object ExtQueries {
       """SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS rollup_eq_direct,
-           TRUE AS rollup_within_5pct
+           TRUE AS rollup_within_tol
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "approx_quantiles_kll" ->
