@@ -266,6 +266,13 @@ object ExtQueries {
     "embedding_int8_quant" -> ((s, dir) =>
       Similarity.int8QuantQc(t(s, dir, "embeddings")).orderBy("vec_id")),
 
+    // spherical k-means, 2 deterministic Lloyd rounds: integer SUM
+    // centroids (cosine is scale-invariant — no mean division), shifted
+    // to bound self-dots; the oracle unrolls both rounds
+    "kmeans_spherical" -> ((s, dir) =>
+      Similarity.sphericalKMeans(t(s, dir, "embeddings"), k = 8, iterations = 2)
+        .orderBy("cell_id")),
+
     // deterministic global shuffle + shard assignment: training order
     // as a pure function of (seed, id) — re-runs emit identical shards
     "dataset_shard_shuffle" -> ((s, dir) =>
@@ -1959,6 +1966,32 @@ object ExtQueries {
            FROM scored)
          SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "kmeans_spherical" -> {
+      def assignSql(name: String, cent: String) =
+        s"""$name AS (SELECT vec_id, cell_id FROM (
+           SELECT n.vec_id, c.cell_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+           FROM q n CROSS JOIN $cent c) WHERE rn = 1)"""
+      def updateSql(name: String, a: String) =
+        s"""$name AS (
+           SELECT cell_id, list(s ORDER BY dim) AS c_q FROM (
+             SELECT $a.cell_id, t.i AS dim,
+                    CAST(sum(q.q[t.i]) AS BIGINT) >> 10 AS s
+             FROM $a JOIN q USING (vec_id), range(1, 65) t(i)
+             GROUP BY $a.cell_id, t.i) GROUP BY cell_id)"""
+      s"""WITH q AS ($quantSql),
+         cent0 AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 8),
+         ${assignSql("a1", "cent0")},
+         ${updateSql("cent1", "a1")},
+         ${assignSql("a2", "cent1")},
+         ${updateSql("cent2", "a2")},
+         ${assignSql("a3", "cent2")}
+         SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(vec_id) AS BIGINT) AS id_checksum
+         FROM a3 GROUP BY cell_id ORDER BY cell_id"""
+    },
 
     "semdedup_prune" ->
       s"""WITH q AS ($quantSql),

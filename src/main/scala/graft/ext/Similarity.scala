@@ -163,6 +163,72 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Spherical k-means (Lloyd iterations under cosine) — the
+    * clustering stage behind IVF index builds and SemDeDup, run as a
+    * fixed number of fully deterministic rounds: assignment is argmax
+    * cosine to the centroid (ties → lowest cell), and because cosine is
+    * SCALE-INVARIANT the centroid update keeps the exact integer SUM
+    * vector — the mean's divide (the classic cross-engine
+    * nondeterminism hazard) never happens. Centroid components are
+    * arithmetic-right-shifted (floor division by 2^10, identical
+    * semantics in any engine) so self-dot products stay inside int64 at
+    * any cluster size.
+    *
+    * Scale shape per iteration: centroids broadcast (k·dims longs),
+    * assignment is a map-side broadcast join + per-vector partial
+    * max_by, and the update is ONE shuffle of (cell, dim) partial sums
+    * — |k·dims| output rows regardless of corpus size. This is the
+    * canonical distributed Lloyd dataflow.
+    */
+  def sphericalKMeans(corpus: DataFrame, k: Int = 8, iterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(k >= 1 && iterations >= 1, s"need k, iterations >= 1; got k=$k it=$iterations")
+    import spark.implicits._
+    val c = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // centroids are the k·dims MODEL STATE and live on the driver
+      // between rounds (like the bloom filter in bloomPrunedSemiJoin) —
+      // this is the canonical distributed-Lloyd shape, not a data
+      // collect: k rows, corpus never leaves the executors
+      def assign(cent: Seq[(Int, Seq[Long])]): DataFrame = {
+        val centDF = cent.toDF("cell_id", "c_q")
+          .withColumn("c_nrm", qnorm(col("c_q")))
+        c.join(broadcast(centDF))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cell_id"),
+              struct(qcosinePre(col("q"), col("c_q"), col("nrm"), col("c_nrm")),
+                -col("cell_id"))).as("cell_id"))
+      }
+      var cent: Seq[(Int, Seq[Long])] = c.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("q"))
+        .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+      for (_ <- 1 to iterations) {
+        cent = assign(cent).join(c, Seq("vec_id"))
+          .select(col("cell_id"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy(col("cell_id"), col("dim"))
+          .agg(sum(col("v")).as("s"))
+          // floor-div by 2^10 (arithmetic shift — floor for negatives in
+          // every engine, unlike integer division's truncation) keeps
+          // centroid self-dots inside int64 at any cluster size; cosine
+          // is scale-invariant so the assignment is unchanged
+          .withColumn("s", shiftright(col("s"), 10))
+          .groupBy(col("cell_id"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+            x => x("s")).as("c_q"))
+          .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+      }
+      assign(cent)
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).as("id_checksum"))
+    } finally { c.unpersist(); () }
+  }
+
   /** Int8 vector-quantization QC — the compression check an embedding
     * index runs before switching its storage from float32 to int8
     * (4× smaller, SIMD-friendlier scans): per-vector SYMMETRIC

@@ -444,6 +444,28 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("spherical k-means: partitions by cosine, conserves members, deterministic") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),       // seeds
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.2f)), (5L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val r = Similarity.sphericalKMeans(e, k = 2, iterations = 2)
+      .orderBy("cell_id").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0, 3L, 6L), (1, 3L, 9L))) // {0,2,4} vs {1,3,5}
+    // member conservation + reproducibility on the real table shape
+    val big = (0L until 100L).map(i =>
+      (i, Array((math.cos(i * 0.1)).toFloat, (math.sin(i * 0.1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.sphericalKMeans(big, k = 4, iterations = 2)
+      .orderBy("cell_id").collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(a.map(_._2).sum == 100L)
+    assert(a.map(_._3).sum == (0L until 100L).sum)
+    val b = Similarity.sphericalKMeans(big, k = 4, iterations = 2)
+      .orderBy("cell_id").collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("int8 quantization QC: exact integer errors, saturation count, zero-vector guard") {
     val e = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
