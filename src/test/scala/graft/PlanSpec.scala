@@ -286,6 +286,43 @@ class PlanSpec extends SparkSpec {
       s"metadata-only query must never read the payload bytes:\n$p")
   }
 
+  test("round-5 operators keep their scale shapes: equi-joins, broadcasts, no shuffles where promised") {
+    // semDedup: the within-cell pair stage is an equi-join on cell_id;
+    // the only row-expanding join allowed is the BROADCAST centroid
+    // fan-out (k rows, the ivfTopK convention) — never a shuffled
+    // cartesian of data-sized frames
+    val psem = q("semdedup_prune")
+    assert(!psem.contains("CartesianProduct"),
+      s"semdedup must never cartesian two data-sized frames:\n$psem")
+    assert(psem.contains("SortMergeJoin") || psem.contains("ShuffledHashJoin") ||
+      psem.contains("BroadcastHashJoin"),
+      s"semdedup pair stage must equi-join on the cell:\n$psem")
+    assert(psem.contains("BroadcastExchange"),
+      s"centroid fan-out must broadcast, not shuffle:\n$psem")
+    // hashed linear classifier + int8 QC: per-row projections — the
+    // only exchange allowed is widen's round-robin fan-out of the
+    // narrow test scan; never a hash (aggregation/join) shuffle
+    val d = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val pcls = plan(graft.ext.TextAnalysis.qualityClassifier(d))
+    assert(!pcls.contains("Exchange hashpartitioning"),
+      s"classifier must not hash-shuffle:\n$pcls")
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val pq = plan(graft.ext.Similarity.int8QuantQc(e))
+    assert(!pq.contains("Exchange hashpartitioning"),
+      s"int8 QC must not hash-shuffle:\n$pq")
+    // shard shuffle: exactly ONE exchange node (the shard repartition
+    // feeding the per-shard rank window); formatted explain prints each
+    // node twice (tree + detail), so count tree nodes only
+    val pss = plan(graft.ext.TrainPrep.shardShuffle(d))
+    assert(raw"Exchange \(\d+\)".r.findAllIn(pss).size == 1,
+      s"shard shuffle should shuffle once, by shard:\n$pss")
+    // k-means final assignment: centroids broadcast (k-row fan-out),
+    // never a shuffled cartesian
+    val pkm = plan(graft.ext.Similarity.sphericalKMeans(e, k = 4, iterations = 1))
+    assert(pkm.contains("BroadcastExchange") && !pkm.contains("CartesianProduct"),
+      s"k-means assignment should broadcast centroids:\n$pkm")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows codegen spans only in the FINAL plan — execute first,
     // then read the adaptive plan's executed tree (codegen stages carry
