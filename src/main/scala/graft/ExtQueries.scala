@@ -278,6 +278,14 @@ object ExtQueries {
     "dataset_shard_shuffle" -> ((s, dir) =>
       TrainPrep.shardShuffle(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // context-window packing waste: per-pack fill ppm histogram
+    "packing_efficiency" -> ((s, dir) =>
+      TrainPrep.packingEfficiency(t(s, dir, "documents")).orderBy("bin")),
+
+    // recency-decayed engagement: exact integer half-life-per-day decay
+    "events_decayed_engagement" -> ((s, dir) =>
+      Events.decayedEngagement(t(s, dir, "events")).orderBy("user_id")),
+
     // incremental ingest dedup: near-copies (+1e6, last two words
     // dropped) are "today's batch", matched against the original corpus
     // only — never corpus×corpus
@@ -2124,6 +2132,43 @@ object ExtQueries {
                 CAST(list_max(errs) AS BIGINT) AS max_err,
                 CAST(len(list_filter(sabs, x -> x = 127)) AS BIGINT) AS n_sat
          FROM e ORDER BY vec_id""",
+
+    "packing_efficiency" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 8 AS bucket,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, bucket, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS cum
+           FROM b),
+         p AS (
+           SELECT bucket, (cum - n_tokens) // 2048 AS pack_id,
+                  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           FROM c GROUP BY 1, 2),
+         f AS (SELECT pack_tokens * 1000000 // 2048 AS fill_ppm FROM p)
+         SELECT fill_ppm // 100000 AS bin,
+                CAST(count(*) AS BIGINT) AS n_packs,
+                CAST(min(fill_ppm) AS BIGINT) AS min_fill_ppm,
+                CAST(max(fill_ppm) AS BIGINT) AS max_fill_ppm
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    "events_decayed_engagement" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         m AS (SELECT max(ts_us) AS mx FROM e),
+         d AS (
+           SELECT user_id,
+                  least((m.mx - e.ts_us) // 86400000000, 62) AS age_days,
+                  e.cents // CAST(pow(2, least((m.mx - e.ts_us) // 86400000000, 62)) AS BIGINT) AS decayed
+           FROM e CROSS JOIN m)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(decayed) AS BIGINT) AS decayed_cents,
+                CAST(min(age_days) AS BIGINT) AS latest_age_days
+         FROM d GROUP BY user_id ORDER BY user_id""",
 
     "dataset_shard_shuffle" ->
       """WITH h AS (

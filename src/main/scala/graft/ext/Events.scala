@@ -194,4 +194,34 @@ object Events {
       .withColumn("avg_cents", expr("sum_cents div n_events"))
       .withColumn("share_ppm", expr(
         "n_events * 1000000 div (sum(n_events) over (partition by event_type))"))
+
+  /** Exponentially-decayed engagement score per user: each event
+    * contributes `value_cents / 2^age_days` (half-life = one day,
+    * measured back from the corpus's latest event), summed per user.
+    * The per-event decay is an integer FLOOR division by a power of
+    * two, so the score is exact and engine-reproducible — no float
+    * powers, no log/exp — while keeping the semantics recency models
+    * want (yesterday counts half, a month ago counts nothing).
+    *
+    * Scale shape: one broadcast scalar (max ts), one per-row decay
+    * projection, one partial-aggregated shuffle on user_id. The decayed
+    * contribution saturates to 0 past 62 days, which also bounds the
+    * shift for int64.
+    */
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val maxUs = events.select(max(tsUs).as("m"))
+    events
+      .select(col("user_id"), tsUs.as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(maxUs))
+      .withColumn("age_days", expr(s"least((m - ts_us) div $dayUs, 62L)"))
+      .withColumn("decayed", expr("cents div cast(pow(2, age_days) as bigint)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("decayed")).as("decayed_cents"),
+        max(expr("-age_days")).as("_neg"))
+      .withColumn("latest_age_days", -col("_neg"))
+      .drop("_neg")
+  }
 }

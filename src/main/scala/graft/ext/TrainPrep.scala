@@ -172,6 +172,26 @@ object TrainPrep {
         sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_unk"))
   }
 
+  /** Pack-fill QC over [[packSequences]]: per-pack token fill as a ppm
+    * of the context budget, histogrammed in decile bins — the waste
+    * metric a packing strategy is judged by (fill < 1e6 wastes context;
+    * > 1e6 marks the boundary pack whose last document spills). Cost on
+    * top of the packer: one (bucket, pack) aggregate + a |bins|-row
+    * final aggregate.
+    */
+  def packingEfficiency(
+      docs: DataFrame,
+      tokenBudget: Int = 2048,
+      buckets: Int = 8): DataFrame =
+    packSequences(docs, tokenBudget, buckets)
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_ppm", expr(s"pack_tokens * 1000000 div ${tokenBudget}L"))
+      .groupBy(expr("fill_ppm div 100000").as("bin"))
+      .agg(count(lit(1)).as("n_packs"),
+        min(col("fill_ppm")).as("min_fill_ppm"),
+        max(col("fill_ppm")).as("max_fill_ppm"))
+
   /** Deterministic global shuffle + shard assignment — the "shuffle the
     * corpus, write N training shards" step, made reproducible: shard =
     * hash(seed|id) mod n, position = rank of hash WITHIN the shard

@@ -444,6 +444,37 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("decayed engagement: halves per day, floors exactly, saturates at 62 days") {
+    implicit val s = spark
+    import s.implicits._
+    val day = 86400000000000L // nanos
+    // user 1: 100.00 now + 100.00 one day earlier + 100.00 at 100 days
+    // user 2: 0.03 three days old -> floor(3/8) = 0
+    val e = Seq(
+      (1L, 3L * day, 1L, "c", 100.0, "{}"),
+      (2L, 2L * day, 1L, "c", 100.0, "{}"),
+      (3L, 3L * day - 100L * day, 1L, "c", 100.0, "{}"),
+      (4L, 0L, 2L, "c", 0.03, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.decayedEngagement(e).orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r(0) == ((1L, 3L, 10000L + 5000L + 0L, 0L)))
+    assert(r(1) == ((2L, 1L, 0L, 3L))) // floor(3 cents / 8) = 0, age 3
+  }
+
+  test("packing efficiency: per-pack fill ppm histogram, overflow pack binned above 10") {
+    val d = Seq(
+      (0L, "a b c"), (8L, "a b c d"), (16L, "a b c d e"), // bucket 0: 12 tokens
+      (1L, "a b"))                                        // bucket 1: 2 tokens
+      .toDF("doc_id", "text")
+    val r = TrainPrep.packingEfficiency(d, tokenBudget = 8, buckets = 8)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // bucket 0: one pack of 12/8 tokens -> 1500000 ppm (the spill pack);
+    // bucket 1: one pack at 250000 ppm
+    assert(r.toSeq == Seq((2L, 1L, 250000L, 250000L), (15L, 1L, 1500000L, 1500000L)))
+  }
+
   test("spherical k-means: partitions by cosine, conserves members, deterministic") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),       // seeds
