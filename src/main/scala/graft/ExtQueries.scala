@@ -181,6 +181,15 @@ object ExtQueries {
       Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
     }),
 
+    // the pipeline's final emit step after clustering: keep the member
+    // with the most tokens per duplicate cluster (ties -> lowest id)
+    "dedup_cluster_representatives" -> ((s, dir) => {
+      val corpus = corpusWithNearCopies(s, dir)
+      Dedup.clusterRepresentatives(corpus,
+          Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash_hamming" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
@@ -461,6 +470,16 @@ object ExtQueries {
     "multimodal_wav_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.decodeWavBatch(
+          Multimodal.wavFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // frame-level audio energy from REAL decoded PCM: per-doc total,
+    // peak frame and its index (the loudest-segment curation shape)
+    "multimodal_wav_frame_energy" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.wavFrameEnergy(
           Multimodal.wavFromDocuments(t(s, dir, "documents")))
         .toDF()
         .orderBy("doc_id")
@@ -2044,6 +2063,53 @@ object ExtQueries {
          clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node)
          SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          FROM clusters ORDER BY doc_id""",
+
+    "dedup_cluster_representatives" ->
+      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r AS (
+           SELECT doc_id AS node, doc_id AS m FROM corpus
+           UNION
+           SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node),
+         tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM corpus)
+         SELECT c.doc_id, c.cluster_id, t.n_tokens,
+                (row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY t.n_tokens DESC, c.doc_id) = 1) AS is_representative
+         FROM clusters c JOIN tok t USING (doc_id) ORDER BY c.doc_id""",
+
+    "multimodal_wav_frame_energy" ->
+      """WITH d AS (SELECT doc_id, 256 + (doc_id % 512) AS n FROM documents),
+         s AS (SELECT d.doc_id, t.i // 256 AS f,
+                      ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
+               FROM d, range(768) t(i) WHERE t.i < d.n),
+         fe AS (SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
+                FROM s GROUP BY 1, 2),
+         pk AS (SELECT doc_id, f FROM (
+                  SELECT doc_id, f,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, f) AS rn
+                  FROM fe) WHERE rn = 1)
+         SELECT fe.doc_id,
+                CAST(count(*) AS INT) AS n_frames,
+                CAST(sum(fe.e) AS BIGINT) AS total_energy,
+                CAST(max(fe.e) AS BIGINT) AS peak_frame_energy,
+                CAST(min(pk.f) AS INT) AS peak_frame_index
+         FROM fe JOIN pk USING (doc_id)
+         GROUP BY fe.doc_id ORDER BY fe.doc_id""",
 
     "dedup_simhash64" ->
       s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

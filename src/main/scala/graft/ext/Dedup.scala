@@ -580,4 +580,25 @@ object Dedup {
         qcosinePre(col("l_q"), col("r_q"), col("l_nrm"), col("r_nrm")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
+
+  /** Representative selection after clustering — the dedup pipeline's
+    * final emit step: within each duplicate cluster, KEEP the member
+    * with the most tokens (the "longest document" heuristic; near-dup
+    * members are truncations/mutations of it), ties to the lowest id
+    * so the choice is total. Swapping the ranking column for a model
+    * quality score changes nothing structural.
+    *
+    * Cost on top of the clusterer: one broadcast-sized token-count
+    * projection joined in, one per-cluster ranking window (cluster
+    * sizes are near-dup group sizes — tiny by construction).
+    */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(graft.ext.TextPrimitives.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("is_representative", row_number().over(w) === 1)
+  }
 }

@@ -183,6 +183,23 @@ object Multimodal {
     * wants (fail the record, not the executor).
     */
   def decodeWav(docId: Long, bytes: Array[Byte]): WavStats = {
+    val (rate, samples) = decodeWavSamples(bytes)
+    var peak = 0; var sumSq = 0L; var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v.toLong
+      i += 1
+    }
+    WavStats(docId, rate, samples.length.toLong,
+      samples.length.toLong * 1000L / rate, peak, sumSq)
+  }
+
+  /** Container parse only: (sample rate, PCM samples). The seam feature
+    * extractors ([[decodeWav]], [[wavFrameEnergy]]) share it.
+    */
+  private[graft] def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
     require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -228,16 +245,7 @@ object Multimodal {
       }
     }
     require(samples != null, "no data chunk")
-    var peak = 0; var sumSq = 0L; var i = 0
-    while (i < samples.length) {
-      val v = samples(i).toInt
-      val a = math.abs(v)
-      if (a > peak) peak = a
-      sumSq += v.toLong * v.toLong
-      i += 1
-    }
-    WavStats(docId, rate, samples.length.toLong,
-      samples.length.toLong * 1000L / rate, peak, sumSq)
+    (rate, samples)
   }
 
   /** The batched decode stage over real WAV payloads — identical
@@ -249,6 +257,47 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(r => decodeWav(r.doc_id, r.payload)))
+    }
+  }
+
+  /** Per-frame audio energy over decoded PCM: frames of `frameSize`
+    * samples (last frame ragged), per-frame sum of squares, reduced per
+    * doc to total energy, the peak frame and its index — the
+    * voice-activity / loudest-segment shape of an audio-curation pass,
+    * computed from REAL decoded samples. Exact integer arithmetic
+    * (ties on peak go to the earliest frame), so the oracle recomputes
+    * it from the seeded sample formula.
+    */
+  case class WavFrameStats(
+      doc_id: Long,
+      n_frames: Int,
+      total_energy: Long,
+      peak_frame_energy: Long,
+      peak_frame_index: Int)
+
+  def wavFrameEnergy(
+      media: Dataset[WavRecord],
+      frameSize: Int = 256,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[WavFrameStats] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (_, samples) = decodeWavSamples(r.payload)
+        val nFrames = (samples.length + frameSize - 1) / frameSize
+        var total = 0L; var peak = -1L; var peakIdx = 0
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * frameSize
+          val end = math.min(samples.length, i + frameSize)
+          while (i < end) { val v = samples(i).toLong; e += v * v; i += 1 }
+          total += e
+          if (e > peak) { peak = e; peakIdx = f }
+          f += 1
+        }
+        WavFrameStats(r.doc_id, nFrames, total, peak, peakIdx)
+      })
     }
   }
 

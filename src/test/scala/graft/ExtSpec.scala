@@ -444,6 +444,35 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("cluster representatives: longest member wins, ties to lowest id, singletons self-represent") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "a b"), // cluster {1,2,3}: 2 wins (5 tokens)
+      (9L, "lone doc")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val r = Dedup.clusterRepresentatives(docs, clusters).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1L, false), (2L, true), (3L, false), (9L, true)))
+  }
+
+  test("wav frame energy: ragged last frame, exact energies, earliest peak on ties") {
+    implicit val s = spark
+    import s.implicits._
+    val id = 5L // n = 261 samples -> frames of 256 + 5
+    val d = Seq((id, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.wavFrameEnergy(Multimodal.wavFromDocuments(d))
+      .collect().head
+    val n = Multimodal.wavSampleCount(id)
+    val energies = (0 until n).map(Multimodal.wavSample(id, _))
+      .map(v => v.toLong * v.toLong)
+      .grouped(256).map(_.sum).toSeq
+    assert(out.n_frames == energies.size && energies.size == 2)
+    assert(out.total_energy == energies.sum)
+    assert(out.peak_frame_energy == energies.max)
+    assert(out.peak_frame_index == energies.indexOf(energies.max))
+  }
+
   test("decayed engagement: halves per day, floors exactly, saturates at 62 days") {
     implicit val s = spark
     import s.implicits._
