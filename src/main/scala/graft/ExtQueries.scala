@@ -295,6 +295,21 @@ object ExtQueries {
     "events_decayed_engagement" -> ((s, dir) =>
       Events.decayedEngagement(t(s, dir, "events")).orderBy("user_id")),
 
+    // traffic hygiene: burst inter-arrival fraction per user. The
+    // thresholds are config — here tuned to this corpus's hour-scale
+    // cadence (gap < 1 h = burst, flag at 12%) so BOTH flag branches
+    // carry rows; a real deployment sets sub-second gaps for bots
+    "events_bot_score" -> ((s, dir) =>
+      Events.botScore(t(s, dir, "events"),
+          fastGapMs = 3600000L, flagPpm = 120000L)
+        .orderBy("user_id")),
+
+    // C4-style cross-document boilerplate screen over the planted
+    // near-copy corpus (shared 8-grams = the duplicated content)
+    "text_boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.boilerplateNgrams(corpusWithNearCopies(s, dir))
+        .orderBy("doc_id")),
+
     // incremental ingest dedup: near-copies (+1e6, last two words
     // dropped) are "today's batch", matched against the original corpus
     // only — never corpus×corpus
@@ -2167,6 +2182,50 @@ object ExtQueries {
                FROM cand)
          SELECT a_id, b_id, hamming FROM h
          WHERE hamming <= 1 ORDER BY a_id, b_id""",
+
+    "events_bot_score" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT user_id,
+                  ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS gap_us
+           FROM e),
+         a AS (
+           SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN gap_us < 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+                  CAST(sum(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+           FROM g GROUP BY user_id)
+         SELECT user_id, n_events, n_fast, n_gaps,
+                CASE WHEN n_gaps = 0 THEN 0
+                     ELSE n_fast * 1000000 // n_gaps END AS fast_ppm,
+                (n_events >= 10 AND
+                 (CASE WHEN n_gaps = 0 THEN 0
+                       ELSE n_fast * 1000000 // n_gaps END) >= 120000) AS is_bot
+         FROM a ORDER BY user_id""",
+
+    "text_boilerplate_ngrams" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         g AS (SELECT DISTINCT doc_id, gram FROM (
+                 SELECT doc_id,
+                        unnest([array_to_string(w[i+1:i+8], ' ')
+                                FOR i IN range(0, greatest(len(w)-7, 0))]) AS gram
+                 FROM t)),
+         common AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         per AS (
+           SELECT g.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+           FROM g LEFT JOIN common c USING (gram)
+           GROUP BY g.doc_id)
+         SELECT corpus.doc_id,
+                coalesce(per.n_grams, 0) AS n_grams,
+                coalesce(per.n_boilerplate, 0) AS n_boilerplate,
+                coalesce(per.n_boilerplate * 1000000 // per.n_grams, 0) AS boiler_ppm
+         FROM corpus LEFT JOIN per ON corpus.doc_id = per.doc_id
+         ORDER BY corpus.doc_id""",
 
     "dataset_hash_split" ->
       """WITH h AS (

@@ -195,6 +195,37 @@ object Events {
       .withColumn("share_ppm", expr(
         "n_events * 1000000 div (sum(n_events) over (partition by event_type))"))
 
+  /** Rule-based bot scoring from inter-arrival times — the traffic-
+    * hygiene filter an events pipeline runs before any engagement
+    * metric: per user, the fraction of consecutive gaps under
+    * `fastGapMs` (machine-speed actions) in exact ppm, flagged when
+    * fast-heavy AND high-volume. Deterministic integers only.
+    *
+    * Scale shape: one per-user window (ordered by the total (ts,
+    * event_id) key) + one aggregate — the sessionize shape; a hot user
+    * bounds the window partition exactly like a hot session key, same
+    * mitigation (AQE/salting) applies.
+    */
+  def botScore(
+      events: DataFrame,
+      fastGapMs: Long = 1000,
+      minEvents: Long = 10,
+      flagPpm: Long = 500000): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap_us") < fastGapMs * 1000L, 1L).otherwise(0L)).as("n_fast"),
+        sum(when(col("gap_us").isNotNull, 1L).otherwise(0L)).as("n_gaps"))
+      .withColumn("fast_ppm",
+        when(col("n_gaps") === 0L, 0L)
+          .otherwise(expr("n_fast * 1000000 div n_gaps")))
+      .withColumn("is_bot",
+        col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
+  }
+
   /** Exponentially-decayed engagement score per user: each event
     * contributes `value_cents / 2^age_days` (half-life = one day,
     * measured back from the corpus's latest event), summed per user.

@@ -56,6 +56,36 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** Cross-document boilerplate fraction — the C4-style screen for
+    * template/duplicated content: an 8-gram is "boilerplate" when it
+    * appears in at least `minDf` DISTINCT documents; each document
+    * reports its distinct-8-gram count, how many of them are
+    * boilerplate, and the fraction in exact ppm. High ratios mark
+    * mirrored/templated pages that per-document quality scores miss.
+    *
+    * Scale shape: one explode + (gram)-keyed distinct-df aggregate, the
+    * frequent set joined back on the gram key (a semi-join-shaped equi
+    * join — never a pairwise comparison), one final per-doc aggregate.
+    */
+  def boilerplateNgrams(docs: DataFrame, k: Int = 8, minDf: Long = 2): DataFrame = {
+    val grams = Scale.widen(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("g"))
+    val common = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"), lit(1L).as("is_common"))
+    val perDoc = grams.join(common, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_boilerplate"))
+      .withColumn("boiler_ppm", expr("n_boilerplate * 1000000 div n_grams"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        coalesce(col("boiler_ppm"), lit(0L)).as("boiler_ppm"))
+  }
+
   /** Hashed-feature linear text classifier — the model-based quality
     * filtering stage of a training-data pipeline (the fastText-style
     * bag-of-words scorer of CCNet/LLaMA data prep) with its weight

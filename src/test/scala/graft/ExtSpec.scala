@@ -444,6 +444,39 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("bot score: burst fraction in exact ppm, volume gate, single-event users never flag") {
+    implicit val s = spark
+    import s.implicits._
+    val sec = 1000000000L // nanos
+    // user 1: 12 events 0.5 s apart -> all gaps fast, flagged
+    // user 2: 12 events 10 s apart -> zero fast, not flagged
+    // user 3: one event -> no gaps, fast_ppm 0, not flagged
+    val rows =
+      (0 until 12).map(i => (100L + i, i * sec / 2, 1L, "c", 1.0, "{}")) ++
+      (0 until 12).map(i => (200L + i, i * 10L * sec, 2L, "c", 1.0, "{}")) ++
+      Seq((300L, 0L, 3L, "c", 1.0, "{}"))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.botScore(e).orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      (1L, 12L, 1000000L, true),
+      (2L, 12L, 0L, false),
+      (3L, 1L, 0L, false)))
+  }
+
+  test("boilerplate ngrams: shared 8-grams flagged across docs, short docs report zero") {
+    val docs = Seq(
+      (1L, "a b c d e f g h unique1 tail1"),
+      (2L, "a b c d e f g h unique2 tail2"), // shares the first 8-gram with doc 1
+      (3L, "completely different words here")) // < 8 tokens -> 0 grams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateNgrams(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r(0)._2 == 3 && r(0)._3 == 1) // 3 distinct grams, 1 shared
+    assert(r(1)._2 == 3 && r(1)._3 == 1)
+    assert(r(2) == ((3L, 0L, 0L)))
+  }
+
   test("cluster representatives: longest member wins, ties to lowest id, singletons self-represent") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b c d e"), (3L, "a b"), // cluster {1,2,3}: 2 wins (5 tokens)
