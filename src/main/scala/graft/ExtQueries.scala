@@ -490,6 +490,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // 16-bin luminance histogram over REAL decoded pixels (exposure /
+    // contrast screen of a vision-curation pass)
+    "multimodal_bmp_histogram" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.bmpLumaHistogram(
+          Multimodal.bmpFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id", "bin")
+    }),
+
     // frame-level audio energy from REAL decoded PCM: per-doc total,
     // peak frame and its index (the loudest-segment curation shape)
     "multimodal_wav_frame_energy" -> ((s, dir) => {
@@ -2480,6 +2490,22 @@ object ExtQueries {
                 CAST(sum((i + 1) * (r + 256 * g + 65536 * b)) AS BIGINT) AS pos_checksum
          FROM px GROUP BY doc_id, width, height
          ORDER BY doc_id""",
+
+    "multimodal_bmp_histogram" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(8 + doc_id % 9 AS INT) AS w,
+                           CAST(4 + doc_id % 5 AS INT) AS h
+                    FROM documents),
+         px AS (SELECT d.doc_id,
+                       (d.doc_id * 2654435761 + t.i * 97) % 256 AS b,
+                       (d.doc_id * 2654435761 + t.i * 97 + 31) % 256 AS g,
+                       (d.doc_id * 2654435761 + t.i * 97 + 62) % 256 AS r
+                FROM d, range(128) t(i) WHERE t.i < d.w * d.h),
+         lb AS (SELECT doc_id,
+                       CAST(least((2126 * r + 7152 * g + 722 * b) * 16 // 2550000, 15) AS INT) AS bin
+                FROM px)
+         SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n_pixels
+         FROM lb GROUP BY doc_id, bin ORDER BY doc_id, bin""",
 
     "multimodal_bmp_resize" ->
       """WITH d AS (SELECT doc_id,

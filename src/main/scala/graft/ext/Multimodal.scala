@@ -522,6 +522,51 @@ object Multimodal {
     }
   }
 
+  /** Per-image luminance histogram over REAL decoded pixels: BT.709
+    * luma (×10000 integer scale) bucketed into 16 equal bins — the
+    * exposure/contrast feature a vision-curation pass computes per
+    * image (all-dark, all-blown, low-contrast screens). 1 record →
+    * ≤16 rows, exact integers; map-only like every seam extractor.
+    */
+  case class BmpHistBin(doc_id: Long, bin: Int, n_pixels: Long)
+
+  def bmpLumaHistogram(
+      media: Dataset[BmpRecord],
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[BmpHistBin] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        val bytes = r.payload
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        decodeBmp(r.doc_id, bytes) // container validation
+        val dataOffset = bb.getInt(10)
+        val w = bb.getInt(18)
+        val h = math.abs(bb.getInt(22))
+        val stride = (w * 3 + 3) / 4 * 4
+        val counts = new Array[Long](16)
+        var row = 0
+        while (row < h) {
+          var base = dataOffset + row * stride
+          var x = 0
+          while (x < w) {
+            val b = bytes(base).toInt & 0xff
+            val g = bytes(base + 1).toInt & 0xff
+            val rr = bytes(base + 2).toInt & 0xff
+            val luma = 2126L * rr + 7152L * g + 722L * b // 0..2550000
+            val bin = math.min(15, (luma * 16L / 2550000L).toInt)
+            counts(bin) += 1
+            x += 1
+            base += 3
+          }
+          row += 1
+        }
+        counts.indices.collect {
+          case i if counts(i) > 0 => BmpHistBin(r.doc_id, i, counts(i))
+        }
+      })
+    }
+  }
+
   /** One sampled "frame" of a media payload: the 1-record → N-frames
     * expansion shape (video frame sampling, audio chunking). */
   case class MediaFrame(

@@ -812,6 +812,27 @@ class ExtSpec extends SparkSpec {
       Multimodal.decodeBmp(id, src))
   }
 
+  test("bmp luminance histogram: bins match the brute-force pixel formula, counts conserve") {
+    implicit val s = spark
+    import s.implicits._
+    val id = 7L
+    val d = Seq((id, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.bmpLumaHistogram(Multimodal.bmpFromDocuments(d))
+      .collect().map(b => b.bin -> b.n_pixels).toMap
+    val w = Multimodal.bmpWidth(id); val h = Multimodal.bmpHeight(id)
+    val expect = (0 until w * h)
+      .map { i =>
+        val luma = 2126L * Multimodal.bmpChannel(id, i, 2) +
+          7152L * Multimodal.bmpChannel(id, i, 1) +
+          722L * Multimodal.bmpChannel(id, i, 0)
+        math.min(15, (luma * 16L / 2550000L).toInt)
+      }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(out == expect)
+    assert(out.values.sum == w.toLong * h)
+  }
+
   test("bmp pipeline: batched decode over generated payloads matches the formula") {
     implicit val s = spark
     import s.implicits._
