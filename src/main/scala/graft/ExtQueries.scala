@@ -450,6 +450,17 @@ object ExtQueries {
     "text_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // classifier QC view: declared-vs-predicted language confusion
+    // matrix with per-declared-language row shares in exact ppm —
+    // where the n-gram heuristic (or any swapped-in model) misfires
+    "text_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_ppm", expr(
+          "n_docs * 1000000 div (sum(n_docs) over (partition by labeled_lang))"))
+        .orderBy("labeled_lang", "predicted_lang")),
+
     "text_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -2392,6 +2403,33 @@ object ExtQueries {
                 WHEN score_es >= score_zh THEN 'es'
                 ELSE 'zh' END AS predicted_lang
          FROM s ORDER BY doc_id""",
+
+    "text_lang_confusion" ->
+      """WITH s AS (
+           SELECT lang AS labeled_lang,
+             (length(text) - length(replace(text, 'th', '')))
+               + (length(text) - length(replace(text, 'he', ''))) AS score_en,
+             (length(text) - length(replace(text, 'ch', '')))
+               + (length(text) - length(replace(text, 'ei', ''))) AS score_de,
+             (length(text) - length(replace(text, 'os', '')))
+               + (length(text) - length(replace(text, 'ar', ''))) AS score_es,
+             (length(text) - length(replace(text, 'zh', '')))
+               + (length(text) - length(replace(text, 'ng', ''))) AS score_zh
+           FROM documents),
+         p AS (
+           SELECT labeled_lang,
+             CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                  WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+                  WHEN score_es >= score_zh THEN 'es'
+                  ELSE 'zh' END AS predicted_lang
+           FROM s),
+         m AS (SELECT labeled_lang, predicted_lang,
+                      CAST(count(*) AS BIGINT) AS n_docs
+               FROM p GROUP BY 1, 2)
+         SELECT labeled_lang, predicted_lang, n_docs,
+                CAST(n_docs * 1000000 //
+                  (sum(n_docs) OVER (PARTITION BY labeled_lang)) AS BIGINT) AS share_ppm
+         FROM m ORDER BY labeled_lang, predicted_lang""",
 
     "text_fingerprint" ->
       """WITH sh AS (
