@@ -45,9 +45,11 @@ class Wizard(
         case 'A' => Up
         case 'B' => Down
         case '3' => read(); Delete // ESC [ 3 ~
-        case _ => Esc
+        // any other CSI (left/right arrows, home/end, …) is a no-op,
+        // NOT an abort — only a bare ESC aborts
+        case _ => readKey()
       }
-      case _ => Esc // bare ESC (or unrecognized sequence head)
+      case _ => Esc // bare ESC (or a non-CSI sequence head)
     }
     case 13 | 10 => Enter
     case 127 | 8 => Backspace

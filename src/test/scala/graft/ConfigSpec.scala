@@ -94,6 +94,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(res.contains((DatabasePair("default", "postgres", "b", "t"), "Korean")))
   }
 
+  test("wizard: unknown CSI sequences (right arrow, home) are ignored, not aborts") {
+    val RIGHT = "[C"
+    val (res, _) = drive(RIGHT + DOWN + "\r" + RIGHT + "\r" + "b\r" + "t\r")
+    // right arrow ignored; down still cycled to mysql
+    assert(res.contains((DatabasePair("default", "mysql", "b", "t"), "English")))
+  }
+
   test("wizard: q aborts selection steps, Esc aborts text steps, q types in URLs") {
     assert(drive("q")._1.isEmpty)              // q on step 1
     assert(drive("\r" + "q")._1.isEmpty)       // q on step 2
