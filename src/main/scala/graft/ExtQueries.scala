@@ -295,6 +295,11 @@ object ExtQueries {
     "events_decayed_engagement" -> ((s, dir) =>
       Events.decayedEngagement(t(s, dir, "events")).orderBy("user_id")),
 
+    // A/B experiment readout: both arms' exact integer metrics per
+    // event type, one conditional-sum aggregate (no self-join)
+    "events_experiment_readout" -> ((s, dir) =>
+      Events.experimentReadout(t(s, dir, "events")).orderBy("event_type")),
+
     // traffic hygiene: burst inter-arrival fraction per user. The
     // thresholds are config — here tuned to this corpus's hour-scale
     // cadence (gap < 1 h = burst, flag at 12%) so BOTH flag branches
@@ -2203,6 +2208,27 @@ object ExtQueries {
                FROM cand)
          SELECT a_id, b_id, hamming FROM h
          WHERE hamming <= 1 ORDER BY a_id, b_id""",
+
+    "events_experiment_readout" ->
+      """WITH e AS (
+           SELECT event_type, user_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         a AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(count(DISTINCT CASE WHEN variant = 0 THEN user_id END) AS BIGINT) AS users_a,
+                  CAST(count(DISTINCT CASE WHEN variant = 1 THEN user_id END) AS BIGINT) AS users_b,
+                  CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_a,
+                  CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_b
+           FROM e GROUP BY event_type)
+         SELECT event_type, n_a, n_b, users_a, users_b, cents_a, cents_b,
+                cents_a // n_a AS mean_cents_a,
+                cents_b // n_b AS mean_cents_b,
+                (cents_b // n_b) - (cents_a // n_a) AS mean_diff_cents
+         FROM a ORDER BY event_type""",
 
     "events_bot_score" ->
       """WITH e AS (

@@ -195,6 +195,36 @@ object Events {
       .withColumn("share_ppm", expr(
         "n_events * 1000000 div (sum(n_events) over (partition by event_type))"))
 
+  /** Experiment readout — the A/B metrics table: bucket every event by
+    * its variant (here derived from the props payload: k mod 2 — in
+    * production the assignment column), then per event type emit both
+    * arms' volumes, user counts, exact cent sums, integer-DIV means,
+    * and the mean difference in exact cents. Everything integer: the
+    * readout is engine-reproducible, and ratio metrics (lift %) are
+    * left to the consumer because a negative numerator under integer
+    * division is the one place engines disagree.
+    *
+    * Scale shape: one partial-aggregated shuffle keyed (type, variant),
+    * conditional-summed to one row per type — no self-join for the
+    * A-vs-B comparison.
+    */
+  def experimentReadout(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2L)).as("variant"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"),
+        count_distinct(when(col("variant") === 0L, col("user_id"))).as("users_a"),
+        count_distinct(when(col("variant") === 1L, col("user_id"))).as("users_b"),
+        sum(when(col("variant") === 0L, col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("variant") === 1L, col("cents")).otherwise(0L)).as("cents_b"))
+      .withColumn("mean_cents_a", expr("cents_a div n_a"))
+      .withColumn("mean_cents_b", expr("cents_b div n_b"))
+      .withColumn("mean_diff_cents", col("mean_cents_b") - col("mean_cents_a"))
+
   /** Rule-based bot scoring from inter-arrival times — the traffic-
     * hygiene filter an events pipeline runs before any engagement
     * metric: per user, the fraction of consecutive gaps under

@@ -444,6 +444,23 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("experiment readout: exact per-arm metrics, integer means, no self-join needed") {
+    implicit val s = spark
+    import s.implicits._
+    // variant = k % 2: A gets k=2,4 (users 1,1), B gets k=1 (user 2)
+    val e = Seq(
+      (1L, 0L, 1L, "click", 1.00, """{"k": 2}"""),
+      (2L, 0L, 1L, "click", 2.00, """{"k": 4}"""),
+      (3L, 0L, 2L, "click", 5.00, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.experimentReadout(e).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)   // n_a, n_b
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)   // users_a, users_b
+    assert(r.getLong(5) == 300L && r.getLong(6) == 500L) // cents
+    assert(r.getLong(7) == 150L && r.getLong(8) == 500L) // integer means
+    assert(r.getLong(9) == 350L)                         // mean diff
+  }
+
   test("bot score: burst fraction in exact ppm, volume gate, single-event users never flag") {
     implicit val s = spark
     import s.implicits._
