@@ -467,7 +467,28 @@ object Queries4 {
       .orderBy("l_returnflag", "qty")
   }
 
+  // Acquisition-cohort repeat rate: customers grouped by their FIRST
+  // order's month; a customer "repeats" when any later order lands in a
+  // later month. Two partial-aggregated shuffles (per-customer min +
+  // per-customer repeat flag), cohort table is |months| rows; rates in
+  // exact ppm. Months emitted as strings (date-typed outputs drift
+  // dtype-kind through the driver's pandas compare).
+  private def cohortRepeatRate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("month")).as("cohort"))
+    val repeat = o.join(first, Seq("o_custkey"))
+      .groupBy(col("o_custkey"), col("cohort"))
+      .agg(max(when(col("month") > col("cohort"), 1L).otherwise(0L)).as("is_repeat"))
+    repeat.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("is_repeat")).as("n_repeat"))
+      .withColumn("repeat_ppm", expr("n_repeat * 1000000 div n_customers"))
+      .orderBy("cohort")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_repeat_rate" -> cohortRepeatRate _,
     "quantile_normalize_rank" -> quantileNormalizeRank _,
     "data_skew_report" -> dataSkewReport _,
     "events_rfm_segments" -> eventsRfm _,
@@ -485,6 +506,22 @@ object Queries4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "cohort_repeat_rate" ->
+      """WITH o AS (
+           SELECT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
+           FROM orders),
+         f AS (SELECT o_custkey, min(month) AS cohort FROM o GROUP BY 1),
+         r AS (
+           SELECT o.o_custkey, f.cohort,
+                  max(CASE WHEN o.month > f.cohort THEN 1 ELSE 0 END) AS is_repeat
+           FROM o JOIN f USING (o_custkey)
+           GROUP BY 1, 2)
+         SELECT cohort,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(is_repeat) AS BIGINT) AS n_repeat,
+                CAST(sum(is_repeat) * 1000000 // count(*) AS BIGINT) AS repeat_ppm
+         FROM r GROUP BY cohort ORDER BY cohort""",
+
     "events_rfm_segments" ->
       """WITH per AS (
            SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,

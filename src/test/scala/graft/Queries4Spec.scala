@@ -506,4 +506,19 @@ class Queries4Spec extends SparkSpec {
     val hit = rows.filter(_.getLong(0) >= 1).map(_.getLong(1)).sum
     assert(hit * 10 >= nDocs * 9, s"candidate recall collapsed: $hit/$nDocs")
   }
+
+  test("cohort repeat rate: every customer in exactly one cohort, rates bounded") {
+    val rows = q("cohort_repeat_rate").collect()
+    val nCustomers = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCustomers,
+      "cohorts must partition the customer set")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))            // repeats <= customers
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000)
+    }
+    // the FIRST cohort month has the longest repeat horizon — in this
+    // multi-year corpus its repeat rate must be near-total
+    assert(rows.head.getLong(3) > 900000, s"first cohort ppm: ${rows.head.getLong(3)}")
+  }
 }
