@@ -315,6 +315,12 @@ object ExtQueries {
       TextAnalysis.boilerplateNgrams(corpusWithNearCopies(s, dir))
         .orderBy("doc_id")),
 
+    // corpus repetitiveness: coverage of all 8-gram occurrences by the
+    // top-k frequent grams, at three probe sizes
+    "text_ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.ngramCoverageCurve(corpusWithNearCopies(s, dir))
+        .orderBy("top_k")),
+
     // incremental ingest dedup: near-copies (+1e6, last two words
     // dropped) are "today's batch", matched against the original corpus
     // only — never corpus×corpus
@@ -2251,6 +2257,27 @@ object ExtQueries {
                  (CASE WHEN n_gaps = 0 THEN 0
                        ELSE n_fast * 1000000 // n_gaps END) >= 120000) AS is_bot
          FROM a ORDER BY user_id""",
+
+    "text_ngram_coverage" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         g AS (SELECT unnest([array_to_string(w[i+1:i+8], ' ')
+                              FOR i IN range(0, greatest(len(w)-7, 0))]) AS gram
+               FROM t),
+         c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram),
+         r AS (SELECT n,
+                      row_number() OVER (ORDER BY n DESC, gram) AS rank,
+                      CAST(sum(n) OVER (ORDER BY n DESC, gram
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM c),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         p AS (SELECT unnest([10, 100, 1000]) AS top_k)
+         SELECT p.top_k,
+                CAST(max(r.cum) AS BIGINT) AS covered,
+                CAST(min(tot.total) AS BIGINT) AS total_occurrences,
+                CAST(max(r.cum) * 1000000 // min(tot.total) AS BIGINT) AS covered_ppm
+         FROM p JOIN r ON r.rank <= p.top_k CROSS JOIN tot
+         GROUP BY p.top_k ORDER BY p.top_k""",
 
     "text_boilerplate_ngrams" ->
       s"""WITH corpus AS ($nearCorpusSql),

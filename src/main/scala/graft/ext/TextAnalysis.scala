@@ -56,6 +56,45 @@ object TextAnalysis {
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality_score"))
   }
 
+  /** N-gram coverage curve — how much of the corpus a head of frequent
+    * n-grams explains: for each probe size k, the fraction (exact ppm)
+    * of ALL 8-gram occurrences covered by the k most frequent distinct
+    * grams (ties broken lexicographically). A steep curve = templated/
+    * repetitive corpus (dedup will bite); a flat curve = diverse text.
+    *
+    * Scale shape: one explode + (gram)-keyed count shuffle; the ranking
+    * window runs over |distinct grams| rows (never the corpus), and the
+    * output is |probe points| rows.
+    */
+  def ngramCoverageCurve(
+      docs: DataFrame,
+      k: Int = 8,
+      probes: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ > 0), "probes must be positive")
+    val counts = Scale.widen(docs)
+      .select(explode(shingles(tokens(col("text")), k)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("g"))))
+      .withColumn("cum", sum(col("n")).over(w))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val probeDf = docs.sparkSession.createDataFrame(
+      probes.map(Tuple1(_))).toDF("top_k")
+    ranked.join(broadcast(probeDf), col("rank") <= col("top_k"))
+      .groupBy(col("top_k"))
+      .agg(max(col("cum")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("top_k"),
+        col("covered"),
+        col("total").as("total_occurrences"),
+        expr("covered * 1000000 div total").as("covered_ppm"))
+      .orderBy("top_k")
+  }
+
   /** Cross-document boilerplate fraction — the C4-style screen for
     * template/duplicated content: an 8-gram is "boilerplate" when it
     * appears in at least `minDf` DISTINCT documents; each document

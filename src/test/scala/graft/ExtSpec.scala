@@ -481,6 +481,23 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, 0L, false)))
   }
 
+  test("ngram coverage curve: top-k head mass exact, monotone in k") {
+    // one template repeated 5x (its grams get count 5), plus unique docs
+    val template = (1 to 9).map(i => s"t$i").mkString(" ") // 2 8-grams x5
+    val docs = ((1 to 5).map(i => (i.toLong, template)) ++
+      Seq((10L, (1 to 20).map(i => s"u$i").mkString(" ")))) // 13 unique grams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramCoverageCurve(docs, probes = Seq(1, 2, 100))
+      .orderBy("top_k").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // total: 5*2 template occurrences + 13 unique = 23
+    assert(r.forall(_._3 == 23L))
+    assert(r(0)._2 == 5L)                       // top-1 = one template gram
+    assert(r(1)._2 == 10L)                      // top-2 = both template grams
+    assert(r(2)._2 == 23L && r(2)._4 == 1000000L) // k=100 covers everything
+    assert(r.map(_._2).toSeq == r.map(_._2).toSeq.sorted) // monotone
+  }
+
   test("boilerplate ngrams: shared 8-grams flagged across docs, short docs report zero") {
     val docs = Seq(
       (1L, "a b c d e f g h unique1 tail1"),
