@@ -300,6 +300,10 @@ object ExtQueries {
     "events_experiment_readout" -> ((s, dir) =>
       Events.experimentReadout(t(s, dir, "events")).orderBy("event_type")),
 
+    // growth accounting: daily actives split new vs returning
+    "events_new_vs_returning" -> ((s, dir) =>
+      Events.newVsReturning(t(s, dir, "events")).orderBy("day")),
+
     // traffic hygiene: burst inter-arrival fraction per user. The
     // thresholds are config — here tuned to this corpus's hour-scale
     // cadence (gap < 1 h = burst, flag at 12%) so BOTH flag branches
@@ -2214,6 +2218,21 @@ object ExtQueries {
                FROM cand)
          SELECT a_id, b_id, hamming FROM h
          WHERE hamming <= 1 ORDER BY a_id, b_id""",
+
+    "events_new_vs_returning" ->
+      """WITH du AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+         a AS (
+           SELECT du.day,
+                  CAST(count(*) AS BIGINT) AS dau,
+                  CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+           FROM du JOIN f USING (user_id) GROUP BY du.day)
+         SELECT day, dau, new_users,
+                dau - new_users AS returning_users,
+                new_users * 1000000 // dau AS new_ppm
+         FROM a ORDER BY day""",
 
     "events_experiment_readout" ->
       """WITH e AS (

@@ -195,6 +195,26 @@ object Events {
       .withColumn("share_ppm", expr(
         "n_events * 1000000 div (sum(n_events) over (partition by event_type))"))
 
+  /** Daily active users split into NEW (first-ever-seen that day) vs
+    * RETURNING — the growth-accounting view every engagement dashboard
+    * leads with. Two partial-aggregated shuffles: per-user first-seen
+    * day, then per-(day) counts via one distinct-user frame joined to
+    * the broadcast-sized first-seen table. Exact integers.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val du = events
+      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .distinct()
+    val firstSeen = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    du.join(firstSeen, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("dau") - col("new_users"))
+      .withColumn("new_ppm", expr("new_users * 1000000 div dau"))
+  }
+
   /** Experiment readout — the A/B metrics table: bucket every event by
     * its variant (here derived from the props payload: k mod 2 — in
     * production the assignment column), then per event type emit both

@@ -444,6 +444,23 @@ class ExtSpec extends SparkSpec {
     assert(r2.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L)) // cosine order
   }
 
+  test("new vs returning: first-seen day counts as new, later days as returning") {
+    implicit val s = spark
+    import s.implicits._
+    val day = 86400000000000L // nanos
+    val e = Seq(
+      (1L, 0L, 1L, "c", 1.0, "{}"),        // user 1 day 0 (new)
+      (2L, day, 1L, "c", 1.0, "{}"),       // user 1 day 1 (returning)
+      (3L, day, 2L, "c", 1.0, "{}"),       // user 2 day 1 (new)
+      (4L, day + 1L, 2L, "c", 1.0, "{}"))  // same user+day: no double count
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.newVsReturning(e).orderBy("day").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0L, 1L, 1L, 0L, 1000000L),
+      (1L, 2L, 1L, 1L, 500000L)))
+  }
+
   test("experiment readout: exact per-arm metrics, integer means, no self-join needed") {
     implicit val s = spark
     import s.implicits._
