@@ -1,0 +1,370 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Assoc, Dedup, Events, GraphOps, Multimodal, Similarity, TextAnalysis}
+
+/** Round-5 continuation registry: association mining, product
+  * quantization, corpus-frequency text quality, perceptual-hash image
+  * dedup, seasonal decomposition. Same contract as [[Queries]]: every
+  * key has a DuckDB oracle re-deriving the identical result from the
+  * same parquet tables (exact integer/ppm arithmetic throughout).
+  */
+object Queries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // user-grain event-type co-occurrence lift (attract/repel in ppm)
+    "events_type_lift" -> ((s, dir) =>
+      Assoc.eventTypeLift(t(s, dir, "events")).orderBy("type_a", "type_b")),
+
+    // frequently-bought-together rules: support, both confidences, lift
+    "basket_rules_confidence" -> ((s, dir) =>
+      Assoc.basketRules(t(s, dir, "lineitem")).orderBy("part_a", "part_b")),
+
+    // monthly revenue = trend + season + residual, exact integer kernels
+    "orders_seasonality_decompose" -> ((s, dir) =>
+      Assoc.seasonalityDecompose(t(s, dir, "orders")).orderBy("ym")),
+
+    // CCNet-style corpus-frequency quality signal per document
+    "text_rare_token_ratio" -> ((s, dir) =>
+      TextAnalysis.rareTokenRatio(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // PQ code words + quantization error per vector (the IVF-PQ store);
+    // codes ship CSV-serialized — the driver compare hashes scalars
+    "embedding_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"))
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("sq_err"))
+        .orderBy("vec_id")),
+
+    // PQ asymmetric-distance top-k: exact queries vs coded corpus
+    "knn_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqSearchAdc(e, e.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
+    }),
+
+    // dHash near-dup over REAL decoded BMPs: planted one-pixel twins
+    // must pair, unrelated images must not
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.phashNearDup(
+          Multimodal.bmpWithPerturbedTwins(t(s, dir, "documents")))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // image dedup end-to-end: phash pairs → connected components →
+    // per-image cluster label (the same star-contraction CC as text)
+    "multimodal_phash_clusters" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = Multimodal.phashNearDup(Multimodal.bmpWithPerturbedTwins(docs))
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+      val ids = docs.select(col("doc_id"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+      Dedup.dupClustersStar(ids, pairs).orderBy("doc_id")
+    }),
+
+    // link prediction: per-edge neighborhood Jaccard on the co-purchase graph
+    "graph_neighbor_jaccard" -> ((s, dir) =>
+      GraphOps.neighborJaccard(Assoc.coOrderEdges(t(s, dir, "lineitem")))
+        .orderBy("a", "b")),
+
+    // acquisition-cohort LTV curve: cumulative cents per user by age
+    "events_cohort_ltv" -> ((s, dir) =>
+      Events.cohortLtv(t(s, dir, "events")).orderBy("cohort", "age")),
+
+    // real audio curation: silence-trim bounds over decoded PCM
+    "multimodal_wav_silence_trim" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.wavSilenceTrim(
+          Multimodal.wavFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // the full IVF-PQ index: coarse cells + residual codes + ADC probe
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
+    }),
+  )
+
+  /** Shared dHash CTE chain (formula-recomputed pixels → 9×8 luma grid
+    * → 64-bit hash → 16-bit bands → band-bucket candidates) — the
+    * independent re-derivation both phash keys build on.
+    */
+  private val phashCtes =
+    """d AS (SELECT doc_id AS src,
+                    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                    CAST(4 + doc_id % 5 AS BIGINT) AS h
+             FROM documents),
+       ids AS (SELECT src, src AS id, 0 AS pert, w, h FROM d
+               UNION ALL
+               SELECT src, src + 1000000, 1, w, h FROM d),
+       g AS (SELECT id, src, pert, w, h,
+                    t.i // 9 AS gy, t.i % 9 AS gx
+             FROM ids, range(72) t(i)),
+       p AS (SELECT id, src, pert, gy, gx,
+                    (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, w
+             FROM g),
+       l AS (SELECT id, gy, gx,
+               2126 * ((src * 2654435761 + (sy * w + sx) * 97 + 62) % 256)
+             + 7152 * ((src * 2654435761 + (sy * w + sx) * 97 + 31) % 256)
+             +  722 * (CASE WHEN pert = 1 AND sy * w + sx = 0
+                            THEN (src * 2654435761 + 8) % 256
+                            ELSE (src * 2654435761 + (sy * w + sx) * 97) % 256 END) AS luma
+             FROM p),
+       bits AS (SELECT a.id, a.gy, a.gx,
+                       CASE WHEN a.luma > n.luma THEN 1 ELSE 0 END AS bit
+                FROM l a JOIN l n ON n.id = a.id AND n.gy = a.gy AND n.gx = a.gx + 1
+                WHERE a.gx < 8),
+       hsh AS (SELECT id,
+                 CAST(bit_or(CASE WHEN bit = 0 THEN 0
+                                  WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+                                  ELSE (1::BIGINT << CAST(gy * 8 + gx AS INT)) END) AS BIGINT) AS hash
+               FROM bits GROUP BY id),
+       bands AS (SELECT id, hash, CAST(t.b AS INT) AS band_idx,
+                        (hash >> CAST(t.b * 16 AS INT)) & 65535 AS band
+                 FROM hsh, range(4) t(b)),
+       cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.hash AS ha, y.hash AS hb
+                FROM bands x JOIN bands y
+                  ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
+
+  val oracles: Map[String, String] = Map(
+
+    "events_type_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_ab
+               FROM ut a JOIN ut b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2),
+         c AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         t AS (SELECT count(DISTINCT user_id) AS n_total FROM ut)
+         SELECT p.type_a, p.type_b, p.n_ab,
+                ca.n AS n_a, cb.n AS n_b,
+                CAST(p.n_ab * t.n_total * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_ppm
+         FROM p JOIN c ca ON ca.event_type = p.type_a
+                JOIN c cb ON cb.event_type = p.type_b, t
+         ORDER BY type_a, type_b""",
+
+    "basket_rules_confidence" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         c AS (SELECT pk, count(*) AS n FROM op GROUP BY 1),
+         t AS (SELECT count(DISTINCT ok) AS n_total FROM op)
+         SELECT p.part_a, p.part_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+                CAST(p.n_ab * 1000000 // ca.n AS BIGINT) AS conf_ab_ppm,
+                CAST(p.n_ab * 1000000 // cb.n AS BIGINT) AS conf_ba_ppm,
+                CAST(p.n_ab * t.n_total * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_ppm
+         FROM p JOIN c ca ON ca.pk = p.part_a
+                JOIN c cb ON cb.pk = p.part_b, t
+         ORDER BY part_a, part_b""",
+
+    "orders_seasonality_decompose" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS ym,
+                           CAST(month(o_orderdate) AS INT) AS moy,
+                           count(*) AS n_orders,
+                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS month_cents
+                    FROM orders GROUP BY 1, 2),
+         w AS (SELECT *,
+                 CAST(sum(month_cents) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS w_sum,
+                 count(*) OVER (ORDER BY ym ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_n
+               FROM m),
+         tr AS (SELECT ym, moy, n_orders, month_cents,
+                       CASE WHEN w_n = 3 THEN w_sum // 3 END AS trend_cents
+                FROM w),
+         s AS (SELECT moy, CAST(sum(month_cents) // count(*) AS BIGINT) AS moy_mean FROM m GROUP BY 1),
+         g AS (SELECT CAST(sum(month_cents) // count(*) AS BIGINT) AS g_mean FROM m)
+         SELECT tr.ym, tr.moy, tr.n_orders, tr.month_cents,
+                CAST(tr.trend_cents AS BIGINT) AS trend_cents,
+                CAST(s.moy_mean * 1000000 // g.g_mean AS BIGINT) AS seasonal_ppm,
+                CAST(tr.month_cents - tr.trend_cents AS BIGINT) AS residual_cents
+         FROM tr JOIN s USING (moy), g ORDER BY ym""",
+
+    "text_rare_token_ratio" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT tok, count(*) AS n_occ FROM tok GROUP BY 1)
+         SELECT tok.doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN f.n_occ < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                count(DISTINCT CASE WHEN f.n_occ < 3 THEN tok.tok END) AS n_rare_distinct,
+                CAST(sum(CASE WHEN f.n_occ < 3 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS rare_ppm
+         FROM tok JOIN f USING (tok)
+         GROUP BY tok.doc_id ORDER BY doc_id""",
+
+    "embedding_pq_encode" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         sub AS (SELECT vec_id, CAST(t.s AS INT) AS s,
+                        q[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                 FROM q, range(4) t(s)),
+         cb AS (SELECT CAST(vec_id AS INT) AS cid, s, v AS c FROM sub WHERE vec_id < 8),
+         d AS (SELECT a.vec_id, a.s, b.cid,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+               FROM sub a JOIN cb b ON b.s = a.s),
+         best AS (SELECT vec_id, s, cid, d2,
+                         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+                  FROM d)
+         SELECT vec_id, array_to_string(list(cid ORDER BY s), ',') AS codes_csv,
+                CAST(sum(d2) AS BIGINT) AS sq_err
+         FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+
+    "knn_pq_adc" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         sub AS (SELECT vec_id, CAST(t.s AS INT) AS s,
+                        q[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                 FROM q, range(4) t(s)),
+         cb AS (SELECT CAST(vec_id AS INT) AS cid, s, v AS c FROM sub WHERE vec_id < 8),
+         d AS (SELECT a.vec_id, a.s, b.cid,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+               FROM sub a JOIN cb b ON b.s = a.s),
+         best AS (SELECT vec_id, s, cid, d2,
+                         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+                  FROM d),
+         codes AS (SELECT vec_id AS n_id, s, cid FROM best WHERE rn = 1),
+         adc AS (SELECT d.vec_id AS q_id, codes.n_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+                 FROM codes JOIN d ON d.s = codes.s AND d.cid = codes.cid
+                 WHERE d.vec_id < 10 AND d.vec_id != codes.n_id
+                 GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adc_d2,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+               FROM adc)
+         SELECT q_id, n_id, adc_d2, rank FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
+
+    "multimodal_phash_neardup" ->
+      s"""WITH $phashCtes
+         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+         ORDER BY id_a, id_b""",
+
+    "multimodal_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCtes,
+         pr AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         r AS (SELECT id AS node, id AS m FROM ids
+               UNION
+               SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node)
+         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         FROM clusters ORDER BY doc_id""",
+
+    "graph_neighbor_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS ea, b.pk AS eb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT ea AS u, eb AS v FROM e UNION ALL SELECT eb, ea FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+         cmn AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common
+                 FROM und x JOIN und y ON x.v = y.v AND x.u < y.u GROUP BY 1, 2)
+         SELECT e.ea AS a, e.eb AS b,
+                CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+                da.deg AS deg_a, db.deg AS deg_b,
+                CAST(coalesce(c.n_common, 0) * 1000000
+                     // (da.deg + db.deg - coalesce(c.n_common, 0)) AS BIGINT) AS jaccard_ppm
+         FROM e LEFT JOIN cmn c ON c.a = e.ea AND c.b = e.eb
+                JOIN deg da ON da.u = e.ea
+                JOIN deg db ON db.u = e.eb
+         ORDER BY a, b""",
+
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+         sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY 1),
+         cell AS (SELECT f.cohort, e.day - f.cohort AS age,
+                         count(DISTINCT e.user_id) AS n_active,
+                         CAST(sum(e.cents) AS BIGINT) AS day_cents
+                  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(sum(day_cents) OVER (
+                    PARTITION BY cohort ORDER BY age
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+                 FROM cell)
+         SELECT cum.cohort, cum.age, cum.n_active, cum.day_cents, cum.cum_cents,
+                CAST(cum.cum_cents // sz.cohort_users AS BIGINT) AS ltv_cents_per_user,
+                sz.cohort_users
+         FROM cum JOIN sz USING (cohort) ORDER BY cohort, age""",
+
+    "multimodal_wav_silence_trim" ->
+      """WITH d AS (SELECT doc_id,
+                           256 + doc_id % 512 AS n,
+                           8000 + (doc_id % 4) * 4000 AS rate
+                    FROM documents),
+         s AS (SELECT doc_id, n, rate, t.i,
+                      ((doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
+               FROM d, range(768) t(i) WHERE t.i < n),
+         b AS (SELECT doc_id, n, rate,
+                      min(CASE WHEN abs(v) >= 8192 THEN i END) AS first_i,
+                      max(CASE WHEN abs(v) >= 8192 THEN i END) AS last_i
+               FROM s GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                CAST(coalesce(first_i, n) AS INT) AS lead_trim,
+                CAST(CASE WHEN last_i IS NULL THEN 0 ELSE n - 1 - last_i END AS INT) AS trail_trim,
+                CAST(CASE WHEN first_i IS NULL THEN 0 ELSE last_i - first_i + 1 END AS BIGINT) AS kept_samples,
+                CAST(CASE WHEN first_i IS NULL THEN 0
+                          ELSE (last_i - first_i + 1) * 1000 // rate END AS BIGINT) AS kept_ms
+         FROM b ORDER BY doc_id""",
+
+    "knn_ivfpq" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM q WHERE vec_id < 8),
+         ad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS d2c
+                FROM q a, cent c),
+         asg AS (SELECT vec_id, q, cell_id, cq FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                  FROM ad) WHERE rn = 1),
+         res AS (SELECT vec_id, cell_id,
+                        list_transform(range(1, 65), i -> q[i] - cq[i]) AS r
+                 FROM asg),
+         sub AS (SELECT vec_id, cell_id, CAST(t.s AS INT) AS s,
+                        r[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                 FROM res, range(4) t(s)),
+         cb AS (SELECT CAST(vec_id AS INT) AS cid, s, v AS c FROM sub WHERE vec_id < 8),
+         d AS (SELECT a.vec_id, a.cell_id, a.s, b.cid,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+               FROM sub a JOIN cb b ON b.s = a.s),
+         codes AS (SELECT vec_id AS n_id, cell_id, s, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+                    FROM d) WHERE rn = 1),
+         probed AS (SELECT vec_id AS q_id, cell_id, cq, q FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                     FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+         qres AS (SELECT q_id, cell_id,
+                         list_transform(range(1, 65), i -> q[i] - cq[i]) AS qr
+                  FROM probed),
+         qsub AS (SELECT q_id, cell_id, CAST(t.s AS INT) AS s,
+                         qr[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                  FROM qres, range(4) t(s)),
+         dtab AS (SELECT a.q_id, a.cell_id, a.s, b.cid,
+                         CAST(list_sum(list_transform(range(1, 17),
+                           i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+                  FROM qsub a JOIN cb b ON b.s = a.s),
+         adc AS (SELECT dtab.q_id, codes.n_id, CAST(sum(dtab.d2) AS BIGINT) AS adc_d2
+                 FROM codes JOIN dtab ON dtab.cell_id = codes.cell_id
+                                     AND dtab.s = codes.s AND dtab.cid = codes.cid
+                 WHERE dtab.q_id != codes.n_id GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adc_d2,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+               FROM adc)
+         SELECT q_id, n_id, adc_d2, rank FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
+  )
+}

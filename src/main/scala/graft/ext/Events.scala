@@ -276,6 +276,38 @@ object Events {
         col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
   }
 
+  /** Cohort lifetime-value curve: users grouped by first-seen day
+    * (the acquisition cohort); for each (cohort, age-in-days) cell the
+    * active users, that day's exact revenue cents, the RUNNING
+    * cumulative revenue, and cumulative LTV per acquired user
+    * (integer-DIV cents) — the curve a growth team reads "day-30 LTV"
+    * off. Extends [[retention]] (user counts only) with the revenue
+    * dimension.
+    *
+    * Scale shape: one per-user first-seen aggregate, one
+    * (cohort, age) aggregate, then a window over the per-cohort daily
+    * cells — the windowed frame is cohorts × horizon days, orders of
+    * magnitude smaller than the event log; cohort sizes broadcast.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val e = events.select(col("user_id"),
+      expr(s"(ts div 1000) div $dayUs").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val cells = e.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_active"), sum(col("cents")).as("day_cents"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("day_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("ltv_cents_per_user", expr("cum_cents div cohort_users"))
+  }
+
   /** Exponentially-decayed engagement score per user: each event
     * contributes `value_cents / 2^age_days` (half-life = one day,
     * measured back from the corpus's latest event), summed per user.

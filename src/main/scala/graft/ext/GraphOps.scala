@@ -65,4 +65,38 @@ object GraphOps {
     sym.unpersist()
     rank.select(col("node"), col("r").as("rank_ppm"))
   }
+
+  /** Per-edge neighborhood Jaccard — the classic link-prediction /
+    * community-strength score: for every edge (a, b), the overlap of
+    * the two endpoints' neighbor sets,
+    * |N(a)∩N(b)| · 1e6 div (deg(a) + deg(b) − |N(a)∩N(b)|), exact ppm.
+    * An edge inside a dense community scores high; a bridge scores 0.
+    *
+    * Scale shape: the intersection count is the WEDGE join — the
+    * symmetric edge list self-joined on the shared endpoint (the same
+    * shape as triangle counting, cost Σ deg(w)² over wedge centers w,
+    * NOT |V|²); degrees are a |V|-row aggregate joined back on each
+    * endpoint. Hot hubs dominate the wedge stage exactly as in
+    * triangle counting — AQE skew-split applies; a production run over
+    * a power-law graph caps or samples super-hub wedge centers first
+    * (the standard mitigation, semantics-changing, so left to the
+    * caller).
+    */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("ea").as("u"), col("eb").as("v"))
+      .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val common = und.select(col("u").as("a"), col("v").as("w"))
+      .join(und.select(col("u").as("b"), col("v").as("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    edges.select(col("ea").as("a"), col("eb").as("b"))
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("n_common * 1000000 div (deg_a + deg_b - n_common)").as("jaccard_ppm"))
+  }
 }

@@ -301,6 +301,49 @@ object Multimodal {
     }
   }
 
+  /** Silence trimming over REAL decoded PCM — the audio-curation pass
+    * that drops leading/trailing low-energy samples before a model
+    * sees the clip: the kept span runs from the first to the last
+    * sample with |amplitude| ≥ `threshold`. Reports the trim sizes and
+    * the kept duration (exact integer ms via the container's true
+    * sample rate); an all-quiet clip keeps nothing — the drop signal.
+    * Map-only over payload partitions like every seam extractor.
+    */
+  case class WavTrimStats(
+      doc_id: Long,
+      n_samples: Long,
+      lead_trim: Int,
+      trail_trim: Int,
+      kept_samples: Long,
+      kept_ms: Long)
+
+  def wavSilenceTrim(
+      media: Dataset[WavRecord],
+      threshold: Int = 8192,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[WavTrimStats] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (rate, samples) = decodeWavSamples(r.payload)
+        val n = samples.length
+        var first = -1; var last = -1; var i = 0
+        while (i < n) {
+          if (math.abs(samples(i).toInt) >= threshold) {
+            if (first < 0) first = i
+            last = i
+          }
+          i += 1
+        }
+        if (first < 0)
+          WavTrimStats(r.doc_id, n.toLong, n, 0, 0L, 0L)
+        else
+          WavTrimStats(r.doc_id, n.toLong, first, n - 1 - last,
+            (last - first + 1).toLong, (last - first + 1).toLong * 1000L / rate)
+      })
+    }
+  }
+
   /** A REAL image format at the batching seam: Windows BMP (24-bit
     * BI_RGB). The imaging-library formats (JPEG/PNG) stay out of reach
     * in this container, but BMP needs no library: a 14-byte file
@@ -565,6 +608,120 @@ object Multimodal {
         }
       })
     }
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: the
+    * image is point-sampled onto the standard 9×8 luma grid (nearest
+    * neighbor — the same integer kernel as [[resizeBmp]]), and each of
+    * the 64 bits records whether luma rises or falls between
+    * horizontally adjacent grid cells. Robust to small pixel
+    * perturbations and re-encodes by construction — the perceptual
+    * fingerprint image-dedup pipelines bucket on.
+    *
+    * Bit layout (pinned for the oracle): bit (gy·8+gx) = 1 iff
+    * luma(gx, gy) > luma(gx+1, gy), sampling source pixel
+    * (gx·w div 9, gy·h div 8), luma = BT.709 ×10000 integers.
+    */
+  def dhashFromBytes(docId: Long, bytes: Array[Byte]): Long = {
+    decodeBmp(docId, bytes) // container validation, field-level errors
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = bb.getInt(10)
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    val stride = (w * 3 + 3) / 4 * 4
+    def luma(x: Int, y: Int): Long = {
+      val fileRow = if (topDown) y else h - 1 - y
+      val base = dataOffset + fileRow * stride + x * 3
+      val b = bytes(base).toInt & 0xff
+      val g = bytes(base + 1).toInt & 0xff
+      val r = bytes(base + 2).toInt & 0xff
+      2126L * r + 7152L * g + 722L * b
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        if (luma(gx * w / 9, sy) > luma((gx + 1) * w / 9, sy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Bump the blue channel of logical pixel (0, 0) by +8 (mod 256) —
+    * a one-byte pixel edit that leaves the container intact. The
+    * near-dup planting device: visually identical, byte-level
+    * different, so exact/md5 dedup misses it and perceptual hashing
+    * must catch it.
+    */
+  def perturbBmp(bytes: Array[Byte]): Array[Byte] = {
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = bb.getInt(10)
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val h = math.abs(rawH)
+    val stride = (w * 3 + 3) / 4 * 4
+    val fileRow = if (rawH < 0) 0 else h - 1 // logical top-left row
+    val base = dataOffset + fileRow * stride
+    out(base) = (((out(base).toInt & 0xff) + 8) % 256).toByte
+    out
+  }
+
+  /** documents → real BMPs ∪ one-pixel-perturbed twins at doc_id+1e6
+    * (map-only; 1 input row → 2 payload rows in place).
+    */
+  def bmpWithPerturbedTwins(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val orig = encodeBmp(id)
+        Iterator(BmpRecord(id, orig), BmpRecord(id + 1000000L, perturbBmp(orig)))
+      })
+  }
+
+  /** Perceptual-hash near-duplicate detection over REAL decoded
+    * images: dHash each payload (map-only — the payload never
+    * shuffles; only the 8-byte hash leaves the scan stage), then pair
+    * images by LSH banding on the hash (`bands` contiguous bit slices;
+    * two images within Hamming distance `bands−1` of each other share
+    * at least one band by pigeonhole — a one-pixel edit concentrates
+    * its ≤4 grid cells in one band, so planted twins always collide)
+    * and keep candidate pairs whose full 64-bit Hamming distance is at
+    * most `maxHamming`.
+    *
+    * Scale shape: the band join is an equi-join on (band_idx, band
+    * value) over 8-byte hashes — never all-pairs, identical to the
+    * SimHash banding in [[Dedup.simhashPairs]]; candidate volume is
+    * governed by band width (16 bits → 65536 buckets per band).
+    */
+  def phashNearDup(
+      media: Dataset[BmpRecord],
+      maxHamming: Int = 6,
+      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
+      .toDF("id", "hash")
+    val banded = hashes.select(col("id"), col("hash"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band_idx, shiftright(hash, b * $width) & $mask AS band))")).as("bb"))
+      .select(col("id"), col("hash"), col("bb.band_idx").as("band_idx"), col("bb.band").as("band"))
+    banded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("hash").as("ha"))
+      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("hash").as("hb")),
+        Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** One sampled "frame" of a media payload: the 1-record → N-frames

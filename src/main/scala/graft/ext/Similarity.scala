@@ -371,4 +371,192 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Split a quantized vector into `m` equal contiguous subvectors
+    * (the product-quantization decomposition). Dimension must divide
+    * evenly at runtime; expressed over size() so no static dim is
+    * assumed.
+    */
+  private def subvectors(q: String, m: Int): String =
+    s"transform(sequence(0, ${m - 1}), s -> slice($q, s * (size($q) div $m) + 1, size($q) div $m))"
+
+  /** Product quantization — encode. Each vector is split into `m`
+    * subvectors; each subvector is assigned its nearest of `k`
+    * per-subspace centroids by exact integer L2² (|v|² − 2v·c + |c|²
+    * on the 1e-6 grid; ties → lowest centroid id). Output: the m-byte
+    * code word per vector plus its total quantization error — the
+    * compressed representation an IVF-PQ index stores per vector
+    * (m·log₂k bits instead of dim·32).
+    *
+    * Determinism contract (what the oracle pins): the codebook is the
+    * subvectors of the `k` lowest-id corpus vectors — the same coarse
+    * seeding as [[ivfTopK]]/[[semDedup]]; production swaps in
+    * Lloyd-trained codebooks without touching this dataflow.
+    *
+    * Scale shape: the codebook is k·m tiny rows, BROADCAST; the corpus
+    * explodes ×m (metadata-sized rows — each carries one subvector),
+    * scores k candidates per subvector in-place, and re-aggregates per
+    * vector. One shuffle (the per-vector regroup); the corpus is read
+    * once.
+    */
+  def pqEncode(corpus: DataFrame, m: Int = 4, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(m >= 1 && k >= 1, s"need m/k >= 1, got m=$m k=$k")
+    val cb = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), quantized(col("embedding")).as("cq"))
+      .select(col("cid"), posexplode(expr(subvectors("cq", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "c_sub")
+      .withColumn("c2", qdot(col("c_sub"), col("c_sub")))
+    val v = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), posexplode(expr(subvectors("q", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "v_sub")
+      .withColumn("v2", qdot(col("v_sub"), col("v_sub")))
+    v.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("v2") - lit(2L) * qdot(col("v_sub"), col("c_sub")) + col("c2")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("best.cid").as("cid")))),
+          x => x("cid")).as("codes"),
+        sum(col("best.d2")).as("sq_err"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay EXACT, the
+    * corpus is its PQ codes only — the memory-bound search mode of an
+    * IVF-PQ index (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"). Per query, a distance table to all k centroids
+    * per subspace is computed ONCE (k·m entries); each corpus vector's
+    * ADC distance is then m table lookups, never a dim-length dot
+    * product.
+    *
+    * Scale shape: queries (and their distance tables) broadcast; the
+    * corpus code frame explodes ×m and equi-joins the table on
+    * (sub, cid) — cost is corpus·m·|queries| metadata-thin rows, the
+    * corpus embedding column itself is read only during [[pqEncode]].
+    * Exact integer arithmetic end to end; ties → lowest vec_id.
+    */
+  def pqSearchAdc(
+      corpus: DataFrame,
+      queries: DataFrame,
+      m: Int = 4,
+      k: Int = 8,
+      topK: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val codes = pqEncode(corpus, m, k)
+      .select(col("vec_id").as("n_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cid")
+    val cb = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), quantized(col("embedding")).as("cq"))
+      .select(col("cid"), posexplode(expr(subvectors("cq", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "c_sub")
+      .withColumn("c2", qdot(col("c_sub"), col("c_sub")))
+    // per-query distance table: k·m rows per query, built on the tiny side
+    val dtab = queries
+      .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q"))
+      .select(col("q_id"), posexplode(expr(subvectors("q", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "q_sub")
+      .withColumn("q2", qdot(col("q_sub"), col("q_sub")))
+      .join(cb, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cid"),
+        (col("q2") - lit(2L) * qdot(col("q_sub"), col("c_sub")) + col("c2")).as("d2"))
+    val adc = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("n_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Exact integer L2² between two quantized vectors (built-ins only —
+    * zip_with folds inside codegen).
+    */
+  private def l2sq(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+
+  /** IVF-PQ — the full production ANN index (Jégou et al.): coarse
+    * quantization into `cells` inverted lists, PQ codes over the
+    * RESIDUAL v − centroid(cell) (residuals concentrate near zero, so
+    * the same code budget quantizes them far tighter than raw
+    * vectors), and multi-probe ADC search: each query visits its
+    * `probes` nearest cells, builds one k×m distance table per
+    * (query, cell) against the residual codebook, and scores every
+    * list member with m table lookups.
+    *
+    * Determinism contract: coarse centroids = the `cells` lowest-id
+    * vectors, residual codebook = the residuals of the `k` lowest-id
+    * vectors (per subspace), every argmin ties toward the lower id —
+    * the same seeding convention as [[ivfTopK]]/[[pqEncode]];
+    * production swaps in trained centroids without touching the
+    * dataflow. All arithmetic integer on the 1e-6 grid.
+    *
+    * Scale shape: centroids and codebook broadcast (cells + k·m tiny
+    * rows); the corpus is scanned once for assignment+encode (argmin
+    * over a broadcast, no shuffle beyond the final regroup); search
+    * touches only probed cells' code rows — corpus embeddings never
+    * join the query side.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      topK: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(probes >= 1 && probes <= cells, s"probes must be in [1, $cells]")
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"), quantized(col("embedding")).as("cq"))
+    // coarse-assign every corpus vector, then take its residual
+    val c = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val asg = c.join(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
+      .join(broadcast(cent), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("r"))
+    // residual codebook: per-subspace residual subvectors of ids < k
+    val cb = asg.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), posexplode(expr(subvectors("r", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "c_sub")
+    // PQ-encode each corpus residual against the broadcast codebook
+    val codes = asg
+      .select(col("vec_id").as("n_id"), col("cell_id"), posexplode(expr(subvectors("r", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "v_sub")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("n_id"), col("cell_id"), col("sub"), col("cid"),
+        expr(l2sq("v_sub", "c_sub")).as("d2"))
+      .groupBy(col("n_id"), col("cell_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("n_id"), col("cell_id"), col("sub"), col("best.cid").as("cid"))
+    // queries probe their nearest cells; one distance table per probe
+    val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q"))
+    val pw = Window.partitionBy("q_id").orderBy(col("d2c"), col("cell_id"))
+    val probed = qv.join(broadcast(cent))
+      .select(col("q_id"), col("q"), col("cell_id"), col("cq"), expr(l2sq("q", "cq")).as("d2c"))
+      .withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= probes)
+      .select(col("q_id"), col("cell_id"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("qr"))
+    val dtab = probed
+      .select(col("q_id"), col("cell_id"), posexplode(expr(subvectors("qr", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "q_sub")
+      .join(cb, Seq("sub"))
+      .select(col("q_id"), col("cell_id"), col("sub"), col("cid"),
+        expr(l2sq("q_sub", "c_sub")).as("d2"))
+    val adc = codes.join(broadcast(dtab), Seq("cell_id", "sub", "cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("n_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -374,4 +374,31 @@ object TextAnalysis {
       md5(col("text")).as("content_md5"),
       coalesce(array_min(transform(shingles(tokens(col("text")), k), x => md5(x))), lit(""))
         .as("min_shingle_hash"))
+
+  /** Corpus-frequency rare-token ratio — the CCNet-family quality
+    * signal the per-doc [[qualityScore]] heuristics can't see: a doc
+    * whose tokens rarely appear anywhere else in the corpus is likely
+    * gibberish, OCR noise, or a language/domain outlier. Per doc:
+    * token count, occurrences of corpus-rare tokens (fewer than
+    * `minCount` total occurrences), distinct rare tokens, and the rare
+    * fraction in exact ppm.
+    *
+    * Scale shape: one token-grain shuffle to build the corpus frequency
+    * table, one shuffle join token→frequency (the frequency side is
+    * vocab-sized — Zipf keeps it orders of magnitude below the token
+    * count; NOT broadcast because a 100 TB vocab still exceeds driver
+    * memory), one per-doc aggregate. Skewed hot tokens (stopwords) are
+    * exactly the NON-rare ones — AQE skew-join splits those buckets
+    * without changing results.
+    */
+  def rareTokenRatio(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+    tok.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n_occ") < minCount, 1L).otherwise(0L)).as("n_rare"),
+        count_distinct(when(col("n_occ") < minCount, col("tok"))).as("n_rare_distinct"))
+      .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+  }
 }

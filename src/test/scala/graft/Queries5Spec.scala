@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Assoc, Events, GraphOps, Multimodal, Similarity, TextAnalysis}
+
+/** Round-5 continuation batch: hand-checked value invariants on tiny
+  * frames plus the scale-shape assertions (broadcasts where promised,
+  * no fact-table self-joins). Full value equality vs DuckDB is the
+  * verify gate's job.
+  */
+class Queries5Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  // ---- association mining ----
+
+  private def ev(rows: (Long, String)*): DataFrame =
+    rows.toDF("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        lit(1L).as("event_id"), lit(0L).as("ts"), lit(0.0).as("value"), lit("{}").as("props"))
+
+  test("event-type lift: co-occurring pair lifts above independence, exact ppm") {
+    // 4 users: types a+b always together (2 users), c alone (2 users)
+    val e = ev(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b", 3L -> "c", 4L -> "c")
+    val r = Assoc.eventTypeLift(e).collect()
+    assert(r.length == 1) // only (a, b) co-occurs
+    val row = r.head
+    assert(row.getAs[String]("type_a") == "a" && row.getAs[String]("type_b") == "b")
+    assert(row.getAs[Long]("n_ab") == 2 && row.getAs[Long]("n_a") == 2)
+    // lift = n_ab·n/(n_a·n_b) = 2·4/(2·2) = 2.0 → 2_000_000 ppm
+    assert(row.getAs[Long]("lift_ppm") == 2000000L)
+  }
+
+  test("event-type lift: duplicate events per (user, type) don't inflate counts") {
+    val e = ev(1L -> "a", 1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b")
+    val r = Assoc.eventTypeLift(e).collect()
+    assert(r.head.getAs[Long]("n_ab") == 2) // user-grain, not event-grain
+    assert(r.head.getAs[Long]("lift_ppm") == 1000000L) // 2·2/(2·2) = 1.0
+  }
+
+  test("basket rules: support filter, directional confidence, exact ppm") {
+    val li = Seq(
+      (10L, 1L), (10L, 2L), // order 10: parts 1,2
+      (11L, 1L), (11L, 2L), // order 11: parts 1,2
+      (12L, 1L), (12L, 3L), // order 12: parts 1,3 (pair 1-3 support 1 → dropped)
+      (13L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Assoc.basketRules(li, minSupport = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("part_a") == 1L && row.getAs[Long]("part_b") == 2L)
+    assert(row.getAs[Long]("n_ab") == 2)
+    // part 1 in 4 orders, part 2 in 2: conf(1→2) = 2/4, conf(2→1) = 2/2
+    assert(row.getAs[Long]("conf_ab_ppm") == 500000L)
+    assert(row.getAs[Long]("conf_ba_ppm") == 1000000L)
+    // lift = 2·4/(4·2) = 1.0
+    assert(row.getAs[Long]("lift_ppm") == 1000000L)
+  }
+
+  test("basket rules: pair generation has no fact-table self-join (one exchange per aggregate, no SMJ of lineitem vs lineitem)") {
+    val p = plan(SparkEntry.queries("basket_rules_confidence")(spark, sf("sf0.001")))
+    // the pair frame comes from one per-basket collect + in-place expansion;
+    // totals join back via broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "pair stage must not self-join the fact table:\n" + p.take(2000))
+  }
+
+  test("seasonality: trend is the centered 3-month mean, null at the edges; residual exact") {
+    val o = Seq(
+      ("1995-01-05", 100.00), ("1995-02-05", 200.00),
+      ("1995-03-05", 300.00), ("1995-04-05", 400.00))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Assoc.seasonalityDecompose(o).orderBy("ym").collect()
+    assert(r.length == 4)
+    assert(r(0).isNullAt(r(0).fieldIndex("trend_cents")))
+    assert(r(3).isNullAt(r(3).fieldIndex("trend_cents")))
+    assert(r(1).getAs[Long]("trend_cents") == 20000L) // (100+200+300)·100/3
+    assert(r(1).getAs[Long]("residual_cents") == 0L)
+    assert(r(2).getAs[Long]("trend_cents") == 30000L)
+    // single year: each month IS its month-of-year mean; global mean 250.00
+    assert(r(0).getAs[Long]("seasonal_ppm") == 10000L * 1000000L / 25000L)
+  }
+
+  // ---- text: corpus-frequency rare tokens ----
+
+  test("rare-token ratio: corpus frequency decides rarity, ppm exact") {
+    val d = Seq(
+      (1L, "the the the rare1"),
+      (2L, "the the rare2 rare3"),
+      (3L, "the"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rareTokenRatio(d, minCount = 3).orderBy("doc_id").collect()
+    // "the" occurs 6× (common); rare1..rare3 once each
+    assert(r(0).getAs[Long]("n_tokens") == 4 && r(0).getAs[Long]("n_rare") == 1)
+    assert(r(0).getAs[Long]("rare_ppm") == 250000L)
+    assert(r(1).getAs[Long]("n_rare") == 2 && r(1).getAs[Long]("n_rare_distinct") == 2)
+    assert(r(2).getAs[Long]("n_rare") == 0 && r(2).getAs[Long]("rare_ppm") == 0L)
+  }
+
+  // ---- product quantization ----
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("PQ encode: a vector equal to a centroid gets that code with zero error; ties break low") {
+    // dim 8, m=2 → subvectors of 4; centroids = vec_id 0 and 1
+    val c0 = Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val d = vecs(0L -> c0, 1L -> c1,
+      5L -> c0,                                       // exact copy of centroid 0
+      6L -> Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f))     // sub0 → c1, sub1 → c0
+    val r = Similarity.pqEncode(d, m = 2, k = 2).orderBy("vec_id").collect()
+    def codes(i: Int) = r(i).getSeq[Int](r(i).fieldIndex("codes")).toList
+    assert(codes(2) == List(0, 0) && r(2).getAs[Long]("sq_err") == 0L)
+    assert(codes(3) == List(1, 0) && r(3).getAs[Long]("sq_err") == 0L)
+    assert(codes(0) == List(0, 0) && codes(1) == List(1, 1))
+  }
+
+  test("PQ ADC: exactly-coded vectors score their true distance; ties rank by id") {
+    val c0 = Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val corpus = vecs(0L -> c0, 1L -> c1, 7L -> c1) // 7 = coded copy of c1
+    val queries = vecs(0L -> c0)
+    val r = Similarity.pqSearchAdc(corpus, queries, m = 2, k = 2, topK = 2)
+      .orderBy("rank").collect()
+    // both 1 and 7 reconstruct exactly to c1; ADC = |c0−c1|² = 4·(1e6)²
+    assert(r.map(_.getAs[Long]("n_id")).toList == List(1L, 7L))
+    assert(r.forall(_.getAs[Long]("adc_d2") == 4L * 1000000000000L))
+  }
+
+  // ---- perceptual hash over real decoded BMPs ----
+
+  test("dHash: one-pixel perturbation stays within Hamming 6; unrelated images are far") {
+    val a = Multimodal.encodeBmp(1L)
+    val b = Multimodal.perturbBmp(a)
+    assert(a.length == b.length && a.zip(b).count { case (x, y) => x != y } == 1,
+      "perturbation must be exactly one byte")
+    val ha = Multimodal.dhashFromBytes(1L, a)
+    val hb = Multimodal.dhashFromBytes(1L, b)
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 6)
+    val hc = Multimodal.dhashFromBytes(2L, Multimodal.encodeBmp(2L))
+    assert(java.lang.Long.bitCount(ha ^ hc) > 6, "independent images must not near-pair")
+  }
+
+  test("dHash is row-order invariant: a top-down re-encode of the same image hashes identically") {
+    val docId = 3L
+    val bottomUp = Multimodal.encodeBmp(docId)
+    // rewrite as top-down: negate height, reverse the stored row order
+    val bb = java.nio.ByteBuffer.wrap(bottomUp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = bb.getInt(18); val h = bb.getInt(22); val off = bb.getInt(10)
+    val stride = (w * 3 + 3) / 4 * 4
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -h)
+    for (r <- 0 until h)
+      System.arraycopy(bottomUp, off + r * stride, topDown, off + (h - 1 - r) * stride, stride)
+    assert(Multimodal.dhashFromBytes(docId, topDown) == Multimodal.dhashFromBytes(docId, bottomUp))
+  }
+
+  test("phash near-dup pairs every planted twin with its original and nothing below the Hamming bar") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"))
+    val pairs = Multimodal.phashNearDup(Multimodal.bmpWithPerturbedTwins(docs))
+      .collect()
+    val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+    assert(planted.length == 40, s"all 40 twins must pair, got ${planted.length}")
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
+  // ---- wave 2: graph, cohort LTV, audio trim, IVF-PQ ----
+
+  test("neighbor Jaccard: triangle edge scores its true overlap; bridge edge scores 0") {
+    // triangle 1-2-3 plus pendant 3-4: edge (1,2) has common neighbor {3};
+    // edge (3,4) has none
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("ea", "eb")
+    val r = GraphOps.neighborJaccard(e).orderBy("a", "b").collect()
+    val e12 = r.find(x => x.getAs[Long]("a") == 1L && x.getAs[Long]("b") == 2L).get
+    // N(1)={2,3}, N(2)={1,3}: common {3}, union {1,2,3} → 1/3
+    assert(e12.getAs[Long]("n_common") == 1 && e12.getAs[Long]("jaccard_ppm") == 333333L)
+    val e34 = r.find(x => x.getAs[Long]("a") == 3L && x.getAs[Long]("b") == 4L).get
+    assert(e34.getAs[Long]("n_common") == 0 && e34.getAs[Long]("jaccard_ppm") == 0L)
+  }
+
+  test("cohort LTV: cumulative cents and per-user LTV accumulate within cohort") {
+    val day = 86400000000L * 1000L // one day in ts nanos
+    val e = Seq(
+      (1L, 0L * day, 10.00), (2L, 0L * day, 20.00), // cohort day 0: users 1,2
+      (1L, 1L * day, 30.00),                        // day 1: only user 1 active
+      (3L, 1L * day, 40.00))                        // cohort day 1: user 3
+      .toDF("user_id", "ts", "value")
+      .select(lit(1L).as("event_id"), col("ts"), col("user_id"),
+        lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+    val r = Events.cohortLtv(e).orderBy("cohort", "age").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("day_cents") == 3000L && r(0).getAs[Long]("cum_cents") == 3000L)
+    assert(r(1).getAs[Long]("cum_cents") == 6000L) // cohort 0 through age 1
+    assert(r(1).getAs[Long]("ltv_cents_per_user") == 3000L) // 6000 / 2 users
+    assert(r(2).getAs[Long]("cohort_users") == 1L && r(2).getAs[Long]("cum_cents") == 4000L)
+  }
+
+  test("silence trim: bounds honor the threshold; all-quiet clip keeps nothing") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // hand-build WAVs via the real encoder, then trim with a threshold
+    // ABOVE every generated sample to exercise the all-quiet path
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val quiet = Multimodal.wavSilenceTrim(Multimodal.wavFromDocuments(docs), threshold = 40000)
+      .collect()
+    assert(quiet.forall(t => t.kept_samples == 0L && t.lead_trim.toLong == t.n_samples))
+    val trimmed = Multimodal.wavSilenceTrim(Multimodal.wavFromDocuments(docs), threshold = 8192)
+      .collect()
+    trimmed.foreach { t =>
+      assert(t.kept_samples == t.n_samples - t.lead_trim - t.trail_trim)
+      assert(t.kept_samples > 0)
+      // recompute the first loud index from the pinned sample formula
+      val n = Multimodal.wavSampleCount(t.doc_id)
+      val firstLoud = (0 until n).indexWhere(i => math.abs(Multimodal.wavSample(t.doc_id, i)) >= 8192)
+      assert(t.lead_trim == firstLoud)
+    }
+  }
+
+  test("IVF-PQ: a vector whose residual matches a codebook entry exactly scores ADC 0 against itself-like queries") {
+    // corpus: centroids 0..1 (cells=2), codebook ids 0..1, plus copies
+    val c0 = Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val corpus = vecs(0L -> c0, 1L -> c1, 5L -> c0, 9L -> c1)
+    val queries = vecs(0L -> c0)
+    val r = Similarity.ivfPqTopK(corpus, queries, cells = 2, m = 2, k = 2, probes = 2, topK = 3)
+      .orderBy("rank").collect()
+    // 5 is an exact copy of centroid 0: residual 0, code reconstructs exactly → ADC 0
+    assert(r(0).getAs[Long]("n_id") == 5L && r(0).getAs[Long]("adc_d2") == 0L)
+  }
+
+  test("IVF-PQ probes limit the searched cells: probes=1 only scores the query's own cell") {
+    val c0 = Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val corpus = vecs(0L -> c0, 1L -> c1, 5L -> c0, 9L -> c1)
+    val queries = vecs(0L -> c0)
+    val got = Similarity.ivfPqTopK(corpus, queries, cells = 2, m = 2, k = 2, probes = 1, topK = 10)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(got == Set(5L), s"only cell-0 members should be scored, got $got")
+  }
+
+  test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 8).select(col("id").as("doc_id"))
+    val p = plan(Multimodal.phashNearDup(Multimodal.bmpWithPerturbedTwins(docs)))
+    // payload column must not appear in any Exchange's output schema
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!p.contains("payload#") || !exchanges.exists(_.contains("payload")),
+      "payload must be dropped before shuffling:\n" + p.take(1500))
+  }
+}
