@@ -91,6 +91,38 @@ object Queries5 {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
     }),
+
+    // Matryoshka truncation QC: top-k recall of half-width embeddings
+    "knn_truncated_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.truncatedRecall(e, e.filter(col("vec_id") < 16), dims = 32)
+        .orderBy("q_id")
+    }),
+
+    // covariance components of discount vs quantity in exact integers
+    // (the correlation direction without any float accumulation)
+    "discount_qty_covariance" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_discount") * 100).cast("long").as("d_pct"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d_pct")).as("sum_d"),
+          sum(col("qty")).as("sum_q"),
+          sum(col("d_pct") * col("qty")).as("sum_dq"))
+        .withColumn("cov_numer", expr("n * sum_dq - sum_d * sum_q"))
+        .withColumn("cov_sign", signum(col("cov_numer")).cast("int"))
+        .orderBy("l_returnflag")),
+
+    // real audio downsample: decode → decimate ×2 → re-encode → decode
+    "multimodal_wav_downsample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.downsampleWavBatch(
+          Multimodal.wavFromDocuments(t(s, dir, "documents")), factor = 2)
+        .toDF()
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared dHash CTE chain (formula-recomputed pixels → 9×8 luma grid
@@ -366,5 +398,72 @@ object Queries5 {
                FROM adc)
          SELECT q_id, n_id, adc_d2, rank FROM r WHERE rank <= 5
          ORDER BY q_id, rank""",
+
+    "knn_truncated_recall" -> {
+      def cos(a: String, b: String) =
+        s"""CAST(list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE)
+            / (sqrt(CAST(list_sum([$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE))
+               * sqrt(CAST(list_sum([$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]) AS DOUBLE)))"""
+      s"""WITH q AS (SELECT vec_id,
+                            [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q,
+                            [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding[1:32]] AS qt
+                     FROM embeddings),
+         fsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        ${cos("qs.q", "c.q")} AS cosine
+                 FROM q c JOIN (SELECT * FROM q WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         fr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM fsc) WHERE rnk <= 5),
+         tsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        ${cos("qs.qt", "c.qt")} AS cosine
+                 FROM q c JOIN (SELECT * FROM q WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         tr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM tsc) WHERE rnk <= 5),
+         ov AS (SELECT fr.q_id, count(*) AS n_overlap
+                FROM fr JOIN tr ON tr.q_id = fr.q_id AND tr.n_id = fr.n_id
+                GROUP BY 1),
+         kf AS (SELECT q_id, count(*) AS k_full FROM fr GROUP BY 1)
+         SELECT kf.q_id, kf.k_full,
+                CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n_overlap, 0) * 1000000 // kf.k_full AS BIGINT) AS recall_ppm
+         FROM kf LEFT JOIN ov USING (q_id) ORDER BY q_id"""
+    },
+
+    "discount_qty_covariance" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_d,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_dq,
+           CAST(count(*) * sum(CAST(round(l_discount * 100) AS BIGINT)
+                               * CAST(round(l_quantity) AS BIGINT))
+                - sum(CAST(round(l_discount * 100) AS BIGINT))
+                  * sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS cov_numer,
+           CAST(sign(count(*) * sum(CAST(round(l_discount * 100) AS BIGINT)
+                                    * CAST(round(l_quantity) AS BIGINT))
+                     - sum(CAST(round(l_discount * 100) AS BIGINT))
+                       * sum(CAST(round(l_quantity) AS BIGINT))) AS INT) AS cov_sign
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "multimodal_wav_downsample" ->
+      """WITH d AS (SELECT doc_id,
+                           256 + doc_id % 512 AS n,
+                           8000 + (doc_id % 4) * 4000 AS rate
+                    FROM documents),
+         s AS (SELECT doc_id, n, rate, t.i,
+                      ((doc_id * 2654435761 + (t.i * 2) * 40503) % 65536) - 32768 AS v
+               FROM d, range(384) t(i) WHERE t.i * 2 < n)
+         SELECT doc_id,
+                CAST(min(rate) // 2 AS INT) AS sample_rate,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(count(*) * 1000 // (min(rate) // 2) AS BIGINT) AS duration_ms,
+                CAST(max(abs(v)) AS INT) AS peak_abs,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -344,6 +344,46 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsampling: decode the PCM, keep every `factor`-th
+    * sample (decimation — the point-sampling kernel; a production
+    * pipeline low-pass-filters first, which swaps into this same
+    * seam), re-encode a genuine WAV at rate/factor, and report the
+    * decoded stats OF THE DOWNSAMPLED clip — the audio twin of
+    * [[resizeBmpBatch]]: decode → resample → encode → decode
+    * round-trips through the real container both ways. Map-only;
+    * payloads never shuffle.
+    */
+  def downsampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val (rate, samples) = decodeWavSamples(bytes)
+    require(rate % factor == 0, s"rate $rate not divisible by factor $factor")
+    val outN = (samples.length + factor - 1) / factor
+    val outRate = rate / factor
+    val dataSize = outN * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(outRate).putInt(outRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < outN) { bb.putShort(samples(i * factor)); i += 1 }
+    bb.array()
+  }
+
+  def downsampleWavBatch(
+      media: Dataset[WavRecord],
+      factor: Int = 2,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[WavStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        decodeWav(r.doc_id, downsampleWav(r.payload, factor))))
+    }
+  }
+
   /** A REAL image format at the batching seam: Windows BMP (24-bit
     * BI_RGB). The imaging-library formats (JPEG/PNG) stay out of reach
     * in this container, but BMP needs no library: a 14-byte file

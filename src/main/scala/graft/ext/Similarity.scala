@@ -471,6 +471,37 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Matryoshka-style truncation QC: how much retrieval quality
+    * survives keeping only the first `dims` dimensions of each
+    * embedding (the MRL deployment question — truncated vectors are
+    * `dims/dim`× cheaper to store and scan). Runs exact top-k twice —
+    * full vectors vs truncated — and reports per-query overlap recall
+    * in exact ppm. A high floor here green-lights serving the
+    * truncated index.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (queries broadcast,
+    * corpus never shuffles) + a top-k-sized overlap join — the k·|Q|
+    * result rows, not the corpus, meet in the final join.
+    */
+  def truncatedRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dims: Int,
+      k: Int = 5): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def truncate(df: DataFrame) =
+      df.select(col("vec_id"), expr(s"slice(embedding, 1, $dims)").as("embedding"))
+    val full = bruteForceTopK(corpus, queries, k).select(col("q_id"), col("n_id"))
+    val trunc = bruteForceTopK(truncate(corpus), truncate(queries), k)
+      .select(col("q_id"), col("n_id"))
+    val overlap = full.join(trunc, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
+  }
+
   /** Exact integer L2² between two quantized vectors (built-ins only —
     * zip_with folds inside codegen).
     */

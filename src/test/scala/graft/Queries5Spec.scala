@@ -246,6 +246,58 @@ class Queries5Spec extends SparkSpec {
     assert(got == Set(5L), s"only cell-0 members should be scored, got $got")
   }
 
+  test("truncated recall: identical truncation gives recall 1.0; adversarial tail dims lower it") {
+    // vectors whose first 2 dims agree but tails diverge: truncating to
+    // 2 dims must reorder neighbors for the probe query
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 5f, 0f),
+      2L -> Seq(1f, 0f, 0f, 5f),
+      3L -> Seq(0f, 1f, 0f, 0f))
+    val q = vecs(0L -> Seq(1f, 0f, 0f, 0f))
+    val full = Similarity.truncatedRecall(corpus, q, dims = 4, k = 2).collect().head
+    assert(full.getAs[Long]("recall_ppm") == 1000000L) // dims=4 IS the full vector
+    val r = Similarity.truncatedRecall(corpus, q, dims = 2, k = 2).collect().head
+    assert(r.getAs[Long]("k_full") == 2L)
+    assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+  }
+
+  test("discount/qty covariance: planted positive and negative relationships get the right sign") {
+    val li = Seq(
+      // flag A: discount rises with quantity → positive covariance
+      ("A", 0.01, 10.0), ("A", 0.05, 30.0), ("A", 0.10, 50.0),
+      // flag B: discount falls with quantity → negative
+      ("B", 0.10, 10.0), ("B", 0.05, 30.0), ("B", 0.01, 50.0))
+      .toDF("l_returnflag", "l_discount", "l_quantity")
+    val got = li
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long").as("d_pct"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("d_pct")).as("sum_d"),
+        sum(col("qty")).as("sum_q"), sum(col("d_pct") * col("qty")).as("sum_dq"))
+      .withColumn("cov_numer", expr("n * sum_dq - sum_d * sum_q"))
+      .orderBy("l_returnflag").collect()
+    assert(got(0).getAs[Long]("cov_numer") > 0)
+    assert(got(1).getAs[Long]("cov_numer") < 0)
+  }
+
+  test("WAV downsample: real re-encode halves rate and keeps even-index samples exactly") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val r = Multimodal.downsampleWavBatch(Multimodal.wavFromDocuments(docs), factor = 2)
+      .collect().sortBy(_.doc_id)
+    r.foreach { st =>
+      val n = Multimodal.wavSampleCount(st.doc_id)
+      assert(st.sample_rate == Multimodal.wavRate(st.doc_id) / 2)
+      assert(st.n_samples == (n + 1) / 2)
+      val expSumSq = (0 until n by 2).map { i =>
+        val v = Multimodal.wavSample(st.doc_id, i).toLong; v * v
+      }.sum
+      assert(st.sum_sq == expSumSq)
+    }
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
