@@ -32,7 +32,9 @@ def check_one(sf_dir, out_dir, name, sql, q):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table directory (ScaleUp)
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     try:
         got = norm(pd.read_parquet(f"{out_dir}/{name}"))
