@@ -123,6 +123,29 @@ object Queries5 {
         .toDF()
         .orderBy("doc_id")
     }),
+
+    // Gopher-style WITHIN-doc repetition: duplicate 4-gram occupancy
+    // and the top gram's share, exact ppm
+    "text_self_repetition" -> ((s, dir) =>
+      TextAnalysis.selfRepetition(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // data pruning: k-th-neighbor cosine + isolation flag per vector
+    "embedding_knn_dist_outliers" -> ((s, dir) =>
+      Similarity.knnDistOutliers(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // image-dedup final emit: highest-resolution member per phash
+    // cluster survives (ties -> lowest id, so originals beat twins)
+    "multimodal_phash_representatives" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.bmpWithPerturbedTwins(docs)
+      val pairs = Multimodal.phashNearDup(media)
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+      val ids = docs.select(col("doc_id"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+      Multimodal.phashClusterRepresentatives(media, Dedup.dupClustersStar(ids, pairs))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared dHash CTE chain (formula-recomputed pixels → 9×8 luma grid
@@ -465,5 +488,66 @@ object Queries5 {
                 CAST(max(abs(v)) AS INT) AS peak_abs,
                 CAST(sum(v * v) AS BIGINT) AS sum_sq
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_self_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       [array_to_string(w[i+1:i+4], ' ')
+                        FOR i IN range(0, greatest(len(w) - 3, 0))] AS sh
+                FROM t),
+         g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                       count(*) AS n_distinct
+                FROM pg GROUP BY 1),
+         top AS (SELECT doc_id, c AS top_gram_n FROM
+                 (SELECT doc_id, c,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+                  FROM pg) WHERE rn = 1)
+         SELECT d.doc_id,
+                coalesce(pd.n_grams, 0) AS n_grams,
+                coalesce(pd.n_distinct, 0) AS n_distinct,
+                CAST(coalesce(top.top_gram_n, 0) AS BIGINT) AS top_gram_n,
+                CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+                          ELSE (pd.n_grams - pd.n_distinct) * 1000000 // pd.n_grams END AS BIGINT) AS dup_gram_ppm,
+                CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+                          ELSE top.top_gram_n * 1000000 // pd.n_grams END AS BIGINT) AS top_gram_ppm
+         FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN top USING (doc_id)
+         ORDER BY doc_id""",
+
+    "embedding_knn_dist_outliers" -> {
+      val cos =
+        """CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, 65)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([a.q[i] * a.q[i] FOR i IN range(1, 65)]) AS DOUBLE))
+              * sqrt(CAST(list_sum([b.q[i] * b.q[i] FOR i IN range(1, 65)]) AS DOUBLE)))"""
+      s"""WITH q AS (SELECT vec_id,
+                            [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                     FROM embeddings),
+         sc AS (SELECT a.vec_id AS qi, b.vec_id AS ni, $cos AS cosine
+                FROM q a JOIN q b ON a.vec_id != b.vec_id),
+         k AS (SELECT qi AS vec_id, cosine AS kth_cosine FROM
+               (SELECT qi, ni, cosine,
+                       row_number() OVER (PARTITION BY qi ORDER BY cosine DESC, ni) AS r
+                FROM sc) WHERE r = 3)
+         SELECT vec_id, kth_cosine, kth_cosine < 0.29 AS is_isolated
+         FROM k ORDER BY vec_id"""
+    },
+
+    "multimodal_phash_representatives" ->
+      s"""WITH RECURSIVE $phashCtes,
+         pr AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         r AS (SELECT id AS node, id AS m FROM ids
+               UNION
+               SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node),
+         px AS (SELECT id AS doc_id, CAST(w * h AS BIGINT) AS n_pixels FROM ids),
+         ranked AS (SELECT c.doc_id, c.cluster_id, px.n_pixels,
+                           row_number() OVER (PARTITION BY c.cluster_id
+                             ORDER BY px.n_pixels DESC, c.doc_id) AS rn
+                    FROM clusters c JOIN px USING (doc_id))
+         SELECT doc_id, cluster_id, n_pixels, rn = 1 AS is_representative
+         FROM ranked ORDER BY doc_id""",
   )
 }

@@ -764,6 +764,27 @@ object Multimodal {
       .distinct()
   }
 
+  /** The image-dedup pipeline's final emit step: given the phash
+    * cluster labels, keep the highest-RESOLUTION member of each
+    * duplicate cluster (pixel count from the REAL decoded header; ties
+    * → lowest id) — the image twin of the token-count rule in
+    * [[graft.ext.Dedup.clusterRepresentatives]]. The pixel-count
+    * projection is map-only over the payload scan; the pick is one
+    * window over the |images|-row label frame.
+    */
+  def phashClusterRepresentatives(
+      media: Dataset[BmpRecord],
+      clusters: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = decodeBmpBatch(media).toDF()
+      .select(col("doc_id"), (col("width").cast("long") * col("height")).as("n_pixels"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_pixels").desc, col("doc_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(px, Seq("doc_id"))
+      .withColumn("is_representative", row_number().over(w) === 1)
+  }
+
   /** One sampled "frame" of a media payload: the 1-record → N-frames
     * expansion shape (video frame sampling, audio chunking). */
   case class MediaFrame(

@@ -471,6 +471,30 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** kNN-distance outlier scoring — the data-pruning signal of the
+    * SemDeDup/SSL-prototypes family: a vector whose k-th nearest
+    * neighbor is still far away sits in no semantic cluster (OCR
+    * noise, label errors, genuine rarities). Emits each vector's k-th
+    * neighbor cosine and an isolation flag against an absolute
+    * `threshold` (config — an absolute bar keeps the op one-pass; a
+    * percentile bar would need a second tiny aggregate over the
+    * |V|-row result).
+    *
+    * Built on [[knnGraphBlocked]] — exact and quadratic BY CONTRACT
+    * (the verifier/small-pool tool; the documented scale path swaps in
+    * [[lshTopK]]/[[ivfTopK]] candidates without touching this scoring
+    * tail).
+    */
+  def knnDistOutliers(
+      corpus: DataFrame,
+      k: Int = 3,
+      blocks: Int = 16,
+      threshold: Double = 0.29): DataFrame =
+    knnGraphBlocked(corpus, k, blocks)
+      .filter(col("rank") === k)
+      .select(col("q_id").as("vec_id"), col("cosine").as("kth_cosine"))
+      .withColumn("is_isolated", col("kth_cosine") < threshold)
+
   /** Matryoshka-style truncation QC: how much retrieval quality
     * survives keeping only the first `dims` dimensions of each
     * embedding (the MRL deployment question — truncated vectors are

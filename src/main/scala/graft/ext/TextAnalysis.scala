@@ -391,6 +391,43 @@ object TextAnalysis {
     * exactly the NON-rare ones — AQE skew-join splits those buckets
     * without changing results.
     */
+  /** WITHIN-document repetition — the Gopher/MassiveText "repetition"
+    * gate family that [[gopherRules]]' distinct-token fraction only
+    * approximates at the unigram level: per doc, the fraction of
+    * n-gram OCCURRENCES that are duplicates of an earlier n-gram in
+    * the same doc, and the share of the single most frequent n-gram
+    * (looping text pushes both toward 1e6 ppm; ties on the top gram
+    * break to the lexicographically larger gram — pinned for the
+    * oracle). Short docs (< n tokens) emit zeros.
+    *
+    * Scale shape: one explode + (doc, gram) aggregate + per-doc
+    * aggregate — all keyed by doc_id so the shuffles are partial-
+    * aggregated and never cross documents; the left join back to the
+    * doc list reinstates gram-less docs.
+    */
+  def selfRepetition(docs: DataFrame, n: Int = 4): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("c"), col("g"))).as("top"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top.c"), lit(0L)).as("top_gram_n"))
+      .withColumn("dup_gram_ppm",
+        when(col("n_grams") === 0L, 0L)
+          .otherwise(expr("(n_grams - n_distinct) * 1000000 div n_grams")))
+      .withColumn("top_gram_ppm",
+        when(col("n_grams") === 0L, 0L)
+          .otherwise(expr("top_gram_n * 1000000 div n_grams")))
+  }
+
   def rareTokenRatio(docs: DataFrame, minCount: Long = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))

@@ -298,6 +298,56 @@ class Queries5Spec extends SparkSpec {
     }
   }
 
+  test("self repetition: a looping doc scores high, varied text low, short docs zero") {
+    val d = Seq(
+      (1L, "a b c d a b c d a b c d"),    // "a b c d" repeats: 9 grams, 4 distinct
+      (2L, "one two three four five six"), // all distinct
+      (3L, "tiny doc"))                    // < 4 tokens → no grams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.selfRepetition(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_grams") == 9 && r(0).getAs[Long]("n_distinct") == 4)
+    assert(r(0).getAs[Long]("dup_gram_ppm") == (9L - 4L) * 1000000L / 9L)
+    assert(r(0).getAs[Long]("top_gram_n") == 3) // "a b c d" occurs 3x
+    assert(r(1).getAs[Long]("dup_gram_ppm") == 0 && r(1).getAs[Long]("top_gram_ppm") > 0)
+    assert(r(2).getAs[Long]("n_grams") == 0 && r(2).getAs[Long]("top_gram_ppm") == 0)
+  }
+
+  test("knn-distance outliers: an isolated vector flags, clustered ones don't") {
+    // tight cluster of 4 near-identical vectors + one orthogonal loner
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0.01f, 0f, 0f, 1f, 0f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0.01f, 0f, 1f, 0f, 0f, 0f),
+      3L -> Seq(1f, 0f, 0f, 0.01f, 1f, 0f, 0f, 0f),
+      9L -> Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, -1f))
+    val r = Similarity.knnDistOutliers(corpus, k = 3, blocks = 2, threshold = 0.5)
+      .orderBy("vec_id").collect()
+    assert(!r(0).getAs[Boolean]("is_isolated"))
+    assert(r(4).getAs[Boolean]("is_isolated"), "the orthogonal loner must flag")
+  }
+
+  test("phash representatives: exactly one survivor per cluster; originals beat equal-size twins") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 20).select(col("id").as("doc_id"))
+    val media = Multimodal.bmpWithPerturbedTwins(docs)
+    val pairs = Multimodal.phashNearDup(media)
+      .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+    val ids = docs.select(col("doc_id"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+    val reps = Multimodal.phashClusterRepresentatives(
+      media, graft.ext.Dedup.dupClustersStar(ids, pairs)).collect()
+    val byCluster = reps.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.forall(_._2.count(_.getAs[Boolean]("is_representative")) == 1))
+    // a twin (+1e6) has the same resolution as its original, so the
+    // lower-id original must win its cluster
+    reps.filter(r => r.getAs[Long]("doc_id") >= 1000000L && r.getAs[Boolean]("is_representative"))
+      .foreach { r =>
+        val cluster = byCluster(r.getAs[Long]("cluster_id"))
+        assert(!cluster.exists(_.getAs[Long]("doc_id") < 1000000L),
+          "a twin may only represent a cluster with no original in it")
+      }
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
