@@ -133,6 +133,23 @@ object Queries5 {
     "embedding_knn_dist_outliers" -> ((s, dir) =>
       Similarity.knnDistOutliers(t(s, dir, "embeddings")).orderBy("vec_id")),
 
+    // Deequ-style constraint suite over the warehouse: PK/FK/domain/
+    // null/freshness checks as one exact report frame
+    "dq_expectations" -> ((s, dir) =>
+      graft.ext.Profile.expectations(
+          t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "customer"),
+          t(s, dir, "events"), t(s, dir, "documents"))
+        .orderBy("check", "table_name")),
+
+    // object-store ingestion: payloads staged as real .bmp FILES, read
+    // back via the binaryFile source, decoded from the scanned bytes
+    "binary_file_source_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpfiles"
+      Multimodal.stageBmpFiles(t(s, dir, "documents"), path)
+      Multimodal.decodeBmpFiles(path).orderBy("doc_id")
+    }),
+
     // image-dedup final emit: highest-resolution member per phash
     // cluster survives (ties -> lowest id, so originals beat twins)
     "multimodal_phash_representatives" -> ((s, dir) => {
@@ -549,5 +566,33 @@ object Queries5 {
                     FROM clusters c JOIN px USING (doc_id))
          SELECT doc_id, cluster_id, n_pixels, rn = 1 AS is_representative
          FROM ranked ORDER BY doc_id""",
+
+    "dq_expectations" -> {
+      def row(check: String, table: String, observed: String, threshold: Long) =
+        s"""SELECT '$check' AS "check", '$table' AS table_name,
+              CAST(($observed) AS BIGINT) AS observed,
+              CAST($threshold AS BIGINT) AS threshold,
+              ($observed) <= $threshold AS passed"""
+      Seq(
+        row("pk_unique_violations", "orders",
+          "SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)", 0),
+        row("fk_orphans", "lineitem->orders",
+          "SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)", 0),
+        row("fk_orphans", "orders->customer",
+          "SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)", 0),
+        row("quantity_out_of_range", "lineitem",
+          "SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50", 0),
+        row("null_custkey", "orders",
+          "SELECT count(*) FROM orders WHERE o_custkey IS NULL", 0),
+        row("negative_value", "events",
+          "SELECT count(*) FROM events WHERE value < 0", 0),
+        row("empty_doc_ppm", "documents",
+          "SELECT sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) * 1000000 // count(*) FROM documents", 50000),
+        row("staleness_days", "lineitem",
+          "SELECT 11688 - date_diff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) FROM lineitem", 365),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY \"check\", table_name")
+    },
+
+    "binary_file_source_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
   )
 }

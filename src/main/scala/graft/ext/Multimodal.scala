@@ -746,15 +746,27 @@ object Multimodal {
       maxHamming: Int = 6,
       bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
+      .toDF("id", "hash")
+    hammingPairs(bandedHashes(hashes, bands), maxHamming)
+  }
+
+  /** Explode a (id, hash) frame into its LSH bands: one row per
+    * contiguous `64/bands`-bit slice. The bucket key both the batch
+    * pair join and the streaming index probe hash on.
+    */
+  private[graft] def bandedHashes(hashes: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
-      .toDF("id", "hash")
-    val banded = hashes.select(col("id"), col("hash"),
+    hashes.select(col("id"), col("hash"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS band_idx, shiftright(hash, b * $width) & $mask AS band))")).as("bb"))
       .select(col("id"), col("hash"), col("bb.band_idx").as("band_idx"), col("bb.band").as("band"))
+  }
+
+  /** Band-bucketed Hamming pairs (id_a < id_b) from a banded frame. */
+  private[graft] def hammingPairs(banded: DataFrame, maxHamming: Int): DataFrame =
     banded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("hash").as("ha"))
       .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("hash").as("hb")),
         Seq("band_idx", "band"))
@@ -762,6 +774,50 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+
+  /** Object-store ingestion for media: stage every payload as an
+    * individual `<doc_id>.bmp` FILE, then read the directory back
+    * through Spark's `binaryFile` source — the path a real multimodal
+    * corpus takes (images land as files in object storage; the scan
+    * yields (path, length, content) rows) — and run the REAL decoder
+    * over the scanned bytes. Decoded stats must equal the in-memory
+    * pipeline's: proves the source preserves bytes and the
+    * path→doc_id recovery.
+    *
+    * Scale note: `binaryFile` is the bootstrap source; production
+    * compacts small files into parquet binary columns (the layout
+    * every other multimodal key uses) precisely because millions of
+    * tiny objects throttle listing — this key IS that ingestion step.
+    * Staging clears stale files first so a previous larger run can't
+    * pollute the read.
+    */
+  def stageBmpFiles(docs: DataFrame, dir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val it = java.nio.file.Files.list(root)
+      try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally it.close()
+    }
+    java.nio.file.Files.createDirectories(root)
+    docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
+      it.foreach { id =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$id.bmp"), encodeBmp(id))
+        ()
+      }
+    }
+  }
+
+  def decodeBmpFiles(dir: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeBmp(id, bytes) })
+      .toDF()
   }
 
   /** The image-dedup pipeline's final emit step: given the phash

@@ -79,4 +79,64 @@ object Profile {
         expr("cast(max_n as decimal(38,0)) * n_keys * 1000000 div n_rows")
           .as("skew_x_ppm"))
   }
+
+  /** Deequ-style data-quality expectations — the constraint suite a
+    * pipeline runs before publishing a dataset version: primary-key
+    * uniqueness, referential integrity, domain ranges, null budgets,
+    * freshness. Uniform contract per check row: `observed <= threshold`
+    * ⇔ `passed`, everything exact integers, so the report is
+    * engine-reproducible and diffable across runs (the reference's
+    * schema-diff idea applied to DATA invariants).
+    *
+    * Scale shape: each check is one aggregate over its table (the two
+    * referential checks are anti-join counts — hash join on the key,
+    * null-safe); checks union into a constant-width report frame.
+    * No driver-side evaluation: the verdict column is computed in the
+    * plan.
+    */
+  def expectations(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      events: DataFrame,
+      documents: DataFrame): DataFrame = {
+    def check(name: String, table: String, observed: DataFrame, threshold: Long): DataFrame =
+      observed.select(
+        lit(name).as("check"), lit(table).as("table_name"),
+        col("observed").cast("long").as("observed"),
+        lit(threshold).as("threshold"),
+        (col("observed") <= threshold).as("passed"))
+
+    val pkDup = orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(count(lit(1)).as("observed"))
+    val fkLineOrders = lineitem.join(orders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+    val fkOrdersCust = orders.join(customer.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+    val qtyRange = lineitem
+      .filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).as("observed"))
+    val nullCust = orders.filter(col("o_custkey").isNull)
+      .agg(count(lit(1)).as("observed"))
+    val negValue = events.filter(col("value") < 0)
+      .agg(count(lit(1)).as("observed"))
+    val emptyDocPpm = documents.agg(
+      expr("sum(case when length(text) = 0 then 1 else 0 end) * 1000000 div count(1)")
+        .as("observed"))
+    // freshness: days from the newest shipment to a fixed reference day
+    // (2002-01-01 = epoch day 11688); stale pipelines exceed the budget
+    val staleDays = lineitem.agg(
+      (lit(11688L) - max(datediff(col("l_shipdate"), lit("1970-01-01")))).as("observed"))
+
+    check("pk_unique_violations", "orders", pkDup, 0)
+      .unionByName(check("fk_orphans", "lineitem->orders", fkLineOrders, 0))
+      .unionByName(check("fk_orphans", "orders->customer", fkOrdersCust, 0))
+      .unionByName(check("quantity_out_of_range", "lineitem", qtyRange, 0))
+      .unionByName(check("null_custkey", "orders", nullCust, 0))
+      .unionByName(check("negative_value", "events", negValue, 0))
+      .unionByName(check("empty_doc_ppm", "documents", emptyDocPpm, 50000))
+      .unionByName(check("staleness_days", "lineitem", staleDays, 365))
+  }
 }

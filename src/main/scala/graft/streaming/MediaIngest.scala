@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ext.Multimodal
+
+/** Streaming media ingestion — the perceptual-dedup twin of
+  * [[Sessionize.nearDupIngest]] for IMAGE payloads: each micro-batch of
+  * (doc_id, payload) rows is dHashed with the real decoder, collapsed
+  * against itself, probed against a PERSISTED hash index of everything
+  * already ingested (band equi-join + full-Hamming verify — never
+  * batch×corpus all-pairs), and the survivors' (id, hash) rows are
+  * appended to the gold table and the index.
+  *
+  * The index stores 8-byte hashes only — payload bytes never leave the
+  * batch's scan stage, so index probe cost is independent of image
+  * sizes. At warehouse scale the index is a bucketed table on the band
+  * key (see [[graft.ext.Scale.writeBucketed]]); the per-batch marker
+  * protocol makes retried batches idempotent, same as nearDupIngest.
+  */
+object MediaIngest {
+
+  def phashIngest(
+      media: DataFrame, // (doc_id LONG, payload BINARY)
+      outDir: String,
+      indexDir: String,
+      checkpoint: String,
+      maxHamming: Int = 6,
+      bands: Int = 4)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import spark.implicits._
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
+        if (!fs.exists(marker)) {
+          val hashes = batch.select(col("doc_id"), col("payload"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions(_.map { case (id, bytes) =>
+              (id, Multimodal.dhashFromBytes(id, bytes))
+            })
+            .toDF("id", "hash")
+            .persist()
+          // (1) in-batch collapse: the higher id of every near-pair drops
+          val inBatchDrop = Multimodal
+            .hammingPairs(Multimodal.bandedHashes(hashes, bands), maxHamming)
+            .select(col("id_b").as("id")).distinct()
+          val kept = hashes.join(inBatchDrop, Seq("id"), "left_anti")
+          // (2) probe the persisted index: band equi-join, Hamming verify
+          val dataDir = s"$indexDir/hashes"
+          val fresh =
+            if (fs.exists(new org.apache.hadoop.fs.Path(dataDir))) {
+              val idx = Multimodal.bandedHashes(spark.read.parquet(dataDir), bands)
+                .select(col("band_idx"), col("band"), col("hash").as("i_hash"))
+              val hit = Multimodal.bandedHashes(kept, bands)
+                .join(idx, Seq("band_idx", "band"))
+                .filter(expr(s"bit_count(hash ^ i_hash) <= $maxHamming"))
+                .select(col("id")).distinct()
+              kept.join(hit, Seq("id"), "left_anti")
+            } else kept
+          // (3) append survivors to gold and index, then commit the batch
+          fresh.write.mode("append").parquet(outDir)
+          fresh.write.mode("append").parquet(dataDir)
+          hashes.unpersist()
+          fs.mkdirs(marker)
+          ()
+        }
+      }
+      .start()
+}

@@ -348,6 +348,35 @@ class Queries5Spec extends SparkSpec {
       }
   }
 
+  test("dq expectations: all warehouse checks pass on clean data; a planted violation flips its row") {
+    val r = SparkEntry.queries("dq_expectations")(spark, sf("sf0.001")).collect()
+    assert(r.length == 8 && r.forall(_.getAs[Boolean]("passed")), r.mkString("; "))
+    // planted orphan: a lineitem row pointing at a nonexistent order
+    val orders = graft.sources.Tables.load(spark, sf("sf0.001"), "orders")
+    val li = graft.sources.Tables.load(spark, sf("sf0.001"), "lineitem")
+    val badLi = li.unionByName(li.limit(1).withColumn("l_orderkey", lit(-999L)))
+    val cust = graft.sources.Tables.load(spark, sf("sf0.001"), "customer")
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val docs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val r2 = graft.ext.Profile.expectations(orders, badLi, cust, ev, docs)
+      .filter(col("table_name") === "lineitem->orders").collect().head
+    assert(!r2.getAs[Boolean]("passed") && r2.getAs[Long]("observed") == 1L)
+  }
+
+  test("binaryFile source: decoded stats from scanned files equal the in-memory decode") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 12).select(col("id").as("doc_id"))
+    val path = java.nio.file.Files.createTempDirectory("graft_bmpfiles").toString
+    Multimodal.stageBmpFiles(docs, path)
+    val fromFiles = Multimodal.decodeBmpFiles(path).orderBy("doc_id").collect()
+    val inMemory = Multimodal.decodeBmpBatch(Multimodal.bmpFromDocuments(docs))
+      .toDF().orderBy("doc_id").collect()
+    assert(fromFiles.toSeq == inMemory.toSeq)
+    // staging must clear stale files: restage a smaller set and re-read
+    Multimodal.stageBmpFiles(spark.range(0, 3).select(col("id").as("doc_id")), path)
+    assert(Multimodal.decodeBmpFiles(path).count() == 3)
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))

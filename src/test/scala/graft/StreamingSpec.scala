@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.Sessionize
+import graft.streaming.{MediaIngest, Sessionize}
 import graft.streaming.Sessionize.{Event, Session}
 
 /** Structured Streaming specs: the streaming twins of the batch event
@@ -356,6 +356,31 @@ class StreamingSpec extends SparkSpec {
       assert(closed.n_events == 2L)
       assert(closed.duration_us == 10L * 60 * 1000000L)
       assert(closed.value_cents == 375L)
+    } finally q.stop()
+  }
+
+  test("phash ingest: perceptual twins are dropped against the persisted index, fresh images pass") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.ext.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_ingest").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = MediaIngest.phashIngest(in.toDS().toDF("doc_id", "payload"), out, idx, ckpt)
+    try {
+      // batch 1: 5 originals — all fresh
+      in.addData((0L until 5L).map(id => id -> Multimodal.encodeBmp(id)))
+      q.processAllAvailable()
+      // batch 2: one-pixel twins of 0..2 (must hit the index) + two new
+      in.addData(
+        (0L until 3L).map(id => (id + 1000000L) -> Multimodal.perturbBmp(Multimodal.encodeBmp(id))) ++
+        Seq(7L -> Multimodal.encodeBmp(7L), 8L -> Multimodal.encodeBmp(8L)))
+      q.processAllAvailable()
+      val gold = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      assert(gold.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L),
+        s"twins must drop, fresh pass: ${gold.toSeq}")
     } finally q.stop()
   }
 }
