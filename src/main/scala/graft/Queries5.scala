@@ -150,6 +150,20 @@ object Queries5 {
       Multimodal.decodeBmpFiles(path).orderBy("doc_id")
     }),
 
+    // the funnel dashboard table: per step, reach and conversion ppm
+    "events_funnel_rates" -> ((s, dir) =>
+      Events.funnelRates(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("step_index")),
+
+    // integer simple-exponential-smoothing forecast over daily revenue
+    "events_ses_forecast" -> ((s, dir) =>
+      Events.sesForecast(t(s, dir, "events")).orderBy("day")),
+
+    // mixture application: deterministic hash rejection-sampling toward
+    // the temperature-mixing targets; per-slice audit row
+    "dataset_weighted_sample" -> ((s, dir) =>
+      graft.ext.TrainPrep.weightedSample(t(s, dir, "documents")).orderBy("lang")),
+
     // image-dedup final emit: highest-resolution member per phash
     // cluster survives (ties -> lowest id, so originals beat twins)
     "multimodal_phash_representatives" -> ((s, dir) => {
@@ -594,5 +608,78 @@ object Queries5 {
     },
 
     "binary_file_source_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
+
+    "events_funnel_rates" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         s0 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts_us) AS t_click FROM e
+                JOIN s0 ON s0.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s0.t_view
+                GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s1.t_click
+                GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM s0) AS n_view,
+                      (SELECT count(*) FROM s1) AS n_click,
+                      (SELECT count(*) FROM s2) AS n_purchase)
+         SELECT 1 AS step_index, 'view' AS step, CAST(n_view AS BIGINT) AS n_users,
+                CAST(n_view * 1000000 // greatest(n_view, 1) AS BIGINT) AS conv_from_prev_ppm,
+                CAST(n_view * 1000000 // greatest(n_view, 1) AS BIGINT) AS conv_from_first_ppm
+         FROM n
+         UNION ALL
+         SELECT 2, 'click', CAST(n_click AS BIGINT),
+                CAST(n_click * 1000000 // greatest(n_view, 1) AS BIGINT),
+                CAST(n_click * 1000000 // greatest(n_view, 1) AS BIGINT)
+         FROM n
+         UNION ALL
+         SELECT 3, 'purchase', CAST(n_purchase AS BIGINT),
+                CAST(n_purchase * 1000000 // greatest(n_click, 1) AS BIGINT),
+                CAST(n_purchase * 1000000 // greatest(n_view, 1) AS BIGINT)
+         FROM n
+         ORDER BY step_index""",
+
+    "events_ses_forecast" ->
+      """WITH RECURSIVE d AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1),
+         o AS (SELECT day, cents, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM d),
+         r AS (SELECT rn, day, cents, cents AS level, cents AS forecast
+               FROM o WHERE rn = 1
+               UNION ALL
+               SELECT o.rn, o.day, o.cents,
+                      (o.cents + r.level) // 2, r.level
+               FROM r JOIN o ON o.rn = r.rn + 1)
+         SELECT day, cents, CAST(level AS BIGINT) AS level,
+                CAST(forecast AS BIGINT) AS forecast,
+                CAST(cents - forecast AS BIGINT) AS residual_cents
+         FROM r ORDER BY day""",
+
+    "dataset_weighted_sample" ->
+      """WITH per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_docs,
+                      CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM per) AS BIGINT) AS raw_ppm,
+                      CAST(s * 1000000 // (SELECT sum(s) FROM per) AS BIGINT) AS weight_ppm
+               FROM per),
+         a AS (SELECT *, weight_ppm * 1000000 // greatest(raw_ppm, 1) AS ratio FROM w),
+         acc AS (SELECT lang, n_docs, weight_ppm, raw_ppm,
+                        CAST(least(ratio * 1000000 // (SELECT max(ratio) FROM a), 1000000) AS BIGINT) AS accept_ppm
+                 FROM a),
+         h AS (SELECT doc_id, lang,
+                      list_reduce(
+                        [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                          regexp_extract_all(md5('wsample|' || CAST(doc_id AS VARCHAR)), '.')],
+                        (x, y) -> (x * 31 + y) % 1000000007) % 1000000 AS u
+               FROM documents)
+         SELECT acc.lang, acc.n_docs, acc.weight_ppm, acc.raw_ppm, acc.accept_ppm,
+                CAST(sum(CASE WHEN h.u < acc.accept_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM h JOIN acc USING (lang)
+         GROUP BY acc.lang, acc.n_docs, acc.weight_ppm, acc.raw_ppm, acc.accept_ppm
+         ORDER BY acc.lang""",
   )
 }

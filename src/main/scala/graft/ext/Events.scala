@@ -308,6 +308,68 @@ object Events {
       .withColumn("ltv_cents_per_user", expr("cum_cents div cohort_users"))
   }
 
+  /** Funnel READOUT: collapse [[funnel]]'s per-user step times into the
+    * table a dashboard shows — per step, how many users reached it,
+    * step-over-step conversion, and conversion from the top, exact ppm.
+    * One aggregate over the funnel frame (single row), exploded to one
+    * row per step on the driver-free plan side.
+    */
+  def funnelRates(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val f = funnel(events, steps)
+    val counts = f.agg(
+      sum(when(col(s"t_${steps.head}").isNotNull, 1L).otherwise(0L)).as(s"n_${steps.head}"),
+      steps.tail.map(st =>
+        sum(when(col(s"t_$st").isNotNull, 1L).otherwise(0L)).as(s"n_$st")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val prev = if (i == 0) st else steps(i - 1)
+      counts.select(
+        lit(i + 1).as("step_index"), lit(st).as("step"),
+        col(s"n_$st").as("n_users"),
+        expr(s"n_$st * 1000000 div greatest(n_$prev, 1L)").as("conv_from_prev_ppm"),
+        expr(s"n_$st * 1000000 div greatest(n_${steps.head}, 1L)").as("conv_from_first_ppm"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Simple exponential smoothing (α = 1/2) over the daily revenue
+    * series, in EXACT integers: level_t = (y_t + level_{t−1}) div 2
+    * (all operands non-negative, so floor division is engine-portable),
+    * one-step-ahead forecast_t = level_{t−1}, residual = y − forecast.
+    * The anomaly-baseline / capacity-forecast primitive with a
+    * reproducible answer — float EWMA would drift across engines.
+    *
+    * Scale shape: the event log collapses to one row per day (partial-
+    * aggregated shuffle); the sequential fold runs as an `aggregate`
+    * HOF over the sorted day array INSIDE the plan — a single row
+    * carrying ~thousands of days, the same tiny-series discipline as
+    * [[graft.ext.Assoc.seasonalityDecompose]]. No driver loop.
+    */
+  def sesForecast(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("s"))
+      .select(expr(
+        """aggregate(s,
+             named_struct('lvl', cast(-1 as bigint),
+                          'out', cast(array() as array<struct<day:bigint,cents:bigint,level:bigint,forecast:bigint>>)),
+             (acc, x) -> named_struct(
+               'lvl', case when acc.lvl = -1 then x.cents else (x.cents + acc.lvl) div 2 end,
+               'out', concat(acc.out, array(named_struct(
+                 'day', x.day, 'cents', x.cents,
+                 'level', case when acc.lvl = -1 then x.cents else (x.cents + acc.lvl) div 2 end,
+                 'forecast', case when acc.lvl = -1 then x.cents else acc.lvl end)))),
+             acc -> acc.out)""").as("out"))
+      .select(explode(col("out")).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.level").as("level"), col("r.forecast").as("forecast"),
+        (col("r.cents") - col("r.forecast")).as("residual_cents"))
+  }
+
   /** Exponentially-decayed engagement score per user: each event
     * contributes `value_cents / 2^age_days` (half-life = one day,
     * measured back from the corpus's latest event), summed per user.

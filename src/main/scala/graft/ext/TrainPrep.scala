@@ -237,4 +237,40 @@ object TrainPrep {
       .withColumn("weight_ppm", expr("s * 1000000 div (sum(s) over ())"))
       .drop("s")
   }
+
+  /** APPLY the mixture: deterministic per-document rejection sampling
+    * that moves each slice's share toward its [[mixtureWeights]]
+    * target. Acceptance per slice = (target/current share ratio),
+    * normalized so the most up-weighted slice keeps everything —
+    * down-sampling only, the lossless direction (up-sampling is
+    * repetition, a training-loop concern). The keep decision is
+    * hash(seed|doc_id) — a pure function of the doc id, so re-runs,
+    * retries, and different partitionings keep THE SAME documents.
+    *
+    * Emits the per-slice audit row (docs in, acceptance, docs kept) —
+    * the summary a mixture step logs; the kept id set is derivable by
+    * re-applying the same pure predicate.
+    *
+    * Scale shape: weights are a |slices|-row broadcast; the
+    * keep-filter is a codegen'd per-row projection over the scan; one
+    * final tiny aggregate per slice.
+    */
+  def weightedSample(docs: DataFrame, sliceCol: String = "lang", seed: String = "wsample"): DataFrame = {
+    val w = mixtureWeights(docs, sliceCol)
+      .withColumn("ratio", expr("weight_ppm * 1000000 div greatest(raw_ppm, 1L)"))
+      .withColumn("accept_ppm",
+        expr("least(ratio * 1000000 div (max(ratio) over ()), 1000000L)"))
+      .select(col(sliceCol), col("n_docs"), col("weight_ppm"), col("raw_ppm"), col("accept_ppm"))
+    val u = portableHash(concat(lit(s"$seed|"), col("doc_id").cast("string"))) % 1000000L
+    docs.select(col("doc_id"), col(sliceCol))
+      .join(broadcast(w), Seq(sliceCol))
+      .withColumn("kept", u < col("accept_ppm"))
+      .groupBy(col(sliceCol))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("weight_ppm")).as("weight_ppm"),
+        first(col("raw_ppm")).as("raw_ppm"),
+        first(col("accept_ppm")).as("accept_ppm"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

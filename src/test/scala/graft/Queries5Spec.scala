@@ -377,6 +377,55 @@ class Queries5Spec extends SparkSpec {
     assert(Multimodal.decodeBmpFiles(path).count() == 3)
   }
 
+  test("funnel rates: reach and conversion collapse the per-user funnel correctly") {
+    val day = 3600000000000L // one hour in nanos
+    val e = Seq(
+      (1L, 0L, "view"), (1L, 1L, "click"), (1L, 2L, "purchase"), // full journey
+      (2L, 0L, "view"), (2L, 1L, "click"),                       // stops at click
+      (3L, 0L, "view"),                                          // view only
+      (4L, 0L, "click"))                                         // click w/o view: not in funnel
+      .map { case (u, h, t) => (u, h * day, t) }
+      .toDF("user_id", "ts", "event_type")
+      .select(lit(1L).as("event_id"), col("ts"), col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val r = Events.funnelRates(e, Seq("view", "click", "purchase")).orderBy("step_index").collect()
+    assert(r.map(_.getAs[Long]("n_users")).toList == List(3L, 2L, 1L))
+    assert(r(1).getAs[Long]("conv_from_prev_ppm") == 666666L) // 2/3
+    assert(r(2).getAs[Long]("conv_from_prev_ppm") == 500000L) // 1/2
+    assert(r(2).getAs[Long]("conv_from_first_ppm") == 333333L) // 1/3
+  }
+
+  test("SES forecast: level halves toward each observation; first-day residual is zero") {
+    val day = 86400000000000L
+    val e = Seq((0L, 100.0), (1L, 200.0), (2L, 200.0))
+      .map { case (d, v) => (d * day, v) }
+      .toDF("ts", "value")
+      .select(lit(1L).as("event_id"), col("ts"), lit(1L).as("user_id"),
+        lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+    val r = Events.sesForecast(e).orderBy("day").collect()
+    assert(r(0).getAs[Long]("level") == 10000L && r(0).getAs[Long]("residual_cents") == 0L)
+    assert(r(1).getAs[Long]("forecast") == 10000L) // yesterday's level
+    assert(r(1).getAs[Long]("level") == 15000L)    // (20000+10000)/2
+    assert(r(2).getAs[Long]("level") == 17500L)
+    assert(r(2).getAs[Long]("residual_cents") == 20000L - 15000L)
+  }
+
+  test("weighted sample: over-represented slices are cut toward the √n targets, minority kept whole") {
+    val d = (1L to 90L).map(i => (i, "en")) ++ (91L to 100L).map(i => (i, "ko"))
+    val docs = d.toDF("doc_id", "lang").withColumn("text", lit("x"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(1L))
+    val r = graft.ext.TrainPrep.weightedSample(docs).orderBy("lang").collect()
+    val en = r(0); val ko = r(1)
+    // ko is the most up-weighted slice -> keeps everything
+    assert(ko.getAs[Long]("accept_ppm") == 1000000L && ko.getAs[Long]("n_kept") == 10L)
+    // en is down-sampled: acceptance strictly below 1 and kept < n_docs
+    assert(en.getAs[Long]("accept_ppm") < 1000000L)
+    assert(en.getAs[Long]("n_kept") < 90L && en.getAs[Long]("n_kept") > 0L)
+    // determinism: the same call keeps the same count
+    val r2 = graft.ext.TrainPrep.weightedSample(docs).orderBy("lang").collect()
+    assert(r2(0).getAs[Long]("n_kept") == en.getAs[Long]("n_kept"))
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
