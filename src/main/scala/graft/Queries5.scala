@@ -150,6 +150,19 @@ object Queries5 {
       Multimodal.decodeBmpFiles(path).orderBy("doc_id")
     }),
 
+    // two-consecutive-breaches alerting over the hourly anomaly cells
+    "events_anomaly_debounce" -> ((s, dir) =>
+      Events.anomalyDebounce(t(s, dir, "events"))
+        .orderBy("event_type", "day", "hod")),
+
+    // the first BPE training step: corpus adjacent char-pair counts
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents")).orderBy("rank")),
+
+    // per-dimension p99 |value| clip for int8 index calibration
+    "embedding_clip_calibration" -> ((s, dir) =>
+      Similarity.clipCalibration(t(s, dir, "embeddings")).orderBy("dim")),
+
     // the funnel dashboard table: per step, reach and conversion ppm
     "events_funnel_rates" -> ((s, dir) =>
       Events.funnelRates(t(s, dir, "events"), Seq("view", "click", "purchase"))
@@ -608,6 +621,61 @@ object Queries5 {
     },
 
     "binary_file_source_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
+
+    "events_anomaly_debounce" ->
+      """WITH cells AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+         base AS (
+           SELECT event_type, hod,
+                  CAST(sum(n) AS BIGINT) AS base_total,
+                  CAST(count(*) AS BIGINT) AS n_days
+           FROM cells GROUP BY 1, 2),
+         a AS (
+           SELECT c.event_type, c.day, c.hod, c.n,
+                  CAST(base_total // n_days AS BIGINT) AS baseline_n,
+                  CAST(c.n * n_days * 1000000 // base_total AS BIGINT) AS ratio_ppm,
+                  (c.n * n_days * 100 > 150 * base_total) AS is_anomaly,
+                  c.day * 24 + c.hod AS abs_hour
+           FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod),
+         l AS (SELECT *, lag(is_anomaly) OVER w AS pa, lag(abs_hour) OVER w AS ph
+               FROM a WINDOW w AS (PARTITION BY event_type ORDER BY abs_hour))
+         SELECT event_type, day, hod, n, baseline_n, ratio_ppm, is_anomaly,
+                (is_anomaly AND coalesce(pa AND ph = abs_hour - 1, FALSE)) AS is_alert
+         FROM l ORDER BY event_type, day, hod""",
+
+    "bpe_pair_counts" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT substr(w, CAST(i AS INT), 1) AS a, substr(w, CAST(i AS INT) + 1, 1) AS b
+               FROM (SELECT w, unnest(range(1, length(w))) AS i
+                     FROM wds WHERE length(w) >= 2)),
+         c AS (SELECT a, b, count(*) AS n_pairs FROM p GROUP BY 1, 2),
+         r AS (SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, a, b) AS INT) AS rank,
+                      a, b, n_pairs
+               FROM c)
+         SELECT rank, a, b, n_pairs FROM r WHERE rank <= 20 ORDER BY rank""",
+
+    "embedding_clip_calibration" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         v AS (SELECT CAST(t.i AS INT) AS dim, abs(q[CAST(t.i AS INT) + 1]) AS a
+               FROM q, range(64) t(i)),
+         c AS (SELECT dim, a, count(*) AS c FROM v GROUP BY 1, 2),
+         wn AS (SELECT dim, a, c,
+                       sum(c) OVER (PARTITION BY dim ORDER BY a ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(c) OVER (PARTITION BY dim) AS n_vals,
+                       max(a) OVER (PARTITION BY dim) AS max_q
+                FROM c),
+         sel AS (SELECT dim, min(a) AS clip_q, min(n_vals) AS n_vals, min(max_q) AS max_q
+                 FROM wn WHERE cum * 100 >= n_vals * 99 GROUP BY dim)
+         SELECT dim, CAST(clip_q AS BIGINT) AS clip_q, CAST(n_vals AS BIGINT) AS n_vals,
+                CAST(max_q AS BIGINT) AS max_q,
+                CAST((max_q - clip_q) * 1000000 // greatest(max_q, 1) AS BIGINT) AS headroom_ppm
+         FROM sel ORDER BY dim""",
 
     "events_funnel_rates" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

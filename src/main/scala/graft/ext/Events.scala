@@ -276,6 +276,26 @@ object Events {
         col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
   }
 
+  /** Debounced alerting over [[hourlyAnomalies]]: a cell pages only
+    * when it AND the immediately preceding hour are both anomalous —
+    * the standard "two consecutive breaches" rule that keeps one-hour
+    * blips out of the pager. One lag window over the (type, hour)
+    * cell frame (already aggregate-sized); gaps in the hour sequence
+    * break runs by construction (the previous ROW must be the
+    * previous HOUR).
+    */
+  def anomalyDebounce(events: DataFrame, thresholdPct: Int = 150): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("abs_hour")
+    hourlyAnomalies(events, thresholdPct)
+      .withColumn("abs_hour", expr("day * 24 + hod"))
+      .withColumn("prev_anom", lag(col("is_anomaly"), 1).over(w))
+      .withColumn("prev_hour", lag(col("abs_hour"), 1).over(w))
+      .withColumn("is_alert",
+        col("is_anomaly") &&
+          coalesce(col("prev_anom") && col("prev_hour") === col("abs_hour") - 1, lit(false)))
+      .drop("abs_hour", "prev_anom", "prev_hour")
+  }
+
   /** Cohort lifetime-value curve: users grouped by first-seen day
     * (the acquisition cohort); for each (cohort, age-in-days) cell the
     * active users, that day's exact revenue cents, the RUNNING

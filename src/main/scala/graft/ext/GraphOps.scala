@@ -82,6 +82,45 @@ object GraphOps {
     * (the standard mitigation, semantics-changing, so left to the
     * caller).
     */
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k until a fixpoint — the surviving subgraph is the k-core, the
+    * standard "dense cohesive community" extraction. Returns the
+    * surviving nodes with their core-internal degree.
+    *
+    * Scale shape per round: one symmetric-degree aggregate + two
+    * semi-joins that shrink the edge list; the edge set REPLACES
+    * itself (localCheckpoint truncates lineage), and convergence is an
+    * edge-count fixpoint. Rounds are bounded by the peel depth —
+    * power-law graphs converge in a few dozen rounds; each round's
+    * cost shrinks with the graph. (No DuckDB oracle: per-round
+    * aggregation is outside recursive-CTE SQL — the spec pins
+    * semantics on hand-built graphs instead.)
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("ea"), col("eb"))
+      .filter(col("ea") =!= col("eb")).distinct().localCheckpoint(true)
+    var prevEdges = -1L
+    var round = 0
+    var nEdges = e.count()
+    while (nEdges != prevEdges && nEdges > 0 && round < maxRounds) {
+      prevEdges = nEdges
+      val sym = e.select(col("ea").as("u"), col("eb").as("v"))
+        .unionByName(e.select(col("eb").as("u"), col("ea").as("v")))
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      e = e.join(keep.select(col("u").as("ea")), Seq("ea"), "left_semi")
+        .join(keep.select(col("u").as("eb")), Seq("eb"), "left_semi")
+        .localCheckpoint(true)
+      nEdges = e.count()
+      round += 1
+    }
+    val sym = e.select(col("ea").as("u"), col("eb").as("v"))
+      .unionByName(e.select(col("eb").as("u"), col("ea").as("v")))
+    sym.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node"), col("core_degree"))
+  }
+
   def neighborJaccard(edges: DataFrame): DataFrame = {
     val und = edges.select(col("ea").as("u"), col("eb").as("v"))
       .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))

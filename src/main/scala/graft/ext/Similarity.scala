@@ -471,6 +471,42 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Quantile-clip calibration for int8 quantization — the
+    * [[int8QuantQc]] companion that DECIDES the clip: per embedding
+    * dimension, the exact nearest-rank `pct`-th percentile of |value|
+    * on the 1e-6 grid, next to the dimension max. A max/p99 gap means
+    * outliers are stealing the int8 range and the index should clip at
+    * p99 — the standard activation/embedding calibration rule.
+    *
+    * Scale shape: explode to (dim, |q|) grain, histogram-form
+    * percentile (count per distinct value, running sum, first value
+    * crossing the rank) — the same exact-percentile discipline as the
+    * relational binning keys; the shuffle is keyed by dim, so
+    * parallelism = dimensionality and each partition holds one dim's
+    * value histogram.
+    */
+  def clipCalibration(embeddings: DataFrame, pct: Int = 99): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val vals = Scale.widen(embeddings)
+      .select(posexplode(quantized(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+      .select(col("dim"), abs(col("v")).as("a"))
+    val counts = vals.groupBy(col("dim"), col("a")).agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy("dim").orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("dim")
+    counts
+      .withColumn("cum", sum(col("c")).over(run))
+      .withColumn("n_vals", sum(col("c")).over(whole))
+      .withColumn("max_q", max(col("a")).over(whole))
+      .filter(col("cum") * 100 >= col("n_vals") * pct)
+      .groupBy(col("dim"))
+      .agg(min(col("a")).as("clip_q"),
+        first(col("n_vals")).as("n_vals"),
+        first(col("max_q")).as("max_q"))
+      .withColumn("headroom_ppm", expr("(max_q - clip_q) * 1000000 div greatest(max_q, 1L)"))
+  }
+
   /** kNN-distance outlier scoring — the data-pruning signal of the
     * SemDeDup/SSL-prototypes family: a vector whose k-th nearest
     * neighbor is still far away sits in no semantic cluster (OCR

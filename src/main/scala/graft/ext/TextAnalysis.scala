@@ -375,6 +375,32 @@ object TextAnalysis {
       coalesce(array_min(transform(shingles(tokens(col("text")), k), x => md5(x))), lit(""))
         .as("min_shingle_hash"))
 
+  /** The first BPE training step: corpus-wide adjacent character-pair
+    * frequencies over the initial (per-character) symbol alphabet, and
+    * the top-k merge candidates — byte-pair-encoding picks the argmax
+    * of exactly this table each round, so the top row IS the first
+    * merge a tokenizer trained on this corpus would learn. Ranked
+    * (count desc, then pair lexicographic) for a deterministic answer.
+    *
+    * Scale shape: one explode to (pair) grain, one partial-aggregated
+    * count keyed by pair (alphabet² keys — tiny), top-k via
+    * TakeOrderedAndProject. Iterating merges re-runs this with a
+    * re-tokenized corpus; the per-round dataflow is identical.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, length(w) - 1),
+             i -> struct(substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("n_pairs").desc, col("a"), col("b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("rank"), col("a"), col("b"), col("n_pairs"))
+  }
+
   /** Corpus-frequency rare-token ratio — the CCNet-family quality
     * signal the per-doc [[qualityScore]] heuristics can't see: a doc
     * whose tokens rarely appear anywhere else in the corpus is likely

@@ -426,6 +426,57 @@ class Queries5Spec extends SparkSpec {
     assert(r2(0).getAs[Long]("n_kept") == en.getAs[Long]("n_kept"))
   }
 
+  test("anomaly debounce: a lone breach stays quiet, two consecutive hours page") {
+    val hour = 3600000000000L // nanos
+    // type 'a': 26 days of 1 event at hour 0 establish the baseline;
+    // day 30 gets a burst at hours 0 AND 1, day 40 a lone burst at hour 0
+    val rows =
+      (0L until 26L).map(d => (d * 24L * hour, "a")) ++
+      (0L until 26L).map(d => (d * 24L * hour + hour, "a")) ++
+      Seq.fill(10)((30L * 24L * hour, "a")) ++ Seq.fill(10)((30L * 24L * hour + hour, "a")) ++
+      Seq.fill(10)((40L * 24L * hour, "a"))
+    val e = rows.toDF("ts", "event_type")
+      .select(lit(1L).as("event_id"), col("ts"), lit(1L).as("user_id"),
+        col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+    val r = Events.anomalyDebounce(e).collect()
+    def cell(day: Long, hod: Long) =
+      r.find(x => x.getAs[Long]("day") == day && x.getAs[Long]("hod") == hod).get
+    assert(cell(30, 0).getAs[Boolean]("is_anomaly") && !cell(30, 0).getAs[Boolean]("is_alert"))
+    assert(cell(30, 1).getAs[Boolean]("is_alert"), "second consecutive breach must page")
+    assert(cell(40, 0).getAs[Boolean]("is_anomaly") && !cell(40, 0).getAs[Boolean]("is_alert"))
+  }
+
+  test("BPE pair counts: the dominant adjacent pair ranks first with its exact count") {
+    val d = Seq((1L, "aab aab x"), (2L, "aab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairCounts(d, k = 5).orderBy("rank").collect()
+    // pairs per "aab": (a,a), (a,b) -> 3 occurrences each; tie broken lexicographically
+    assert(r(0).getAs[String]("a") == "a" && r(0).getAs[String]("b") == "a")
+    assert(r(0).getAs[Long]("n_pairs") == 3)
+    assert(r(1).getAs[String]("b") == "b" && r(1).getAs[Long]("n_pairs") == 3)
+    assert(!r.exists(_.getAs[String]("a") == "x"), "1-char words contribute no pairs")
+  }
+
+  test("clip calibration: nearest-rank p99 sits at or below the max, headroom exact") {
+    val d = vecs(
+      (0L to 9L).map(i => i -> (Seq.fill(3)(0.1f) :+ (if (i == 9) 10f else 0.2f))): _*)
+    val r = Similarity.clipCalibration(d, pct = 90).orderBy("dim").collect()
+    // dim 3: nine 0.2e6 values + one 10e6 outlier; p90 of 10 values = 9th asc = 200000
+    val d3 = r(3)
+    assert(d3.getAs[Long]("clip_q") == 200000L && d3.getAs[Long]("max_q") == 10000000L)
+    assert(d3.getAs[Long]("headroom_ppm") == (10000000L - 200000L) * 1000000L / 10000000L)
+    assert(r(0).getAs[Long]("clip_q") == 100000L && r(0).getAs[Long]("headroom_ppm") == 0L)
+  }
+
+  test("k-core: the 3-core of a clique-plus-tail is exactly the clique") {
+    // K4 on {1,2,3,4} plus tail 4-5-6
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("ea", "eb")
+    val core = GraphOps.kCore(e, k = 3).collect()
+    assert(core.map(_.getAs[Long]("node")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(core.forall(_.getAs[Long]("core_degree") == 3L))
+    assert(GraphOps.kCore(e, k = 4).count() == 0, "no 4-core exists")
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
