@@ -150,6 +150,14 @@ object Queries5 {
       Multimodal.decodeBmpFiles(path).orderBy("doc_id")
     }),
 
+    // reproducibility artifact: per-shard counts + content checksums
+    "dataset_shard_manifest" -> ((s, dir) =>
+      graft.ext.TrainPrep.shardManifest(t(s, dir, "documents")).orderBy("shard")),
+
+    // fabricated-numbers screen: leading-digit profile vs Benford ppm
+    "events_benford_digits" -> ((s, dir) =>
+      Events.benfordDigits(t(s, dir, "events")).orderBy("digit")),
+
     // two-consecutive-breaches alerting over the hourly anomaly cells
     "events_anomaly_debounce" -> ((s, dir) =>
       Events.anomalyDebounce(t(s, dir, "events"))
@@ -621,6 +629,36 @@ object Queries5 {
     },
 
     "binary_file_source_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
+
+    "dataset_shard_manifest" ->
+      """WITH h AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                           list_reduce(
+                             [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                               regexp_extract_all(md5('shuffle|' || CAST(doc_id AS VARCHAR)), '.')],
+                             (a, b) -> (a * 31 + b) % 1000000007) AS sk
+                    FROM documents)
+         SELECT sk % 8 AS shard, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+                CAST(sum(sk) % 1000000007 AS BIGINT) AS hash_checksum
+         FROM h GROUP BY 1 ORDER BY shard""",
+
+    "events_benford_digits" -> {
+      val benfordCase = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938 " +
+        "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991 " +
+        "WHEN 8 THEN 51152 WHEN 9 THEN 45757 END"
+      s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+                     WHERE CAST(round(value * 100) AS BIGINT) > 0),
+         d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+         g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT digit, g.n,
+                CAST(g.n * 1000000 // t.tot AS BIGINT) AS observed_ppm,
+                CAST($benfordCase AS BIGINT) AS benford_ppm,
+                CAST(g.n * 1000000 // t.tot - ($benfordCase) AS BIGINT) AS delta_ppm
+         FROM g, t ORDER BY digit"""
+    },
 
     "events_anomaly_debounce" ->
       """WITH cells AS (

@@ -276,6 +276,31 @@ object Events {
         col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
   }
 
+  /** Benford leading-digit profile of the value column — the classic
+    * fabricated-numbers screen: organic transaction amounts follow
+    * log-uniform leading digits (30.1% ones …), synthetic or capped
+    * data doesn't. Emits per digit the count, observed share in exact
+    * ppm, the Benford expectation (log10(1+1/d) pre-computed as ppm
+    * literals — no float math in the plan), and the signed deviation.
+    * One projection + one 9-row aggregate over the scan.
+    */
+  def benfordDigits(events: DataFrame): DataFrame = {
+    // floor(log10(1+1/d) * 1e6) for d = 1..9
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+    val expect = benford.zipWithIndex
+      .map { case (ppm, i) => s"WHEN ${i + 1} THEN ${ppm}L" }
+      .mkString("CASE digit ", " ", " END")
+    events
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", expr("cast(substring(cast(cents as string), 1, 1) as int)"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("observed_ppm", expr("n * 1000000 div (sum(n) over ())"))
+      .withColumn("benford_ppm", expr(expect))
+      .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
+  }
+
   /** Debounced alerting over [[hourlyAnomalies]]: a cell pages only
     * when it AND the immediately preceding hour are both anomalous —
     * the standard "two consecutive breaches" rule that keeps one-hour

@@ -639,7 +639,7 @@ object Similarity {
     val dtab = probed
       .select(col("q_id"), col("cell_id"), posexplode(expr(subvectors("qr", m))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "q_sub")
-      .join(cb, Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("cell_id"), col("sub"), col("cid"),
         expr(l2sq("q_sub", "c_sub")).as("d2"))
     val adc = codes.join(broadcast(dtab), Seq("cell_id", "sub", "cid"))

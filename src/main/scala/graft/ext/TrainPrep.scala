@@ -219,6 +219,27 @@ object TrainPrep {
       .select(col("doc_id"), col("shard"), col("sort_key"), col("position"))
   }
 
+  /** Shard manifest — the reproducibility artifact a training run
+    * records next to its shards: per shard, the document count, total
+    * whitespace tokens, and two order-insensitive content checksums
+    * (sum of ids, sum of per-doc hashes mod 1e9+7) so a re-materialized
+    * shard can be verified without re-reading the original corpus.
+    * Built on [[shardShuffle]]'s deterministic assignment; exact
+    * integers throughout.
+    */
+  def shardManifest(docs: DataFrame, shards: Int = 8, seed: String = "shuffle"): DataFrame = {
+    val assigned = shardShuffle(docs.select(col("doc_id")), shards, seed)
+      .select(col("doc_id"), col("shard"), col("sort_key"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(assigned, Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("doc_id")).as("id_checksum"),
+        (sum(col("sort_key")) % 1000000007L).as("hash_checksum"))
+  }
+
   /** Temperature-resampling mixture weights (α = 0.5): per slice,
     * weight ∝ √n normalized to ppm — the standard multilingual
     * data-mixing recipe that upsamples small languages relative to

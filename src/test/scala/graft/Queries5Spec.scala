@@ -477,6 +477,55 @@ class Queries5Spec extends SparkSpec {
     assert(GraphOps.kCore(e, k = 4).count() == 0, "no 4-core exists")
   }
 
+  test("shard manifest: checksums reconstruct from the pure per-id hash; shards partition the corpus") {
+    val docs = (1L to 40L).map(i => (i, "w " * i.toInt)).toDF("doc_id", "text")
+    val m = graft.ext.TrainPrep.shardManifest(docs).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 40L)
+    assert(m.map(_.getAs[Long]("id_checksum")).sum == (1L to 40L).sum)
+    // re-running yields the identical manifest (pure function of ids)
+    val m2 = graft.ext.TrainPrep.shardManifest(docs).collect()
+    assert(m.sortBy(_.getAs[Long]("shard")).toSeq == m2.sortBy(_.getAs[Long]("shard")).toSeq)
+  }
+
+  test("benford digits: shares sum to ~1e6 and the expectation column carries the log table") {
+    val e = (1L to 300L).map(i => (i % 90 + 10).toDouble) // uniform 10..99 cents
+      .toDF("value")
+      .select(lit(1L).as("event_id"), lit(0L).as("ts"), lit(1L).as("user_id"),
+        lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+    val r = Events.benfordDigits(e).orderBy("digit").collect()
+    assert(r.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val total = r.map(_.getAs[Long]("observed_ppm")).sum
+    assert(total > 999990L && total <= 1000000L) // floor-div rounding only
+    assert(r(0).getAs[Long]("benford_ppm") == 301029L)
+    assert(r.forall(x => x.getAs[Long]("delta_ppm") ==
+      x.getAs[Long]("observed_ppm") - x.getAs[Long]("benford_ppm")))
+  }
+
+  // ---- plan-shape assertions: the scale properties the new family promises ----
+
+  test("PQ encode scores candidates against a BROADCAST codebook — no shuffle join on the corpus") {
+    val p = plan(SparkEntry.queries("embedding_pq_encode")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "codebook must broadcast:\n" + p.take(1500))
+  }
+
+  test("IVF-PQ search joins codes to broadcast distance tables — no corpus-side SMJ") {
+    val p = plan(SparkEntry.queries("knn_ivfpq")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "centroids/codebook/dtab must broadcast:\n" + p.take(1500))
+  }
+
+  test("weighted sample broadcasts the slice weight table onto the scan") {
+    val p = plan(SparkEntry.queries("dataset_weighted_sample")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("DQ referential checks run as hash anti-joins, never nested-loop") {
+    val p = plan(SparkEntry.queries("dq_expectations")(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "anti-joins must stay equi-hash:\n" + p.take(1500))
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
