@@ -185,6 +185,28 @@ object Queries5 {
     "dataset_weighted_sample" -> ((s, dir) =>
       graft.ext.TrainPrep.weightedSample(t(s, dir, "documents")).orderBy("lang")),
 
+    // the compaction step the binaryFile docs promise: tiny objects →
+    // one parquet table with a binary column → decode from the compacted
+    // layout; stats must equal the file-scan and in-memory paths
+    "binary_file_compaction" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpfiles_c"
+      val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpcompact"
+      Multimodal.stageBmpFiles(t(s, dir, "documents"), stage)
+      s.read.format("binaryFile").load(stage)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1).cast("long").as("doc_id"),
+          col("content").as("payload"))
+        .repartition(4) // compact: many tiny objects -> few parquet files
+        .write.mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => Multimodal.decodeBmp(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // image-dedup final emit: highest-resolution member per phash
     // cluster survives (ties -> lowest id, so originals beat twins)
     "multimodal_phash_representatives" -> ((s, dir) => {
@@ -629,6 +651,8 @@ object Queries5 {
     },
 
     "binary_file_source_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
+
+    "binary_file_compaction" -> ExtQueries.oracles("multimodal_bmp_decode"),
 
     "dataset_shard_manifest" ->
       """WITH h AS (SELECT doc_id,

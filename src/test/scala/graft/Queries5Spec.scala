@@ -526,6 +526,16 @@ class Queries5Spec extends SparkSpec {
       "anti-joins must stay equi-hash:\n" + p.take(1500))
   }
 
+  test("binaryFile compaction: many tiny objects become few parquet files with identical decoded stats") {
+    val r = SparkEntry.queries("binary_file_compaction")(spark, sf("sf0.001")).collect()
+    val direct = SparkEntry.queries("multimodal_bmp_decode")(spark, sf("sf0.001")).collect()
+    assert(r.toSeq == direct.toSeq, "compacted decode must equal the in-memory decode")
+    val compacted = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpcompact")
+    val parts = compacted.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts <= 4, s"compaction must bound the file count, got $parts")
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
