@@ -92,6 +92,26 @@ object Queries5 {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
     }),
 
+    // Johnson-Lindenstrauss projection QC: top-k recall after a ±1
+    // random projection to 16 dims (deterministic hash sign matrix)
+    "knn_rp_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.randomProjectionRecall(e, e.filter(col("vec_id") < 16))
+        .orderBy("q_id")
+    }),
+
+    // daily-landing image dedup: new batch probed against the corpus
+    // hash index only — never corpus x corpus
+    "multimodal_phash_incremental" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val all = Multimodal.bmpWithPerturbedTwins(docs)
+      Multimodal.phashIncremental(
+          all.filter(col("doc_id") < 1000000L),
+          all.filter(col("doc_id") >= 1000000L))
+        .orderBy("old_id", "new_id")
+    }),
+
     // Matryoshka truncation QC: top-k recall of half-width embeddings
     "knn_truncated_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -495,6 +515,55 @@ object Queries5 {
                FROM adc)
          SELECT q_id, n_id, adc_d2, rank FROM r WHERE rank <= 5
          ORDER BY q_id, rank""",
+
+    "knn_rp_recall" -> {
+      def cos(a: String, b: String) =
+        s"""CAST(list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE)
+            / (sqrt(CAST(list_sum([$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE))
+               * sqrt(CAST(list_sum([$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]) AS DOUBLE)))"""
+      s"""WITH q AS (SELECT vec_id,
+                            [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                     FROM embeddings),
+         pj AS (SELECT vec_id, q,
+                       [CAST(list_sum(list_transform(range(0, 64),
+                          i -> CASE WHEN (i * 31 + j * 17) % 2 = 0 THEN q[i + 1]
+                                    ELSE -q[i + 1] END)) AS BIGINT)
+                        FOR j IN range(0, 16)] AS p
+                FROM q),
+         fsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        ${cos("qs.q", "c.q")} AS cosine
+                 FROM pj c JOIN (SELECT * FROM pj WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         fr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM fsc) WHERE rnk <= 5),
+         tsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        ${cos("qs.p", "c.p")} AS cosine
+                 FROM pj c JOIN (SELECT * FROM pj WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         tr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM tsc) WHERE rnk <= 5),
+         ov AS (SELECT fr.q_id, count(*) AS n_overlap
+                FROM fr JOIN tr ON tr.q_id = fr.q_id AND tr.n_id = fr.n_id
+                GROUP BY 1),
+         kf AS (SELECT q_id, count(*) AS k_full FROM fr GROUP BY 1)
+         SELECT kf.q_id, kf.k_full,
+                CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n_overlap, 0) * 1000000 // kf.k_full AS BIGINT) AS recall_ppm
+         FROM kf LEFT JOIN ov USING (q_id) ORDER BY q_id"""
+    },
+
+    "multimodal_phash_incremental" ->
+      s"""WITH $phashCtes
+         SELECT id_a AS old_id, id_b AS new_id,
+                CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand
+         WHERE id_a < 1000000 AND id_b >= 1000000
+           AND bit_count(xor(ha, hb)) <= 6
+         ORDER BY old_id, new_id""",
 
     "knn_truncated_recall" -> {
       def cos(a: String, b: String) =

@@ -751,6 +751,33 @@ object Multimodal {
     hammingPairs(bandedHashes(hashes, bands), maxHamming)
   }
 
+  /** Incremental perceptual dedup (batch form of
+    * [[graft.streaming.MediaIngest.phashIngest]]'s probe): a new image
+    * batch is matched against the EXISTING corpus only — one band
+    * equi-join of batch hashes against the corpus hash index, full
+    * Hamming verify, never corpus×corpus. The daily-landing shape; the
+    * corpus side is the persistable 8-byte-per-image index.
+    */
+  def phashIncremental(
+      corpus: Dataset[BmpRecord],
+      batch: Dataset[BmpRecord],
+      maxHamming: Int = 6,
+      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def hashed(m: Dataset[BmpRecord]): DataFrame =
+      m.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
+        .toDF("id", "hash")
+    bandedHashes(hashed(corpus), bands)
+      .select(col("band_idx"), col("band"), col("id").as("old_id"), col("hash").as("ho"))
+      .join(bandedHashes(hashed(batch), bands)
+          .select(col("band_idx"), col("band"), col("id").as("new_id"), col("hash").as("hn")),
+        Seq("band_idx", "band"))
+      .select(col("old_id"), col("new_id"),
+        expr("cast(bit_count(ho ^ hn) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Explode a (id, hash) frame into its LSH bands: one row per
     * contiguous `64/bands`-bit slice. The bucket key both the batch
     * pair join and the streaming index probe hash on.

@@ -471,6 +471,61 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) recall QC — the
+    * [[truncatedRecall]] sibling for the OTHER cheap-index option:
+    * project every vector to `outDims` dimensions with a deterministic
+    * ±1 sign matrix (sign = parity of a hash of (in-dim, out-dim) — no
+    * shared RNG needed, any engine rebuilds the same matrix), run
+    * exact top-k in both spaces, report per-query overlap recall in
+    * exact ppm. Projection happens on the 1e-6 integer grid, so
+    * projected coordinates are exact integer sums — no float
+    * accumulation order to disagree on.
+    *
+    * Scale shape: the projection is a per-row codegen'd fold
+    * (dim×outDims multiply-adds); both top-k passes broadcast the
+    * query set; the overlap join meets k·|Q| rows.
+    */
+  def randomProjectionRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      outDims: Int = 16,
+      k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    // proj[j] = sum_i sign(i, j) * q[i], sign = +1 iff (i*31 + j*17) % 2 = 0
+    def projected(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantized(col("embedding")).as("q"))
+        .select(col("vec_id"), expr(
+          s"""transform(sequence(0, ${outDims - 1}), j ->
+                aggregate(zip_with(q, sequence(0, size(q) - 1), (x, i) ->
+                    case when (i * 31 + j * 17) % 2 = 0 then x else -x end),
+                  cast(0 as bigint), (acc, v) -> acc + v))""").as("q"))
+    def topIds(c: DataFrame, qs: DataFrame): DataFrame = {
+      val cc = c.withColumn("nrm", qnorm(col("q")))
+      val qq = qs.select(col("vec_id").as("q_id"), col("q").as("qv"))
+        .withColumn("qnrm", qnorm(col("qv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      cc.select(col("vec_id").as("n_id"), col("q"), col("nrm"))
+        .join(broadcast(qq), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          qcosinePre(col("q"), col("qv"), col("nrm"), col("qnrm")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"))
+    }
+    val cq = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val qsq = queries.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val full = topIds(cq, qsq)
+    val rp = topIds(projected(Scale.widen(corpus)), projected(queries))
+    val overlap = full.join(rp, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
+  }
+
   /** Quantile-clip calibration for int8 quantization — the
     * [[int8QuantQc]] companion that DECIDES the clip: per embedding
     * dimension, the exact nearest-rank `pct`-th percentile of |value|

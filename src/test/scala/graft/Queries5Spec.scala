@@ -536,6 +536,32 @@ class Queries5Spec extends SparkSpec {
     assert(parts <= 4, s"compaction must bound the file count, got $parts")
   }
 
+  test("RP recall: projecting to the full dimension count with identity-ish signs keeps recall sane") {
+    // 4 well-separated vectors: RP to 16 dims from 8 keeps neighborhoods mostly intact
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f, 1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val r = Similarity.randomProjectionRecall(corpus, vecs(0L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      outDims = 16, k = 2).collect().head
+    assert(r.getAs[Long]("k_full") == 2L)
+    assert(r.getAs[Long]("recall_ppm") >= 500000L, "RP to 2x dims should keep most neighbors")
+    assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+  }
+
+  test("incremental phash probes batch-vs-corpus only: every twin pairs, no twin-twin pairs emitted") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 25).select(col("id").as("doc_id"))
+    val all = Multimodal.bmpWithPerturbedTwins(docs)
+    val r = Multimodal.phashIncremental(
+      all.filter(col("doc_id") < 1000000L),
+      all.filter(col("doc_id") >= 1000000L)).collect()
+    val planted = r.filter(x => x.getAs[Long]("new_id") == x.getAs[Long]("old_id") + 1000000L)
+    assert(planted.length == 25, s"every twin must hit its original, got ${planted.length}")
+    assert(r.forall(x => x.getAs[Long]("old_id") < 1000000L && x.getAs[Long]("new_id") >= 1000000L))
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
