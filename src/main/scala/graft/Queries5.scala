@@ -18,6 +18,33 @@ object Queries5 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // the SQL text entry point: the same declarative plan via
+    // spark.sql over temp views (proves the parser-to-Catalyst path
+    // yields the oracle-identical result)
+    "sql_text_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_price_c,
+               cast(sum(cast(round(l_quantity) as bigint)) as bigint) AS sum_qty
+               FROM lineitem_v GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // malformed-data tolerance: try_cast over a semi-structured field
+    // never throws — the per-type success/failure accounting a robust
+    // ingest records instead of dying on the first bad record
+    "malformed_tolerant_parse" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k"),
+          expr("try_cast(get_json_object(props, '$.missing') as bigint)").as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_k_ok"),
+          sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_m_ok"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+        .orderBy("event_type")),
+
     // user-grain event-type co-occurrence lift (attract/repel in ppm)
     "events_type_lift" -> ((s, dir) =>
       Assoc.eventTypeLift(t(s, dir, "events")).orderBy("type_a", "type_b")),
@@ -284,6 +311,22 @@ object Queries5 {
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
 
   val oracles: Map[String, String] = Map(
+
+    "sql_text_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "malformed_tolerant_parse" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ok,
+         CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_m_ok,
+         CAST(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "events_type_lift" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
