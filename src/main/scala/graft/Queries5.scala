@@ -45,6 +45,18 @@ object Queries5 {
           sum(coalesce(col("k"), lit(0L))).as("sum_k"))
         .orderBy("event_type")),
 
+    // lifecycle-order QC: per-rule violation counts over user journeys
+    "events_sequence_conformance" -> ((s, dir) =>
+      Events.sequenceConformance(t(s, dir, "events")).orderBy("rule")),
+
+    // ANN index health: inverted-list sizes + coarse quantization error
+    "ivf_cell_stats" -> ((s, dir) =>
+      Similarity.ivfCellStats(t(s, dir, "embeddings")).orderBy("cell_id")),
+
+    // rights screening: ownership-marker hits per source slice
+    "text_license_screen" -> ((s, dir) =>
+      TextAnalysis.licenseScreen(t(s, dir, "documents")).orderBy("source")),
+
     // user-grain event-type co-occurrence lift (attract/repel in ppm)
     "events_type_lift" -> ((s, dir) =>
       Assoc.eventTypeLift(t(s, dir, "events")).orderBy("type_a", "type_b")),
@@ -311,6 +323,74 @@ object Queries5 {
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
 
   val oracles: Map[String, String] = Map(
+
+    "events_sequence_conformance" ->
+      """WITH t AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+                  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase,
+                  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+                  min(epoch_us(ts)) AS first_any
+           FROM events GROUP BY user_id),
+         n AS (SELECT count(*) AS n_users FROM t)
+         SELECT 'click_before_first_view' AS rule,
+                CAST((SELECT sum(CASE WHEN first_click IS NOT NULL AND first_view IS NOT NULL
+                                       AND first_click < first_view THEN 1 ELSE 0 END) FROM t) AS BIGINT) AS n_violations,
+                n_users,
+                CAST((SELECT sum(CASE WHEN first_click IS NOT NULL AND first_view IS NOT NULL
+                                       AND first_click < first_view THEN 1 ELSE 0 END) FROM t)
+                     * 1000000 // n_users AS BIGINT) AS violation_ppm
+         FROM n
+         UNION ALL
+         SELECT 'purchase_without_view',
+                CAST((SELECT sum(CASE WHEN first_purchase IS NOT NULL AND first_view IS NULL
+                                      THEN 1 ELSE 0 END) FROM t) AS BIGINT),
+                n_users,
+                CAST((SELECT sum(CASE WHEN first_purchase IS NOT NULL AND first_view IS NULL
+                                      THEN 1 ELSE 0 END) FROM t) * 1000000 // n_users AS BIGINT)
+         FROM n
+         UNION ALL
+         SELECT 'signup_not_first_event',
+                CAST((SELECT sum(CASE WHEN first_signup IS NOT NULL AND first_signup > first_any
+                                      THEN 1 ELSE 0 END) FROM t) AS BIGINT),
+                n_users,
+                CAST((SELECT sum(CASE WHEN first_signup IS NOT NULL AND first_signup > first_any
+                                      THEN 1 ELSE 0 END) FROM t) * 1000000 // n_users AS BIGINT)
+         FROM n
+         ORDER BY rule""",
+
+    "ivf_cell_stats" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM q WHERE vec_id < 8),
+         ad AS (SELECT a.vec_id, c.cell_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                         i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS BIGINT) AS d2c
+                FROM q a, cent c),
+         asg AS (SELECT vec_id, cell_id, d2c FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                  FROM ad) WHERE rn = 1)
+         SELECT cell_id, count(*) AS n_members,
+                CAST(sum(d2c) AS BIGINT) AS sum_d2c,
+                CAST(max(d2c) AS BIGINT) AS max_d2c,
+                CAST(sum(d2c) // count(*) AS BIGINT) AS mean_d2c
+         FROM asg GROUP BY cell_id ORDER BY cell_id""",
+
+    "text_license_screen" ->
+      """WITH h AS (SELECT source,
+                           CASE WHEN lower(text) LIKE '%copyright%' THEN 1 ELSE 0 END AS hc,
+                           CASE WHEN lower(text) LIKE '%all rights reserved%' THEN 1 ELSE 0 END AS hr,
+                           CASE WHEN lower(text) LIKE '%license%' THEN 1 ELSE 0 END AS hl
+                    FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(hc) AS BIGINT) AS n_copyright,
+                CAST(sum(hr) AS BIGINT) AS n_rights_reserved,
+                CAST(sum(hl) AS BIGINT) AS n_license,
+                CAST(sum(greatest(hc, hr, hl)) AS BIGINT) AS n_flagged,
+                CAST(sum(greatest(hc, hr, hl)) * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+         FROM h GROUP BY source ORDER BY source""",
 
     "sql_text_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -276,6 +276,41 @@ object Events {
         col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
   }
 
+  /** Sequence-conformance QC — the DATA-quality sibling of
+    * [[graft.ext.Profile.expectations]] for event ORDER: per rule, how
+    * many users violate the expected lifecycle ("purchased without
+    * ever viewing", "clicked before the first view", "signup seen
+    * after other activity"). Emits one exact count row per rule; a
+    * conformant pipeline reads all zeros.
+    *
+    * Shape: one per-(user, type) min/max aggregate (a single shuffle
+    * keyed by user), then per-rule conditional counts over that
+    * |users|-row frame.
+    */
+  def sequenceConformance(events: DataFrame): DataFrame = {
+    val times = events
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase"),
+        min(when(col("event_type") === "signup", col("ts_us"))).as("first_signup"),
+        min(col("ts_us")).as("first_any"))
+    def rule(name: String, cond: org.apache.spark.sql.Column) =
+      times.agg(sum(when(cond, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_users"))
+        .select(lit(name).as("rule"), col("n_violations"), col("n_users"),
+          expr("n_violations * 1000000 div n_users").as("violation_ppm"))
+    rule("purchase_without_view",
+        col("first_purchase").isNotNull && col("first_view").isNull)
+      .unionByName(rule("click_before_first_view",
+        col("first_click").isNotNull && col("first_view").isNotNull &&
+          col("first_click") < col("first_view")))
+      .unionByName(rule("signup_not_first_event",
+        col("first_signup").isNotNull && col("first_signup") > col("first_any")))
+  }
+
   /** Benford leading-digit profile of the value column — the classic
     * fabricated-numbers screen: organic transaction amounts follow
     * log-uniform leading digits (30.1% ones …), synthetic or capped

@@ -471,6 +471,34 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF index-health report — the per-cell stats an ANN index build
+    * logs: inverted-list size (skew here = slow probes on hot cells)
+    * and the exact sum of coarse quantization L2² (high = the cell's
+    * centroid represents its members poorly → retrain). Shares the
+    * coarse-assignment contract with [[ivfPqTopK]] (lowest-id seeds,
+    * lowest-cell ties).
+    *
+    * Shape: one broadcast argmin over the scan + one |cells|-row
+    * aggregate.
+    */
+  def ivfCellStats(corpus: DataFrame, cells: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"), quantized(col("embedding")).as("cq"))
+    Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("best.d2c").as("d2c"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2c")).as("sum_d2c"),
+        max(col("d2c")).as("max_d2c"))
+      .withColumn("mean_d2c", expr("sum_d2c div n_members"))
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) recall QC — the
     * [[truncatedRecall]] sibling for the OTHER cheap-index option:
     * project every vector to `outDims` dimensions with a deterministic

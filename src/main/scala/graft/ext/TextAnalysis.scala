@@ -375,6 +375,29 @@ object TextAnalysis {
       coalesce(array_min(transform(shingles(tokens(col("text")), k), x => md5(x))), lit(""))
         .as("min_shingle_hash"))
 
+  /** License / rights screening — the curation gate that quarantines
+    * text carrying ownership markers before it reaches a training mix:
+    * per (source) slice, how many documents match each marker pattern
+    * (case-insensitive "copyright", "all rights reserved", "license")
+    * and the flagged fraction in exact ppm. Pure scan-shaped regex
+    * projection + one small aggregate.
+    */
+  def licenseScreen(docs: DataFrame): DataFrame = {
+    def hit(pat: String) = when(lower(col("text")).rlike(pat), 1L).otherwise(0L)
+    docs
+      .select(col("source"),
+        hit("copyright").as("h_copyright"),
+        hit("all rights reserved").as("h_rights"),
+        hit("license").as("h_license"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h_copyright")).as("n_copyright"),
+        sum(col("h_rights")).as("n_rights_reserved"),
+        sum(col("h_license")).as("n_license"),
+        sum(greatest(col("h_copyright"), col("h_rights"), col("h_license"))).as("n_flagged"))
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000 div n_docs"))
+  }
+
   /** The first BPE training step: corpus-wide adjacent character-pair
     * frequencies over the initial (per-character) symbol alphabet, and
     * the top-k merge candidates — byte-pair-encoding picks the argmax

@@ -562,6 +562,48 @@ class Queries5Spec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("old_id") < 1000000L && x.getAs[Long]("new_id") >= 1000000L))
   }
 
+  test("sequence conformance: planted lifecycle violations count into the right rule rows") {
+    val e = Seq(
+      (1L, 0L, "view"), (1L, 1L, "click"),       // conformant
+      (2L, 0L, "click"), (2L, 1L, "view"),       // click before first view
+      (3L, 0L, "purchase"),                      // purchase without view
+      (4L, 0L, "view"), (4L, 1L, "signup"))      // signup after activity
+      .map { case (u, t0, ty) => (u, t0 * 1000000000L, ty) }
+      .toDF("user_id", "ts", "event_type")
+      .select(lit(1L).as("event_id"), col("ts"), col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val r = Events.sequenceConformance(e).orderBy("rule").collect()
+    val byRule = r.map(x => x.getAs[String]("rule") -> x.getAs[Long]("n_violations")).toMap
+    assert(byRule("click_before_first_view") == 1L)
+    assert(byRule("purchase_without_view") == 1L)
+    assert(byRule("signup_not_first_event") == 1L)
+    assert(r.forall(_.getAs[Long]("n_users") == 4L))
+  }
+
+  test("IVF cell stats: a member identical to its centroid contributes zero error") {
+    val c0 = Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val corpus = vecs(0L -> c0, 1L -> c1, 5L -> c0, 6L -> c0)
+    val r = Similarity.ivfCellStats(corpus, cells = 2).orderBy("cell_id").collect()
+    assert(r(0).getAs[Long]("n_members") == 3L) // 0, 5, 6
+    assert(r(0).getAs[Long]("sum_d2c") == 0L && r(0).getAs[Long]("mean_d2c") == 0L)
+    assert(r(1).getAs[Long]("n_members") == 1L)
+  }
+
+  test("license screen: marker docs flag once each, clean docs don't") {
+    val d = Seq(
+      (1L, "Copyright 2024 someone", "a"),
+      (2L, "this text is under a LICENSE and all rights reserved", "a"),
+      (3L, "perfectly clean prose", "a"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.licenseScreen(d).collect().head
+    assert(r.getAs[Long]("n_copyright") == 1L)
+    assert(r.getAs[Long]("n_rights_reserved") == 1L && r.getAs[Long]("n_license") == 1L)
+    assert(r.getAs[Long]("n_flagged") == 2L) // doc 2 counts once despite two markers
+    assert(r.getAs[Long]("flagged_ppm") == 666666L)
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
