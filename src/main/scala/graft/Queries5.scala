@@ -45,6 +45,27 @@ object Queries5 {
           sum(coalesce(col("k"), lit(0L))).as("sum_k"))
         .orderBy("event_type")),
 
+    // literal-copy embeddings removed by one hash shuffle (planted twins)
+    "dedup_embedding_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.embeddingExactDups(
+          e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
+        .orderBy("keep_id")
+    }),
+
+    // blur screen from REAL pixels: horizontal gradient energy per image
+    "multimodal_bmp_sharpness" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.bmpSharpness(Multimodal.bmpFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // friend-of-friend audience size on the co-purchase graph
+    "graph_two_hop_reach" -> ((s, dir) =>
+      GraphOps.twoHopReach(Assoc.coOrderEdges(t(s, dir, "lineitem")))
+        .orderBy("node")),
+
     // lifecycle-order QC: per-rule violation counts over user journeys
     "events_sequence_conformance" -> ((s, dir) =>
       Events.sequenceConformance(t(s, dir, "events")).orderBy("rule")),
@@ -323,6 +344,46 @@ object Queries5 {
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
 
   val oracles: Map[String, String] = Map(
+
+    "dedup_embedding_exact" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         h AS (SELECT vec_id,
+                      md5(array_to_string(
+                        [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding], ',')) AS vec_hash
+               FROM c)
+         SELECT vec_hash, min(vec_id) AS keep_id, count(*) AS n_copies
+         FROM h GROUP BY 1 ORDER BY keep_id""",
+
+    "multimodal_bmp_sharpness" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                           CAST(4 + doc_id % 5 AS BIGINT) AS h
+                    FROM documents),
+         px AS (SELECT doc_id, w, h, t.i AS i,
+                  2126 * ((doc_id * 2654435761 + t.i * 97 + 62) % 256)
+                + 7152 * ((doc_id * 2654435761 + t.i * 97 + 31) % 256)
+                +  722 * ((doc_id * 2654435761 + t.i * 97) % 256) AS luma
+                FROM d, range(128) t(i) WHERE t.i < w * h),
+         g AS (SELECT a.doc_id, a.w, a.h, abs(b.luma - a.luma) AS grad
+               FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+               WHERE (a.i % a.w) < a.w - 1)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                count(*) AS n_gradients,
+                CAST(sum(grad) AS BIGINT) AS grad_sum,
+                CAST(sum(grad) // count(*) AS BIGINT) AS grad_mean,
+                CAST(max(grad) AS BIGINT) AS grad_max
+         FROM g GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    "graph_two_hop_reach" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS ea, b.pk AS eb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT ea AS u, eb AS v FROM e UNION ALL SELECT eb, ea FROM e),
+         two AS (SELECT x.u, y.v FROM und x JOIN und y ON y.u = x.v WHERE x.u != y.v),
+         allr AS (SELECT u, v FROM und UNION ALL SELECT u, v FROM two)
+         SELECT u AS node, count(DISTINCT v) AS reach_2hop
+         FROM allr GROUP BY 1 ORDER BY node""",
 
     "events_sequence_conformance" ->
       """WITH t AS (

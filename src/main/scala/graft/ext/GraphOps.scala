@@ -121,6 +121,31 @@ object GraphOps {
       .select(col("u").as("node"), col("core_degree"))
   }
 
+  /** Two-hop reach per node: |{w : dist(u, w) ≤ 2}| — the
+    * friend-of-friend audience size that ranks influence beyond raw
+    * degree. Exact distinct count over the union of 1-hop and 2-hop
+    * endpoints (self excluded).
+    *
+    * Shape: the 2-hop frontier is the wedge join (symmetric edges
+    * self-joined on the shared middle — Σ deg(w)² wedge rows, the
+    * triangle/Jaccard cost class), distinct-counted per source
+    * together with the 1-hop frontier; hub middles skew exactly like
+    * every wedge op (AQE skew-split applies).
+    */
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("ea").as("u"), col("eb").as("v"))
+      .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))
+    val oneHop = und
+    val twoHop = und.select(col("u"), col("v").as("mid"))
+      .join(und.select(col("u").as("mid"), col("v")), Seq("mid"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+    oneHop.unionByName(twoHop)
+      .groupBy(col("u"))
+      .agg(countDistinct(col("v")).as("reach_2hop"))
+      .select(col("u").as("node"), col("reach_2hop"))
+  }
+
   def neighborJaccard(edges: DataFrame): DataFrame = {
     val und = edges.select(col("ea").as("u"), col("eb").as("v"))
       .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))

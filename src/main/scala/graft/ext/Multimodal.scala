@@ -751,6 +751,60 @@ object Multimodal {
     hammingPairs(bandedHashes(hashes, bands), maxHamming)
   }
 
+  /** Sharpness / edge-density over REAL decoded pixels: the sum and
+    * mean of horizontal luma gradients |luma(x+1,y) − luma(x,y)| — the
+    * cheap blur screen a vision-curation pass runs (a blurred or flat
+    * image has low gradient energy; a sharp one high). Exact integers
+    * on the BT.709 ×10000 luma scale; map-only like every seam
+    * extractor.
+    */
+  case class BmpSharpness(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_gradients: Long,
+      grad_sum: Long,
+      grad_mean: Long,
+      grad_max: Long)
+
+  def bmpSharpness(
+      media: Dataset[BmpRecord],
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[BmpSharpness] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.payload
+        decodeBmp(r.doc_id, bytes) // container validation
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = bb.getInt(10)
+        val w = bb.getInt(18)
+        val h = math.abs(bb.getInt(22))
+        val stride = (w * 3 + 3) / 4 * 4
+        def luma(base: Int): Long = {
+          val b = bytes(base).toInt & 0xff
+          val g = bytes(base + 1).toInt & 0xff
+          val rr = bytes(base + 2).toInt & 0xff
+          2126L * rr + 7152L * g + 722L * b
+        }
+        var sum = 0L; var mx = 0L
+        var row = 0
+        while (row < h) {
+          var base = dataOffset + row * stride
+          var x = 0
+          while (x < w - 1) {
+            val d = math.abs(luma(base + 3) - luma(base))
+            sum += d
+            if (d > mx) mx = d
+            x += 1; base += 3
+          }
+          row += 1
+        }
+        val n = (w - 1).toLong * h
+        BmpSharpness(r.doc_id, w, h, n, sum, if (n == 0) 0L else sum / n, mx)
+      })
+    }
+  }
+
   /** Incremental perceptual dedup (batch form of
     * [[graft.streaming.MediaIngest.phashIngest]]'s probe): a new image
     * batch is matched against the EXISTING corpus only — one band

@@ -471,6 +471,22 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Exact-duplicate embeddings — the degenerate-but-common dedup case
+    * (re-encoded identical content yields bit-identical vectors):
+    * group by the md5 of the exact 1e-6-grid representation, keep the
+    * lowest id. One shuffle keyed by a 16-byte hash; the vector itself
+    * never shuffles. Near-dup semantics live in
+    * [[graft.ext.Dedup.embeddingNearDupsBlocked]]; this is the cheap
+    * first pass that removes the literal copies before any pairwise
+    * work.
+    */
+  def embeddingExactDups(corpus: DataFrame): DataFrame =
+    Scale.widen(corpus)
+      .select(col("vec_id"),
+        md5(concat_ws(",", quantized(col("embedding")))).as("vec_hash"))
+      .groupBy(col("vec_hash"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** IVF index-health report — the per-cell stats an ANN index build
     * logs: inverted-list size (skew here = slow probes on hot cells)
     * and the exact sum of coarse quantization L2² (high = the cell's

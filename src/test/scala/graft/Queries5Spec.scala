@@ -604,6 +604,39 @@ class Queries5Spec extends SparkSpec {
     assert(r.getAs[Long]("flagged_ppm") == 666666L)
   }
 
+  test("exact embedding dedup: planted copies collapse to the lowest id; distinct vectors survive") {
+    val e = vecs(1L -> Seq(1f, 2f), 2L -> Seq(1f, 2f), 3L -> Seq(3f, 4f))
+    val r = Similarity.embeddingExactDups(e).orderBy("keep_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("keep_id") == 1L && r(0).getAs[Long]("n_copies") == 2L)
+    assert(r(1).getAs[Long]("keep_id") == 3L && r(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("sharpness: a flat image has zero gradient energy; the real-payload path matches the formula") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // a hand-built flat gray 4x2 BMP: every gradient is 0
+    val w = 4; val h = 2
+    val stride = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (_ <- 0 until h; _ <- 0 until w) bb.put(100.toByte).put(100.toByte).put(100.toByte)
+    import spark.implicits._
+    val flat = Seq(Multimodal.BmpRecord(1L, bb.array())).toDS()
+    val r = Multimodal.bmpSharpness(flat).collect().head
+    assert(r.grad_sum == 0L && r.grad_max == 0L && r.n_gradients == (w - 1).toLong * h)
+  }
+
+  test("two-hop reach: a path graph's endpoint reaches exactly two nodes") {
+    // path 1-2-3: node 1 reaches {2, 3}, node 2 reaches {1, 3}
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("ea", "eb")
+    val r = GraphOps.twoHopReach(e).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("reach_2hop")).toMap
+    assert(r(1L) == 2L && r(2L) == 2L && r(3L) == 2L)
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
