@@ -45,6 +45,18 @@ object Queries5 {
           sum(coalesce(col("k"), lit(0L))).as("sum_k"))
         .orderBy("event_type")),
 
+    // signed month-over-month growth with portable integer division
+    "orders_mom_growth" -> ((s, dir) =>
+      Assoc.momGrowth(t(s, dir, "orders")).orderBy("ym")),
+
+    // the feature-store join: per-user flat aggregate ⋈ session rollup
+    "user_feature_assembly" -> ((s, dir) =>
+      Events.userFeatures(t(s, dir, "events")).orderBy("user_id")),
+
+    // one-row graph fingerprint: degree-assortativity covariance parts
+    "graph_degree_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(Assoc.coOrderEdges(t(s, dir, "lineitem")))),
+
     // literal-copy embeddings removed by one hash shuffle (planted twins)
     "dedup_embedding_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -344,6 +356,65 @@ object Queries5 {
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
 
   val oracles: Map[String, String] = Map(
+
+    "orders_mom_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS ym,
+                           count(*) AS n_orders,
+                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS month_cents
+                    FROM orders GROUP BY 1),
+         l AS (SELECT *, lag(month_cents) OVER (ORDER BY ym) AS prev_cents FROM m)
+         SELECT ym, n_orders, month_cents,
+                CAST(prev_cents AS BIGINT) AS prev_cents,
+                CAST(month_cents - prev_cents AS BIGINT) AS delta_cents,
+                CAST(CASE WHEN prev_cents IS NULL THEN NULL
+                          ELSE sign(month_cents - prev_cents)
+                               * (abs(month_cents - prev_cents) * 1000000 // prev_cents)
+                     END AS BIGINT) AS growth_ppm
+         FROM l ORDER BY ym""",
+
+    "user_feature_assembly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         base AS (SELECT user_id, count(*) AS n_events,
+                         CAST(sum(cents) AS BIGINT) AS total_cents,
+                         CAST(min(ts_us) // 86400000000 AS BIGINT) AS first_day,
+                         CAST(max(ts_us) // 86400000000 AS BIGINT) AS last_day,
+                         count(DISTINCT ts_us // 86400000000) AS n_active_days
+                  FROM e GROUP BY 1),
+         l AS (SELECT user_id, event_id, ts_us,
+                      CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                           WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                           ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM l),
+         sess AS (SELECT user_id, session_id, max(ts_us) - min(ts_us) AS dur
+                  FROM s GROUP BY 1, 2),
+         sa AS (SELECT user_id, count(*) AS n_sessions,
+                       CAST(sum(dur) AS BIGINT) AS session_time_us
+                FROM sess GROUP BY 1)
+         SELECT base.user_id, base.n_events, base.total_cents, base.first_day,
+                base.last_day, base.n_active_days, sa.n_sessions, sa.session_time_us,
+                CAST(base.n_events * 1000000 // greatest(sa.n_sessions, 1) AS BIGINT) AS events_per_session_ppm
+         FROM base LEFT JOIN sa USING (user_id) ORDER BY user_id""",
+
+    "graph_degree_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS ea, b.pk AS eb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT ea AS u, eb AS v FROM e UNION ALL SELECT eb, ea FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1)
+         SELECT count(*) AS n_endpoints,
+                CAST(sum(du.deg) AS BIGINT) AS sum_du,
+                CAST(sum(dv.deg) AS BIGINT) AS sum_dv,
+                CAST(sum(du.deg * dv.deg) AS BIGINT) AS sum_dudv,
+                CAST(count(*) * sum(du.deg * dv.deg) - sum(du.deg) * sum(dv.deg) AS BIGINT) AS cov_numer,
+                (count(*) * sum(du.deg * dv.deg) - sum(du.deg) * sum(dv.deg)) > 0 AS assortative
+         FROM und JOIN deg du ON du.u = und.u
+                  JOIN deg dv ON dv.u = und.v""",
 
     "dedup_embedding_exact" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings

@@ -102,6 +102,29 @@ object Assoc {
       .filter(col("n_ab") >= minSupport)
       .select(col("a").as("ea"), col("b").as("eb"))
 
+  /** Month-over-month revenue growth in engine-portable signed ppm:
+    * growth = sign(Δ) · (|Δ| · 1e6 div prev) — the division always
+    * sees non-negative operands (floor vs truncate never diverges),
+    * the sign is applied after. First month reports null growth.
+    * Same tiny-monthly-frame discipline as [[seasonalityDecompose]].
+    */
+  def momGrowth(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("month_cents"))
+    val w = Window.orderBy("ym")
+    monthly
+      .withColumn("prev_cents", lag(col("month_cents"), 1).over(w))
+      .withColumn("delta_cents", col("month_cents") - col("prev_cents"))
+      .withColumn("growth_ppm",
+        when(col("prev_cents").isNotNull,
+          signum(col("delta_cents")).cast("long") *
+            expr("abs(delta_cents) * 1000000 div prev_cents")))
+  }
+
   /** Classical time-series decomposition of monthly order revenue —
     * trend (centered 3-month moving average), month-of-year seasonal
     * index, residual — all in exact integer cents/ppm (the STL shape

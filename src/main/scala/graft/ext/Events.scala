@@ -276,6 +276,34 @@ object Events {
         col("n_events") >= minEvents && col("fast_ppm") >= flagPpm)
   }
 
+  /** Per-user feature assembly — the feature-store join shape: the
+    * flat per-user aggregate (volume, exact spend, activity span)
+    * LEFT-joined with the session-grain rollup from [[sessionize]]
+    * (session count, total session time). Every feature exact
+    * integers; users with one event still appear (left join, zero-
+    * duration sessions). Two shuffles keyed by user_id — the point is
+    * that downstream training reads ONE wide frame.
+    */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val base = events
+      .select(col("user_id"), tsUs.as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"),
+        expr(s"min(ts_us) div $dayUs").as("first_day"),
+        expr(s"max(ts_us) div $dayUs").as("last_day"),
+        countDistinct(expr(s"ts_us div $dayUs")).as("n_active_days"))
+    val sessions = sessionize(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("duration_us")).as("session_time_us"))
+    base.join(sessions, Seq("user_id"), "left")
+      .withColumn("events_per_session_ppm",
+        expr("n_events * 1000000 div greatest(n_sessions, 1L)"))
+  }
+
   /** Sequence-conformance QC — the DATA-quality sibling of
     * [[graft.ext.Profile.expectations]] for event ORDER: per rule, how
     * many users violate the expected lifecycle ("purchased without

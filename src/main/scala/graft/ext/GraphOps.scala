@@ -121,6 +121,30 @@ object GraphOps {
       .select(col("u").as("node"), col("core_degree"))
   }
 
+  /** Degree-assortativity covariance components: over all DIRECTED
+    * edge endpoints (u, v), the exact integer sums needed for the
+    * degree-degree correlation (n, Σdu, Σdv, Σdu·dv and the covariance
+    * numerator n·Σdu·dv − Σdu·Σdv). Positive = hubs attach to hubs
+    * (social-style), negative = hub-and-spoke (tech-style) — a
+    * one-row graph fingerprint. The float Pearson denominator is left
+    * to the consumer: the SIGN and the exact components are the
+    * engine-portable part.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("ea").as("u"), col("eb").as("v"))
+      .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("du")).as("sum_du"),
+        sum(col("dv")).as("sum_dv"),
+        sum(col("du") * col("dv")).as("sum_dudv"))
+      .withColumn("cov_numer", expr("n_endpoints * sum_dudv - sum_du * sum_dv"))
+      .withColumn("assortative", col("cov_numer") > 0)
+  }
+
   /** Two-hop reach per node: |{w : dist(u, w) ≤ 2}| — the
     * friend-of-friend audience size that ranks influence beyond raw
     * degree. Exact distinct count over the union of 1-hop and 2-hop

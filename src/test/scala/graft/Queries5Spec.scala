@@ -637,6 +637,41 @@ class Queries5Spec extends SparkSpec {
     assert(r(1L) == 2L && r(2L) == 2L && r(3L) == 2L)
   }
 
+  test("MoM growth: signed ppm via positive-operand division; first month null") {
+    val o = Seq(("1995-01-05", 100.0), ("1995-02-05", 150.0), ("1995-03-05", 75.0))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Assoc.momGrowth(o).orderBy("ym").collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("growth_ppm")))
+    assert(r(1).getAs[Long]("growth_ppm") == 500000L)   // +50%
+    assert(r(2).getAs[Long]("growth_ppm") == -500000L)  // -50%
+  }
+
+  test("user features: session rollup joins onto the flat aggregate; gaps split sessions") {
+    val min = 60000000000L // one minute in nanos
+    val e = Seq(
+      (1L, 0L * min), (1L, 10L * min),  // session 1 (10 min)
+      (1L, 60L * min),                  // 50-min gap -> session 2
+      (2L, 0L * min))                   // single-event user
+      .toDF("user_id", "ts")
+      .select(monotonically_increasing_id().as("event_id"), col("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val r = Events.userFeatures(e).orderBy("user_id").collect()
+    assert(r(0).getAs[Long]("n_sessions") == 2L)
+    assert(r(0).getAs[Long]("session_time_us") == 10L * 60L * 1000000L)
+    assert(r(0).getAs[Long]("events_per_session_ppm") == 1500000L) // 3 events / 2 sessions
+    assert(r(1).getAs[Long]("n_sessions") == 1L && r(1).getAs[Long]("session_time_us") == 0L)
+  }
+
+  test("degree assortativity: a star graph is disassortative, a clique neutral") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("ea", "eb")
+    val rs = GraphOps.degreeAssortativity(star).collect().head
+    assert(rs.getAs[Long]("cov_numer") < 0 && !rs.getAs[Boolean]("assortative"))
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("ea", "eb")
+    val rk = GraphOps.degreeAssortativity(k3).collect().head
+    assert(rk.getAs[Long]("cov_numer") == 0L) // all degrees equal
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
