@@ -45,6 +45,15 @@ object Queries5 {
           sum(coalesce(col("k"), lit(0L))).as("sum_k"))
         .orderBy("event_type")),
 
+    // assortment drift: per-brand annual revenue share + signed YoY shift
+    "brand_share_yoy" -> ((s, dir) =>
+      Assoc.brandShareYoy(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("p_brand", "yr")),
+
+    // monthly returned-lines rate in exact ppm
+    "lineitem_return_rate_monthly" -> ((s, dir) =>
+      Assoc.returnRateByMonth(t(s, dir, "lineitem")).orderBy("ym")),
+
     // signed month-over-month growth with portable integer division
     "orders_mom_growth" -> ((s, dir) =>
       Assoc.momGrowth(t(s, dir, "orders")).orderBy("ym")),
@@ -356,6 +365,30 @@ object Queries5 {
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
 
   val oracles: Map[String, String] = Map(
+
+    "brand_share_yoy" ->
+      """WITH cells AS (
+           SELECT p.p_brand, CAST(year(l.l_shipdate) AS INT) AS yr,
+                  count(*) AS n_lines,
+                  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS brand_cents
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY 1, 2),
+         sh AS (SELECT *, CAST(brand_cents * 1000000 //
+                  (sum(brand_cents) OVER (PARTITION BY yr)) AS BIGINT) AS share_ppm
+                FROM cells),
+         lg AS (SELECT *, lag(share_ppm) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_share_ppm
+                FROM sh)
+         SELECT p_brand, yr, n_lines, brand_cents, share_ppm,
+                CAST(prev_share_ppm AS BIGINT) AS prev_share_ppm,
+                CAST(share_ppm - prev_share_ppm AS BIGINT) AS share_shift_ppm
+         FROM lg ORDER BY p_brand, yr""",
+
+    "lineitem_return_rate_monthly" ->
+      """SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS INT) AS ym,
+                count(*) AS n_lines,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS return_ppm
+         FROM lineitem GROUP BY 1 ORDER BY ym""",
 
     "orders_mom_growth" ->
       """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS ym,

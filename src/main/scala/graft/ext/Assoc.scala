@@ -102,6 +102,43 @@ object Assoc {
       .filter(col("n_ab") >= minSupport)
       .select(col("a").as("ea"), col("b").as("eb"))
 
+  /** Year-over-year brand share shift: each brand's share of annual
+    * line revenue in exact ppm, with the signed change vs the prior
+    * year (share arithmetic is all positive-operand division; the
+    * delta is a subtraction, so engines agree on negatives). The
+    * assortment-drift monitor a merchandising dashboard leads with.
+    *
+    * Shape: one fact-scan aggregate to (brand, year) cells, share via
+    * a per-year window over that small frame, lag over (brand, year).
+    */
+  def brandShareYoy(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = lineitem
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")), Seq("l_partkey"))
+      .groupBy(col("p_brand"), col("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("brand_cents"))
+    cells
+      .withColumn("share_ppm", expr(
+        "brand_cents * 1000000 div (sum(brand_cents) over (partition by yr))"))
+      .withColumn("prev_share_ppm",
+        lag(col("share_ppm"), 1).over(Window.partitionBy("p_brand").orderBy("yr")))
+      .withColumn("share_shift_ppm", col("share_ppm") - col("prev_share_ppm"))
+  }
+
+  /** Monthly return rate: the share of line items flagged returned
+    * ('R') per calendar month in exact ppm — the quality/regret signal
+    * tracked next to revenue. One partial-aggregated scan.
+    */
+  def returnRateByMonth(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("ym"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("ret")).as("n_returned"))
+      .withColumn("return_ppm", expr("n_returned * 1000000 div n_lines"))
+
   /** Month-over-month revenue growth in engine-portable signed ppm:
     * growth = sign(Δ) · (|Δ| · 1e6 div prev) — the division always
     * sees non-negative operands (floor vs truncate never diverges),

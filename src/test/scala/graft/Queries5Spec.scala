@@ -672,6 +672,29 @@ class Queries5Spec extends SparkSpec {
     assert(rk.getAs[Long]("cov_numer") == 0L) // all degrees equal
   }
 
+  test("brand share YoY: shares sum to ~1e6 per year and shifts are exact differences") {
+    val li = Seq(
+      (1L, "1995-06-01", 100.0), (2L, "1995-06-01", 300.0),   // year 1: A 25%, B 75%
+      (1L, "1996-06-01", 200.0), (2L, "1996-06-01", 200.0))   // year 2: 50/50
+      .toDF("l_partkey", "d", "l_extendedprice")
+      .select(col("l_partkey"), to_date(col("d")).cast("timestamp").as("l_shipdate"),
+        col("l_extendedprice"))
+    val p = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+    val r = Assoc.brandShareYoy(li, p).orderBy("p_brand", "yr").collect()
+    assert(r(0).getAs[Long]("share_ppm") == 250000L)
+    assert(r(1).getAs[Long]("share_ppm") == 500000L)
+    assert(r(1).getAs[Long]("share_shift_ppm") == 250000L)
+    assert(r(3).getAs[Long]("share_shift_ppm") == -250000L)
+  }
+
+  test("return rate: only 'R' lines count, ppm exact per month") {
+    val li = Seq(("1995-01-05", "R"), ("1995-01-06", "N"), ("1995-01-07", "A"))
+      .toDF("d", "l_returnflag")
+      .select(to_date(col("d")).cast("timestamp").as("l_shipdate"), col("l_returnflag"))
+    val r = Assoc.returnRateByMonth(li).collect().head
+    assert(r.getAs[Long]("n_returned") == 1L && r.getAs[Long]("return_ppm") == 333333L)
+  }
+
   test("phash pipeline never shuffles payload bytes: the hash projection happens before the exchange") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 8).select(col("id").as("doc_id"))
