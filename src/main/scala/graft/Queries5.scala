@@ -246,7 +246,7 @@ object Queries5 {
     // back via the binaryFile source, decoded from the scanned bytes
     "binary_file_source_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpfiles"
+      val path = Multimodal.stagingDir(s, "bmpfiles")
       Multimodal.stageBmpFiles(t(s, dir, "documents"), path)
       Multimodal.decodeBmpFiles(path).orderBy("doc_id")
     }),
@@ -292,8 +292,8 @@ object Queries5 {
     "binary_file_compaction" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpfiles_c"
-      val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpcompact"
+      val stage = Multimodal.stagingDir(s, "bmpfiles_c")
+      val compacted = Multimodal.stagingDir(s, "bmpcompact")
       Multimodal.stageBmpFiles(t(s, dir, "documents"), stage)
       s.read.format("binaryFile").load(stage)
         .select(

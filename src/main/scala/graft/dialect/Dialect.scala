@@ -35,6 +35,18 @@ trait Dialect {
     * comma-joined column list into an array). Default: identity.
     */
   def postProcessIndexes(df: DataFrame): DataFrame = df
+
+  /** Server-side predicate selecting bucket `bucket` of `buckets`
+    * by a hash of `table_name`, used to split a catalog read into
+    * parallel JDBC partitions for very large (100k-table) catalogs.
+    * The predicates must PARTITION the rows: every row satisfies
+    * exactly one bucket's predicate, or the snapshot would drop or
+    * duplicate catalog entries. The default uses only `MOD`/`LENGTH`
+    * (portable to every tested DBMS incl. Derby); dialects override
+    * with a real server-side hash for better balance.
+    */
+  def tableNameBucketSql(buckets: Int, bucket: Int): String =
+    s"MOD(LENGTH(table_name), $buckets) = $bucket"
 }
 
 /** PostgreSQL catalog introspection (reference `src/sql/postgres.rs`).
@@ -118,6 +130,9 @@ object Postgres extends Dialect {
     df.withColumn("columns", split(col("columns_csv"), ","))
       .drop("columns_csv")
       .select("table_name", "index_name", "ordinal", "columns", "predicate", "is_unique")
+
+  override def tableNameBucketSql(buckets: Int, bucket: Int): String =
+    s"MOD(ABS(hashtext(table_name)), $buckets) = $bucket"
 }
 
 /** MySQL catalog introspection (reference `src/sql/mysql.rs`).
@@ -183,4 +198,7 @@ object MySql extends Dialect {
     df.withColumn("columns", split(col("columns_csv"), ","))
       .drop("columns_csv")
       .select("table_name", "index_name", "ordinal", "columns", "predicate", "is_unique")
+
+  override def tableNameBucketSql(buckets: Int, bucket: Int): String =
+    s"MOD(crc32(table_name), $buckets) = $bucket"
 }

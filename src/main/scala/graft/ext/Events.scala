@@ -463,14 +463,15 @@ object Events {
       .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("s"))
       .select(expr(
         """aggregate(s,
-             named_struct('lvl', cast(-1 as bigint),
+             named_struct('init', false, 'lvl', cast(0 as bigint),
                           'out', cast(array() as array<struct<day:bigint,cents:bigint,level:bigint,forecast:bigint>>)),
              (acc, x) -> named_struct(
-               'lvl', case when acc.lvl = -1 then x.cents else (x.cents + acc.lvl) div 2 end,
+               'init', true,
+               'lvl', case when not acc.init then x.cents else (x.cents + acc.lvl) div 2 end,
                'out', concat(acc.out, array(named_struct(
                  'day', x.day, 'cents', x.cents,
-                 'level', case when acc.lvl = -1 then x.cents else (x.cents + acc.lvl) div 2 end,
-                 'forecast', case when acc.lvl = -1 then x.cents else acc.lvl end)))),
+                 'level', case when not acc.init then x.cents else (x.cents + acc.lvl) div 2 end,
+                 'forecast', case when not acc.init then x.cents else acc.lvl end)))),
              acc -> acc.out)""").as("out"))
       .select(explode(col("out")).as("r"))
       .select(col("r.day").as("day"), col("r.cents").as("cents"),

@@ -871,24 +871,38 @@ object Multimodal {
     * tiny objects throttle listing — this key IS that ingestion step.
     * Staging clears stale files first so a previous larger run can't
     * pollute the read.
+    *
+    * Both the clear and the per-payload writes go through the Hadoop
+    * `FileSystem` resolved from the session's hadoopConfiguration, so
+    * on a real cluster the staged directory lands on the configured
+    * shared FS (HDFS/S3/…), not scattered across executor-local disks;
+    * `local[...]` resolves it to the local FS and behaves as before.
     */
   def stageBmpFiles(docs: DataFrame, dir: String)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val it = java.nio.file.Files.list(root)
-      try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally it.close()
-    }
-    java.nio.file.Files.createDirectories(root)
+    import org.apache.hadoop.fs.Path
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf.value)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
     docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
+      val efs = new Path(dir).getFileSystem(hconf.value)
       it.foreach { id =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"$id.bmp"), encodeBmp(id))
-        ()
+        val out = efs.create(new Path(dir, s"$id.bmp"), true)
+        try out.write(encodeBmp(id)) finally out.close()
       }
     }
   }
+
+  /** Per-session staging root for keys that must materialize real
+    * files: scoping by `applicationId` means two concurrent sessions
+    * (bench + verify, parallel CI) can never clobber each other's
+    * staged directories mid-scan.
+    */
+  def stagingDir(spark: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${spark.sparkContext.applicationId}/$name"
 
   def decodeBmpFiles(dir: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -17,11 +17,6 @@ import graft.dialect.Dialect
   */
 object Snapshot {
 
-  /** Snapshot of a live database via JDBC. Each entity kind is one
-    * pushed-down server-side query (see [[graft.dialect.Postgres]] /
-    * [[graft.dialect.MySql]] for the SQL). `numPartitions` > 1 splits
-    * the column read by table-name hash for very large catalogs.
-    */
   /** Connection health check (reference S3, postgres.rs:7-11: acquire a
     * connection as a ping). One pushed-down `SELECT 1` round trip;
     * throws the driver's SQLException on failure.
@@ -35,13 +30,28 @@ object Snapshot {
     ()
   }
 
+  /** Snapshot of a live database via JDBC. Each entity kind is one
+    * pushed-down server-side query (see [[graft.dialect.Postgres]] /
+    * [[graft.dialect.MySql]] for the SQL). `numPartitions` > 1 splits
+    * each catalog read into that many parallel JDBC partitions via
+    * per-bucket `WHERE` predicates on a server-side hash of
+    * `table_name` ([[graft.dialect.Dialect.tableNameBucketSql]]) — the
+    * `predicates` overload of `spark.read.jdbc`, so a 100k-table
+    * catalog streams over N connections instead of one. The buckets
+    * partition the rows (each row matches exactly one predicate), so
+    * the union is the same frame the single-partition read yields.
+    */
   def fromJdbc(
       spark: SparkSession,
       url: String,
       dialect: Dialect,
-      props: java.util.Properties = new java.util.Properties()): SchemaSnapshot = {
+      props: java.util.Properties = new java.util.Properties(),
+      numPartitions: Int = 1): SchemaSnapshot = {
     def read(sql: String): DataFrame =
-      spark.read.jdbc(url, s"($sql) graft_snap", props)
+      if (numPartitions <= 1) spark.read.jdbc(url, s"($sql) graft_snap", props)
+      else spark.read.jdbc(url, s"($sql) graft_snap",
+        Array.tabulate(numPartitions)(i => dialect.tableNameBucketSql(numPartitions, i)),
+        props)
     SchemaSnapshot(
       tables = read(dialect.tablesSql),
       columns = read(dialect.columnsSql),

@@ -19,6 +19,16 @@ import graft.ext.Multimodal
   * sizes. At warehouse scale the index is a bucketed table on the band
   * key (see [[graft.ext.Scale.writeBucketed]]); the per-batch marker
   * protocol makes retried batches idempotent, same as nearDupIngest.
+  *
+  * Idempotence under partial commits: foreachBatch is at-least-once
+  * and the sink does TWO non-atomic appends (gold, then index). A
+  * fully-committed batch replays as a marker no-op; a batch that
+  * crashed between the appends (or after both, before the marker)
+  * self-heals on retry because each append anti-joins the ids already
+  * present in its target table — exactly the missing suffix lands,
+  * never a duplicate row. Gold stays FIRST so a doc is indexed only
+  * after it is durably in gold (the reverse order could drop a future
+  * duplicate of a doc that never landed).
   */
 object MediaIngest {
 
@@ -63,9 +73,21 @@ object MediaIngest {
                 .select(col("id")).distinct()
               kept.join(hit, Seq("id"), "left_anti")
             } else kept
-          // (3) append survivors to gold and index, then commit the batch
-          fresh.write.mode("append").parquet(outDir)
-          fresh.write.mode("append").parquet(dataDir)
+          // (3) append survivors to gold and index, then commit the
+          // batch. Each append anti-joins the ids already in its
+          // target so replaying a partially-committed batch writes
+          // exactly the missing suffix (idempotence note above).
+          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+              frame.join(spark.read.parquet(dir).select("id").distinct(),
+                Seq("id"), "left_anti")
+            else frame
+          }
+          val surv = fresh.persist()
+          notAlreadyIn(surv, outDir).write.mode("append").parquet(outDir)
+          notAlreadyIn(surv, dataDir).write.mode("append").parquet(dataDir)
+          surv.unpersist()
           hashes.unpersist()
           fs.mkdirs(marker)
           ()

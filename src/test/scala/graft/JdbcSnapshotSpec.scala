@@ -176,4 +176,29 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(msgs == Seq(
       "Table: ORDERS exists in the base database, but not in the target database."))
   }
+
+  test("partitioned fromJdbc: hash-bucket predicates split the scan and union to the same snapshot") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derbysplit").toString
+    val url = s"jdbc:derby:$dbDir/splitdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // names of assorted lengths so the MOD(LENGTH(...)) buckets are non-trivial
+      Seq("T1", "TAB_TWO", "TABLE_THREE_LONG", "T4X", "MEDIUM_FIVE")
+        .foreach(n => st.execute(s"CREATE TABLE $n (ID INT NOT NULL, V VARCHAR(32))"))
+      st.close()
+    } finally conn.close()
+
+    val one = Snapshot.fromJdbc(spark, url, DerbyDialect)
+    val split = Snapshot.fromJdbc(spark, url, DerbyDialect, numPartitions = 3)
+    // the predicate split is plan-visible: 3 JDBC partitions, not 1
+    assert(split.tables.rdd.getNumPartitions == 3)
+    assert(one.tables.rdd.getNumPartitions == 1)
+    // and row-complete: every bucket hits exactly once, union == unsplit
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("table_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names(split.tables) == names(one.tables))
+    assert(names(split.columns) == names(one.columns))
+    assert(split.columns.count() == one.columns.count())
+  }
 }

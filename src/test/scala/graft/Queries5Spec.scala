@@ -531,7 +531,7 @@ class Queries5Spec extends SparkSpec {
     val direct = SparkEntry.queries("multimodal_bmp_decode")(spark, sf("sf0.001")).collect()
     assert(r.toSeq == direct.toSeq, "compacted decode must equal the in-memory decode")
     val compacted = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_rt_bmpcompact")
+      graft.ext.Multimodal.stagingDir(spark, "bmpcompact"))
     val parts = compacted.listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts <= 4, s"compaction must bound the file count, got $parts")
   }
