@@ -327,7 +327,7 @@ object Queries5 {
     * → 64-bit hash → 16-bit bands → band-bucket candidates) — the
     * independent re-derivation both phash keys build on.
     */
-  private val phashCtes =
+  private[graft] val phashCtes =
     """d AS (SELECT doc_id AS src,
                     CAST(8 + doc_id % 9 AS BIGINT) AS w,
                     CAST(4 + doc_id % 5 AS BIGINT) AS h

@@ -605,6 +605,226 @@ object Multimodal {
     }
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // Entropy-coded formats at the same decode seam: PNG (DEFLATE) and
+  // JPEG (DCT + Huffman) through the in-JDK javax.imageio codecs. The
+  // BMP tier proves the seam on a trivially decodable container; these
+  // prove it on the formats a real 100 TB corpus actually stores.
+  // PNG is lossless, so ImageIO.read recovers the exact seeded pixel
+  // field and every statistic pins to the SAME oracle formula as the
+  // BMP tier — the pixel contract is format-independent. JPEG is
+  // lossy, so its key emits exact dimensions plus a bounded-error QC
+  // boolean (the within-tolerance pattern the sketch keys use).
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Render the seeded pixel field (same [[bmpChannel]] formula and
+    * [[bmpWidth]]×[[bmpHeight]] dimensions as the BMP tier) into a
+    * BufferedImage. `perturb` bumps the blue channel of logical pixel
+    * (0,0) by +8 mod 256 — the same near-dup planting device as
+    * [[perturbBmp]], applied pre-encode.
+    */
+  private def seededImage(docId: Long, perturb: Boolean): java.awt.image.BufferedImage = {
+    val w = bmpWidth(docId); val h = bmpHeight(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val b =
+          if (perturb && i == 0) (bmpChannel(docId, 0, 0) + 8) % 256
+          else bmpChannel(docId, i, 0)
+        img.setRGB(x, y,
+          (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the seeded image as a real PNG (entropy-coded: DEFLATE over
+    * filtered scanlines) via the in-JDK ImageIO writer. Lossless.
+    */
+  def encodePng(docId: Long, perturb: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(seededImage(docId, perturb), "png", bos),
+      "no PNG writer on this JVM")
+    bos.toByteArray
+  }
+
+  /** Encode the seeded image as a real JPEG at the given quality via
+    * the in-JDK writer (DCT, quantization, Huffman coding). Lossy.
+    */
+  def encodeJpeg(docId: Long, quality: Float = 0.95f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(seededImage(docId, false), null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** documents → real PNG payloads (map-only; payload never shuffles). */
+  def pngFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BmpRecord(id, encodePng(id))))
+  }
+
+  /** documents → real JPEG payloads (map-only; payload never shuffles). */
+  def jpegFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BmpRecord(id, encodeJpeg(id))))
+  }
+
+  /** documents → PNG originals ∪ one-pixel-perturbed PNG twins at
+    * doc_id+1e6 — the PNG twin of [[bmpWithPerturbedTwins]].
+    */
+  def pngWithPerturbedTwins(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          BmpRecord(id, encodePng(id)),
+          BmpRecord(id + 1000000L, encodePng(id, perturb = true)))
+      })
+  }
+
+  /** Decode ANY ImageIO-supported payload (PNG, JPEG, GIF, …) to the
+    * [[BmpStats]] contract — identical accumulation as [[decodeBmp]]
+    * over the library-decoded RGB raster, so the two seams share one
+    * stats vocabulary and (for lossless formats) one oracle.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): BmpStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val w = img.getWidth; val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var peakLuma = 0L; var checksum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sumR += r; sumG += g; sumB += b
+        val luma = 2126L * r + 7152L * g + 722L * b
+        if (luma > peakLuma) peakLuma = luma
+        val i = y * w + x
+        checksum += (i + 1).toLong * (r + 256L * g + 65536L * b)
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(docId, w, h, sumR, sumG, sumB, peakLuma, checksum)
+  }
+
+  /** Batched library-decode stage — same partition/batch dataflow as
+    * [[decodeBmpBatch]], entropy-coded input.
+    */
+  def decodeImageBatch(
+      media: Dataset[BmpRecord],
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[BmpStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r => decodeImage(r.doc_id, r.payload)))
+    }
+  }
+
+  /** dHash over a library-decoded raster: the same 9×8 BT.709 luma
+    * grid comparison as [[dhashFromBytes]], so a losslessly-coded
+    * image hashes identically to its BMP rendering and the PNG phash
+    * pipeline reuses the BMP oracle derivation unchanged.
+    */
+  def dhashFromImage(docId: Long, bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val w = img.getWidth; val h = img.getHeight
+    def luma(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      2126L * ((rgb >> 16) & 0xff) + 7152L * ((rgb >> 8) & 0xff) + 722L * (rgb & 0xff)
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        if (luma(gx * w / 9, sy) > luma((gx + 1) * w / 9, sy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Perceptual near-dup pairs over library-decoded payloads: dHash
+    * each raster ([[dhashFromImage]]) map-side, then the same
+    * band-LSH + Hamming-verify join as [[phashNearDup]] — never
+    * all-pairs; only 8-byte hashes leave the scan stage.
+    */
+  def phashNearDupDecoded(
+      media: Dataset[BmpRecord],
+      maxHamming: Int = 6,
+      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromImage(r.doc_id, r.payload))))
+      .toDF("id", "hash")
+    hammingPairs(bandedHashes(hashes, bands), maxHamming)
+  }
+
+  /** JPEG decode QC: per payload, the EXACT decoded dimensions plus a
+    * bounded-reconstruction check — mean absolute per-channel error vs
+    * the seeded source field, in milli-levels (×1000), compared to
+    * `tolMilli`. Lossy codecs can't hash-match a pixel oracle, so the
+    * key pins what IS exact (dims, the tolerance verdict) — the same
+    * within-tolerance pattern the approx-sketch keys use. The error is
+    * measured over the full raster, catching a decoder that drops the
+    * chroma channels, mis-sizes, or shreds block boundaries.
+    */
+  case class JpegQc(
+      doc_id: Long, width: Int, height: Int,
+      mean_abs_err_ok: Boolean, nonzero_payload: Boolean)
+
+  def jpegDecodeQc(
+      media: Dataset[BmpRecord],
+      tolMilli: Long,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[JpegQc] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable JPEG for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        var errSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val i = y * w + x
+            errSum += math.abs(((rgb >> 16) & 0xff) - bmpChannel(r.doc_id, i, 2)) +
+              math.abs(((rgb >> 8) & 0xff) - bmpChannel(r.doc_id, i, 1)) +
+              math.abs((rgb & 0xff) - bmpChannel(r.doc_id, i, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val meanMilli = errSum * 1000L / (w.toLong * h * 3L)
+        JpegQc(r.doc_id, w, h, meanMilli <= tolMilli, r.payload.length > 0)
+      })
+    }
+  }
+
   /** Per-image luminance histogram over REAL decoded pixels: BT.709
     * luma (×10000 integer scale) bucketed into 16 equal bins — the
     * exposure/contrast feature a vision-curation pass computes per

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Assoc, GraphOps, Multimodal}
+
+/** Round-6 batch: entropy-coded image formats at the decode seam and
+  * the keyed k-core. Value invariants on tiny inputs; full equality vs
+  * DuckDB is the verify gate's job.
+  */
+class Queries6Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("PNG round-trips the seeded pixel field exactly: stats and dhash equal the BMP rendering") {
+    (0L until 40L).foreach { id =>
+      val png = Multimodal.encodePng(id)
+      val bmp = Multimodal.encodeBmp(id)
+      // a real PNG container (magic) that is genuinely compressed differently
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+      assert(Multimodal.decodeImage(id, png) == Multimodal.decodeBmp(id, bmp))
+      assert(Multimodal.dhashFromImage(id, png) == Multimodal.dhashFromBytes(id, bmp))
+    }
+  }
+
+  test("perturbed PNG twin decodes to the perturbBmp pixel field (shared phash oracle holds)") {
+    (0L until 20L).foreach { id =>
+      val twinPng = Multimodal.encodePng(id, perturb = true)
+      val twinBmp = Multimodal.perturbBmp(Multimodal.encodeBmp(id))
+      assert(Multimodal.decodeImage(id, twinPng) == Multimodal.decodeBmp(id, twinBmp))
+      assert(Multimodal.dhashFromImage(id, twinPng) == Multimodal.dhashFromBytes(id, twinBmp))
+    }
+  }
+
+  test("JPEG QC: real decodes land inside tolerance; a shredded raster does not") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 30).select(col("id").as("doc_id"))
+    val qc = Multimodal.jpegDecodeQc(Multimodal.jpegFromDocuments(docs), 60000L).collect()
+    assert(qc.length == 30)
+    assert(qc.forall(_.mean_abs_err_ok), "real JPEG decodes must sit inside the 60-level tolerance")
+    assert(qc.forall(r => r.width == 8 + (r.doc_id % 9) && r.height == 4 + (r.doc_id % 5)))
+    // a JPEG of the WRONG doc's pixels reads as garbage vs the seeded
+    // field — the tolerance must reject it (this is what 'bounded
+    // reconstruction' buys over a bare does-it-decode check)
+    val shred = Multimodal.jpegFromDocuments(docs)
+      .map(r => Multimodal.BmpRecord(r.doc_id + 1000L, r.payload))
+    val bad = Multimodal.jpegDecodeQc(shred, 60000L).collect()
+    assert(bad.count(!_.mean_abs_err_ok) > 20, "mismatched pixels must breach tolerance")
+  }
+
+  test("keyed k-core reaches its fixpoint within the shared 8-round budget on the co-purchase graph") {
+    val edges = Assoc.coOrderEdges(
+      graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem"))
+      .persist()
+    try {
+      val at8 = GraphOps.kCore(edges, k = 3, maxRounds = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val at20 = GraphOps.kCore(edges, k = 3, maxRounds = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(at8 == at20, "8 peel rounds must already be the fixpoint (oracle budget)")
+      assert(at8.nonEmpty, "the 3-core must be non-trivial on this data")
+    } finally { edges.unpersist(); () }
+  }
+}
