@@ -91,6 +91,44 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     println(fullLine)
+    // Regression tripwire: compare each key's min against the committed
+    // BENCH_RECORD.json — a snapshot of a known-good full run in the
+    // SAME config (two-pass min, noop sink, same sf) — and emit a
+    // ratio table sorted worst-first. Same-window comparison is the
+    // only way a real 3x regression can't hide inside the host's 2-4x
+    // run-to-run swings: the record is fixed, so a key whose ratio
+    // stands out against the OTHER keys' shared host factor is the
+    // regression. Table goes to BENCH_RATIOS.json + stderr (stderr so
+    // the driver's stdout tail capture still ends on the summary line).
+    try {
+      val recPath = java.nio.file.Paths.get("BENCH_RECORD.json")
+      if (java.nio.file.Files.exists(recPath)) {
+        val rec = new String(java.nio.file.Files.readAllBytes(recPath), "UTF-8")
+        val recSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(rec).map(_.group(1))
+        if (recSf.contains(sfDir)) {
+          val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
+          val recMap = pair.findAllMatchIn(rec.drop(rec.indexOf("\"queries\"")))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ratios = results.collect {
+            case (k, v) if v > 0 && recMap.get(k).exists(_ > 0) =>
+              (k, v / recMap(k), v, recMap(k))
+          }.sortBy(-_._2)
+          val newKeys = results.collect { case (k, v) if v >= 0 && !recMap.contains(k) => k }
+          val table = ratios.map { case (k, r, cur, old) =>
+            s"""{"key":"$k","ratio":${s3(r)},"cur":${s3(cur)},"rec":${s3(old)}}"""
+          }.mkString("[", ",", "]")
+          val med = if (ratios.nonEmpty) ratios.map(_._2).sorted.apply(ratios.size / 2) else 1.0
+          java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RATIOS.json"),
+            (s"""{"median_ratio":${s3(med)},"n_compared":${ratios.size},"new_keys":${newKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"ratios":$table}""" + "\n")
+              .getBytes("UTF-8"))
+          System.err.println(s"[bench] tripwire: median ratio ${s3(med)} over ${ratios.size} keys vs record; worst 8:")
+          ratios.take(8).foreach { case (k, r, cur, old) =>
+            System.err.println(s"[bench]   ${s3(r)}x  $k  ${s3(cur)}s vs ${s3(old)}s" +
+              (if (r > 3.0 * med) "  <-- investigate (>3x the shared host factor)" else ""))
+          }
+        }
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] tripwire skipped: ${e.getMessage}") }
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var restN = 0
     var restSec = 0.0
