@@ -383,4 +383,55 @@ class StreamingSpec extends SparkSpec {
         s"twins must drop, fresh pass: ${gold.toSeq}")
     } finally q.stop()
   }
+
+  test("phash ingest survives kill-and-restart: file source + real checkpoint, exactly-once across the restart") {
+    // the recovery claim, proven: a REAL file source (not MemoryStream),
+    // a REAL checkpoint dir, the query killed between batches and a NEW
+    // query object restarted over the same checkpoint/out/index dirs.
+    // Batch A must not re-ingest after the restart (checkpointed file
+    // offsets + the marker/anti-join sink protocol), batch B must still
+    // dedup against A's persisted index, and an idle third restart must
+    // change nothing.
+    implicit val s = spark
+    import graft.ext.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_restart").toFile
+    val inDir = new java.io.File(dir, "landing").getPath
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    def land(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "payload").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def stream() = MediaIngest.phashIngest(
+      spark.readStream
+        .schema("doc_id LONG, payload BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      out, idx, ckpt)
+    def goldIds(): Seq[Long] =
+      spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // run 1: 5 originals land, then the query is killed
+    land((0L until 5L).map(id => id -> Multimodal.encodeBmp(id)))
+    val q1 = stream()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(goldIds() == Seq(0L, 1L, 2L, 3L, 4L))
+
+    // run 2: NEW query over the same checkpoint; twins of 0..2 + two
+    // fresh land. Batch A is not replayed; twins hit A's index.
+    land((0L until 3L).map(id => (id + 1000000L) -> Multimodal.perturbBmp(Multimodal.encodeBmp(id))) ++
+      Seq(7L -> Multimodal.encodeBmp(7L), 8L -> Multimodal.encodeBmp(8L)))
+    val q2 = stream()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(goldIds() == Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L),
+      s"restart must not re-ingest batch A nor miss batch B: ${goldIds()}")
+
+    // run 3: idle restart — nothing new, nothing duplicated
+    val q3 = stream()
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(goldIds() == Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L), "idle restart must be a no-op")
+    val idxIds = spark.read.parquet(s"$idx/hashes").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxIds == Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L), "index must hold exactly the gold ids once")
+  }
 }
