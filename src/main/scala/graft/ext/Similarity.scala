@@ -562,10 +562,14 @@ object Similarity {
     val qsq = queries.select(col("vec_id"), quantized(col("embedding")).as("q"))
     val full = topIds(cq, qsq)
     val rp = topIds(projected(Scale.widen(corpus)), projected(queries))
-    val overlap = full.join(rp, Seq("q_id", "n_id"))
+    // both top-k frames are |Q|·k rows — derived-tiny BY CONTRACT (the
+    // probe batch is small), so these comparison joins broadcast at any
+    // corpus scale; without the hint Spark SMJ'd them (the IVF-PQ
+    // incident class — caught by the round-6 plan sweep)
+    val overlap = full.join(broadcast(rp), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
     full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
-      .join(overlap, Seq("q_id"), "left")
+      .join(broadcast(overlap), Seq("q_id"), "left")
       .na.fill(0L, Seq("n_overlap"))
       .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
   }
@@ -653,10 +657,12 @@ object Similarity {
     val full = bruteForceTopK(corpus, queries, k).select(col("q_id"), col("n_id"))
     val trunc = bruteForceTopK(truncate(corpus), truncate(queries), k)
       .select(col("q_id"), col("n_id"))
-    val overlap = full.join(trunc, Seq("q_id", "n_id"))
+    // |Q|·k-row top-k frames: broadcast the comparison joins (see
+    // randomProjectionRecall — same derived-tiny contract)
+    val overlap = full.join(broadcast(trunc), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
     full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
-      .join(overlap, Seq("q_id"), "left")
+      .join(broadcast(overlap), Seq("q_id"), "left")
       .na.fill(0L, Seq("n_overlap"))
       .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
   }

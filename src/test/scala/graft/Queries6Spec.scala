@@ -48,6 +48,40 @@ class Queries6Spec extends SparkSpec {
     assert(bad.count(!_.mean_abs_err_ok) > 20, "mismatched pixels must breach tolerance")
   }
 
+  test("broadcast audit: recall-QC comparison joins broadcast their |Q|*k derived-tiny sides") {
+    Seq("knn_rp_recall", "knn_truncated_recall").foreach { key =>
+      val p = SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("SortMergeJoin"),
+        s"$key: the |Q|*k top-k comparison frames must broadcast:\n" + p.take(1200))
+    }
+  }
+
+  test("SMJ allowlist: no registry key grows a SortMergeJoin outside the audited corpus-scale set") {
+    // Round-6 sweep verdict (SmjSweep/SmjSweep2): these keys' SMJs join
+    // structurally corpus-scale sides — CC label joins, blocked
+    // quadratic verifiers, full-outer diffs, per-customer/edge frames —
+    // where SMJ is the RIGHT plan at 100 TB. Any key appearing here
+    // that isn't in the allowlist is a fresh derived-tiny broadcast
+    // miss (the IVF-PQ incident class) and must be triaged, not added
+    // blindly.
+    val allow = Set(
+      "corpus_clean_pipeline", "customer_decile_transitions", "data_row_diff",
+      "dedup_cluster_representatives", "dedup_clusters", "dedup_embedding_cosine",
+      "embedding_knn_dist_outliers", "graph_neighbor_jaccard", "knn_classify_majority",
+      "knn_graph_blocked", "merge_upsert", "multimodal_phash_clusters",
+      "multimodal_phash_representatives", "multimodal_png_phash_clusters",
+      "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, "/root/testdata/sf0.001").queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      if (p.contains("SortMergeJoin") && !allow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"new SortMergeJoin keys outside the audited allowlist: $offenders")
+  }
+
   test("keyed k-core reaches its fixpoint within the shared 8-round budget on the co-purchase graph") {
     val edges = Assoc.coOrderEdges(
       graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem"))
