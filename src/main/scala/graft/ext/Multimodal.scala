@@ -1103,15 +1103,42 @@ object Multimodal {
     import org.apache.hadoop.fs.Path
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hconf.value)
-    if (fs.exists(root)) fs.delete(root, true)
-    fs.mkdirs(root)
-    docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
-      val efs = new Path(dir).getFileSystem(hconf.value)
-      it.foreach { id =>
-        val out = efs.create(new Path(dir, s"$id.bmp"), true)
-        try out.write(encodeBmp(id)) finally out.close()
+    // Hadoop's checksummed LocalFileSystem costs ~25x java.nio on a
+    // many-tiny-files write (one .crc + stream ceremony per file —
+    // caught by the bench tripwire), so the local scheme takes the
+    // direct path; any non-local scheme (hdfs://, s3a://) goes through
+    // the configured FS, checksums off, which is what makes the staged
+    // directory visible cluster-wide.
+    val uri = new Path(dir).toUri
+    val isLocal = uri.getScheme == null || uri.getScheme == "file"
+    if (isLocal) {
+      val root = java.nio.file.Paths.get(uri.getPath)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val it = java.nio.file.Files.list(root)
+        try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally it.close()
+      }
+      java.nio.file.Files.createDirectories(root)
+      val local = root.toString
+      docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(local, s"$id.bmp"), encodeBmp(id))
+          ()
+        }
+      }
+    } else {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(hconf.value)
+      if (fs.exists(root)) fs.delete(root, true)
+      fs.mkdirs(root)
+      docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
+        val efs = new Path(dir).getFileSystem(hconf.value)
+        efs.setWriteChecksum(false)
+        it.foreach { id =>
+          val out = efs.create(new Path(dir, s"$id.bmp"), true)
+          try out.write(encodeBmp(id)) finally out.close()
+        }
       }
     }
   }
