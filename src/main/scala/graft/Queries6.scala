@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Assoc, Dedup, GraphOps, Multimodal}
+import graft.ext.{Assoc, Dedup, GraphOps, Multimodal, Similarity}
 
 /** Round-6 registry: entropy-coded image formats (PNG/JPEG via the
   * in-JDK javax.imageio codecs) at the batched decode seam, and the
@@ -75,6 +75,16 @@ object Queries6 {
       Dedup.dupClustersStar(ids, pairs).orderBy("doc_id")
     }),
 
+    // IVF-PQ + exact re-rank: the refinement stage that restores the
+    // recall ADC-only loses on weakly-clustered embeddings (organic
+    // re-measure: ADC-only ~0.0-0.08 vs brute force; rerank recovers
+    // everything the shortlist retains). Shortlist + query vectors
+    // broadcast onto one corpus scan.
+    "knn_ivfpq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqRerank(e, e.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
+    }),
+
     // k-core community extraction over the co-purchase graph, peeled
     // for a FIXED round budget both engine and oracle share (the spec
     // pins true-fixpoint semantics on hand graphs; 8 rounds reach the
@@ -141,5 +151,65 @@ object Queries6 {
     "multimodal_png_phash_clusters" -> Queries5.oracles("multimodal_phash_clusters"),
 
     "graph_k_core" -> kCoreOracle(KCoreK, KCoreRounds),
+
+    // the knn_ivfpq derivation (Queries5) widened to a 20-deep ADC
+    // shortlist, then re-ranked on the EXACT integer-grid L2
+    "knn_ivfpq_rerank" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM q WHERE vec_id < 8),
+         ad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS d2c
+                FROM q a, cent c),
+         asg AS (SELECT vec_id, q, cell_id, cq FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                  FROM ad) WHERE rn = 1),
+         res AS (SELECT vec_id, cell_id,
+                        list_transform(range(1, 65), i -> q[i] - cq[i]) AS r
+                 FROM asg),
+         sub AS (SELECT vec_id, cell_id, CAST(t.s AS INT) AS s,
+                        r[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                 FROM res, range(4) t(s)),
+         cb AS (SELECT CAST(vec_id AS INT) AS cid, s, v AS c FROM sub WHERE vec_id < 8),
+         d AS (SELECT a.vec_id, a.cell_id, a.s, b.cid,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+               FROM sub a JOIN cb b ON b.s = a.s),
+         codes AS (SELECT vec_id AS n_id, cell_id, s, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+                    FROM d) WHERE rn = 1),
+         probed AS (SELECT vec_id AS q_id, cell_id, cq, q FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                     FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+         qres AS (SELECT q_id, cell_id,
+                         list_transform(range(1, 65), i -> q[i] - cq[i]) AS qr
+                  FROM probed),
+         qsub AS (SELECT q_id, cell_id, CAST(t.s AS INT) AS s,
+                         qr[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                  FROM qres, range(4) t(s)),
+         dtab AS (SELECT a.q_id, a.cell_id, a.s, b.cid,
+                         CAST(list_sum(list_transform(range(1, 17),
+                           i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+                  FROM qsub a JOIN cb b ON b.s = a.s),
+         adc AS (SELECT dtab.q_id, codes.n_id, CAST(sum(dtab.d2) AS BIGINT) AS adc_d2
+                 FROM codes JOIN dtab ON dtab.cell_id = codes.cell_id
+                                     AND dtab.s = codes.s AND dtab.cid = codes.cid
+                 WHERE dtab.q_id != codes.n_id GROUP BY 1, 2),
+         sl AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rnk
+                 FROM adc) WHERE rnk <= 20),
+         ex AS (SELECT sl.q_id, sl.n_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                         i -> (qq.q[i] - cc.q[i]) * (qq.q[i] - cc.q[i]))) AS BIGINT) AS exact_d2
+                FROM sl JOIN q qq ON qq.vec_id = sl.q_id
+                        JOIN q cc ON cc.vec_id = sl.n_id),
+         rr AS (SELECT q_id, n_id, exact_d2,
+                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, n_id) AS INT) AS rank
+                FROM ex)
+         SELECT q_id, n_id, exact_d2, rank FROM rr WHERE rank <= 5
+         ORDER BY q_id, rank""",
   )
 }

@@ -755,4 +755,43 @@ object Similarity {
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** IVF-PQ with exact re-ranking — the refinement stage of the
+    * production architecture: the ADC pass produces a `shortlist`-sized
+    * candidate set per query (cheap, code-domain distances), then the
+    * EXACT distance is recomputed for just those candidates and the
+    * final top-k is ranked on it. This is the standard answer to the
+    * recall collapse PQ suffers on weakly-clustered embeddings
+    * (measured on the organic corpus: ADC-only recall ≈ 0.0–0.08 vs
+    * brute force — residual quantization error dominates the tiny
+    * cosine gaps of near-isotropic vectors; re-ranking restores what
+    * the shortlist retains).
+    *
+    * Scale shape: the shortlist is |Q|·`shortlist` rows — derived-tiny
+    * by contract — so the exact pass is one corpus scan with the
+    * shortlist AND the query vectors broadcast onto it; no second
+    * corpus shuffle, no all-pairs anywhere.
+    */
+  def ivfPqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      shortlist: Int = 20,
+      topK: Int = 5): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
+    val sl = ivfPqTopK(corpus, queries, cells, m, k, probes, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("cv"))
+    val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("qq"))
+    val w = Window.partitionBy("q_id").orderBy(col("exact_d2"), col("n_id"))
+    c.join(broadcast(sl), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), expr(l2sq("cv", "qq")).as("exact_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }
