@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Assoc, Dedup, GraphOps, Multimodal, Similarity}
+import graft.ext.{Assoc, Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
 
 /** Round-6 registry: entropy-coded image formats (PNG/JPEG via the
   * in-JDK javax.imageio codecs) at the batched decode seam, and the
@@ -73,6 +73,26 @@ object Queries6 {
       val ids = docs.select(col("doc_id"))
         .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
       Dedup.dupClustersStar(ids, pairs).orderBy("doc_id")
+    }),
+
+    // band-saturation monitor: per SimHash LSH segment, bucket stats +
+    // the exact candidate-pair budget the self-join would expand — the
+    // run-this-first metric behind the organic simhash cliff
+    "dedup_simhash_band_stats" -> ((s, dir) =>
+      Dedup.simhashBandStats(t(s, dir, "documents")).orderBy("seg_id")),
+
+    // Heaps-law QC: cumulative types-vs-tokens curve over doc_id
+    // slices — flat curve = replica-grown corpus, K·n^beta = organic
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents")).orderBy("slice")),
+
+    // perceptual dedup survives the lossy codec: dHash(BMP rendering)
+    // vs dHash(JPEG recompression) within 10 bits for every doc
+    "multimodal_jpeg_phash_robustness" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.jpegPhashRobustness(t(s, dir, "documents"))
+        .toDF()
+        .orderBy("doc_id")
     }),
 
     // IVF-PQ + exact re-rank: the refinement stage that restores the
@@ -151,6 +171,50 @@ object Queries6 {
     "multimodal_png_phash_clusters" -> Queries5.oracles("multimodal_phash_clusters"),
 
     "graph_k_core" -> kCoreOracle(KCoreK, KCoreRounds),
+
+    "dedup_simhash_band_stats" ->
+      """WITH sig AS (SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         segs AS (SELECT doc_id, CAST(t.s AS INT) AS seg_id,
+                         substr(simhash, CAST(t.s * 8 + 1 AS INT), 8) AS seg
+                  FROM sig, range(2) t(s)),
+         b AS (SELECT seg_id, seg, count(*) AS c FROM segs GROUP BY 1, 2)
+         SELECT seg_id,
+                CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(max(c) AS BIGINT) AS max_bucket,
+                CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_budget
+         FROM b GROUP BY 1 ORDER BY seg_id""",
+
+    "text_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         sl AS (SELECT CAST(least(d.doc_id * 10 // (mx.max_id + 1), 9) AS INT) AS slice,
+                       d.text
+                FROM documents d, mx),
+         tok AS (SELECT slice, unnest(string_split(text, ' ')) AS w FROM sl),
+         tps AS (SELECT slice, count(*) AS n_tokens FROM tok GROUP BY 1),
+         fs AS (SELECT min(slice) AS slice, w FROM tok GROUP BY w),
+         nt AS (SELECT slice, count(*) AS new_types FROM fs GROUP BY 1),
+         j AS (SELECT tps.slice, tps.n_tokens, coalesce(nt.new_types, 0) AS new_types
+               FROM tps LEFT JOIN nt USING (slice)),
+         c AS (SELECT slice, n_tokens, new_types,
+                      sum(n_tokens) OVER (ORDER BY slice ROWS UNBOUNDED PRECEDING) AS tokens_cum,
+                      sum(new_types) OVER (ORDER BY slice ROWS UNBOUNDED PRECEDING) AS types_cum
+               FROM j)
+         SELECT slice,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(new_types AS BIGINT) AS new_types,
+                CAST(tokens_cum AS BIGINT) AS tokens_cum,
+                CAST(types_cum AS BIGINT) AS types_cum,
+                CAST(types_cum * 1000000 // tokens_cum AS BIGINT) AS ttr_ppm
+         FROM c ORDER BY slice""",
+
+    "multimodal_jpeg_phash_robustness" ->
+      """SELECT doc_id, TRUE AS hamming_ok, TRUE AS decoded
+         FROM documents ORDER BY doc_id""",
 
     // the knn_ivfpq derivation (Queries5) widened to a 20-deep ADC
     // shortlist, then re-ranked on the EXACT integer-grid L2

@@ -352,6 +352,38 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("simhash")))
   }
 
+  /** Band-saturation monitor for fixed-width SimHash LSH — the ops
+    * metric behind the organic-scale-up finding (BASELINE.md §Round 6:
+    * a FIXED signature space meeting a growing corpus makes in-cap
+    * candidate pairs grow ~quadratically). Per band segment: document
+    * count, distinct buckets, the widest bucket, and the exact
+    * candidate-pair budget Σ c·(c−1)/2 the LSH self-join would expand.
+    * Run this BEFORE the pair join at a new scale: when pair_budget
+    * grows faster than the corpus, the signature is saturating and the
+    * band width / signature bits must grow (or the maxBucket cap will
+    * start trading recall).
+    *
+    * Scale shape: one shuffle keyed by (seg_id, seg value) to bucket
+    * counts, then an nSeg-row aggregate — never expands a single pair.
+    */
+  def simhashBandStats(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 16, s"maxHamming in [1,15], got $maxHamming")
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
+    val sig = Scale.widen(docs).select(col("doc_id"),
+      simhash16(tokens(col("text"))).as("simhash"))
+    val segs = sig.select(col("doc_id"),
+      posexplode(array((0 until nSeg).map(i =>
+        col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
+        .as(Seq("seg_id", "seg")))
+    segs.groupBy(col("seg_id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("seg_id"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pair_budget"))
+  }
+
   /** All-pairs n-gram Jaccard WITHIN blocks: the quadratic scorer,
     * bounded by a blocking key (here the caller pre-groups; pairs are
     * generated per equal `blockCols` value). At scale the block is an

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextPrimitives._
@@ -486,5 +487,41 @@ object TextAnalysis {
         sum(when(col("n_occ") < minCount, 1L).otherwise(0L)).as("n_rare"),
         count_distinct(when(col("n_occ") < minCount, col("tok"))).as("n_rare_distinct"))
       .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: split the corpus into
+    * `slices` doc_id-ranged slices and report, per slice, the
+    * CUMULATIVE token count, cumulative distinct-word count (types),
+    * and the type/token ratio in ppm. A replica-grown corpus shows a
+    * flat types curve (no new words after slice 0); an organic corpus
+    * follows types ≈ K·tokens^β — the QC that tells you which one you
+    * actually have before trusting LSH/band saturation extrapolations
+    * (BASELINE.md §Round 6 organic).
+    *
+    * Scale shape: one word-keyed shuffle to first-appearance slices,
+    * one token-count aggregate to `slices` rows, then windows over the
+    * `slices`-row frames only — the corpus is never windowed.
+    */
+  def vocabGrowth(docs: DataFrame, slices: Int = 10): DataFrame = {
+    require(slices >= 2, s"slices must be >= 2, got $slices")
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val sliced = docs
+      .crossJoin(broadcast(maxId))
+      .select(
+        least(expr(s"doc_id * $slices div (max_id + 1)"), lit(slices - 1L))
+          .cast("int").as("slice"),
+        col("text"))
+    val tok = sliced.select(col("slice"), explode(tokens(col("text"))).as("w"))
+    val tokensPerSlice = tok.groupBy(col("slice")).agg(count(lit(1)).as("n_tokens"))
+    val firstSlice = tok.groupBy(col("w")).agg(min(col("slice")).as("first_slice"))
+      .groupBy(col("first_slice")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerSlice
+      .join(firstSlice.withColumnRenamed("first_slice", "slice"), Seq("slice"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("types_cum", sum(col("new_types")).over(w))
+      .withColumn("ttr_ppm", expr("types_cum * 1000000 div tokens_cum"))
+      .select("slice", "n_tokens", "new_types", "tokens_cum", "types_cum", "ttr_ppm")
   }
 }
