@@ -295,6 +295,59 @@ class StreamingSpec extends SparkSpec {
       findings.toString)
   }
 
+  test("drift monitor survives kill-and-restart: checkpointed offsets skip batch A, partition overwrite dedups a replay") {
+    implicit val s = spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_restart").toFile
+    val watch = new java.io.File(dir, "drops").getPath
+    val out = new java.io.File(dir, "findings").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val base = graft.schema.Snapshot.fromMeta(spark,
+      tables = Seq(graft.schema.TableMeta("t1", "")),
+      columns = Seq(
+        graft.schema.ColumnMeta("t1", "id", 1, "bigint", "", false, "", false),
+        graft.schema.ColumnMeta("t1", "name", 2, "text", "", true, "", false)))
+    def land(id: String, nameType: String): Unit =
+      Seq((id, "t1", "id", 1, "bigint", "", false, "", false),
+        (id, "t1", "name", 2, nameType, "", true, "", false))
+        .toDF(graft.streaming.DriftMonitor.dropSchema.fieldNames: _*)
+        .coalesce(1).write.mode("append").parquet(watch)
+    def findings(): Set[(String, String)] =
+      spark.read.parquet(out).select("snapshot_id", "check").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+
+    // run 1: snapshot s1 drifts, then the monitor is killed
+    land("s1", "varchar(10)")
+    val q1 = graft.streaming.DriftMonitor.watch(base, watch, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(findings() == Set("s1" -> "column_type"))
+
+    // run 2: NEW query over the same checkpoint; only s2's drop is new.
+    // The restart must not re-diff s1 (checkpointed file offsets), and
+    // s2's findings must land exactly once.
+    land("s2", "int")
+    val q2 = graft.streaming.DriftMonitor.watch(base, watch, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(findings() == Set("s1" -> "column_type", "s2" -> "column_type"))
+    val perSnapshot = spark.read.parquet(out)
+      .groupBy("snapshot_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSnapshot == Map("s1" -> 1L, "s2" -> 1L),
+      s"each snapshot must hold exactly its one finding, got $perSnapshot")
+
+    // run 3: a REPLAYED batch (fresh checkpoint over the same drops +
+    // findings dirs — batch ids restart at 0, every drop re-processed).
+    // The snapshot_id= partition overwrite must rewrite, not append.
+    val ckpt2 = new java.io.File(dir, "ckpt2").getPath
+    val q3 = graft.streaming.DriftMonitor.watch(base, watch, out, ckpt2)
+    try q3.processAllAvailable() finally q3.stop()
+    val after = spark.read.parquet(out)
+      .groupBy("snapshot_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("s1" -> 1L, "s2" -> 1L),
+      s"replay must overwrite partitions, not duplicate findings: $after")
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
