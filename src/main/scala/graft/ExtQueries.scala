@@ -1490,19 +1490,43 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
-    "approx_quantiles_kll" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // sketch (mergeable percentile_approx) validated against the EXACT
+    // quantiles in HISTOGRAM form — the same shape as
+    // feature_binning_deciles / robust_mad_outliers, NOT the built-in
+    // exact `percentile()` aggregate: that one buffers a whole group on
+    // one reducer (~4 groups ⇒ one task per 25 TB group at 100×). Here
+    // the fact collapses to a (flag, cents, count) histogram in one
+    // shuffle, the prefix sum is chunk-distributed, and the quantile
+    // read-off is weighted arithmetic over |distinct values| rows.
+    // Exact quantile convention: lower quantile, min v with
+    // cum ≥ ceil(p·n) — neighbors in a 6M-row price distribution are
+    // far closer than the 1% tolerance band, so the booleans are
+    // insensitive to the interpolation convention the old verifier used.
+    "approx_quantiles_kll" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"),
+          percentile_approx(col("price_c"),
             array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"),
           count(lit(1)).as("n_rows"))
+      val h = li.groupBy(col("l_returnflag"), col("price_c"))
+        .agg(count(lit(1)).as("c"))
+      val cum = graft.ext.Scale.chunkedCumSum(
+        h, Seq("l_returnflag"), "price_c", "c", "cum")
+        .withColumnRenamed("cum_total", "n")
+      val exact = cum.groupBy(col("l_returnflag")).agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("price_c"))).as("ex50"),
+        min(when(col("cum") >= expr("(n * 19 + 19) div 20"), col("price_c"))).as("ex95"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("price_c"))).as("ex99"))
+      approx.join(broadcast(exact), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_rows"),
-          (abs(col("qs")(0) - col("ex")(0)) <= col("ex")(0) * 0.01).as("p50_ok"),
-          (abs(col("qs")(1) - col("ex")(1)) <= col("ex")(1) * 0.01).as("p95_ok"),
-          (abs(col("qs")(2) - col("ex")(2)) <= col("ex")(2) * 0.01).as("p99_ok"))
-        .orderBy("l_returnflag")),
+          (abs(col("qs")(0) - col("ex50")) <= col("ex50") * 0.01).as("p50_ok"),
+          (abs(col("qs")(1) - col("ex95")) <= col("ex95") * 0.01).as("p95_ok"),
+          (abs(col("qs")(2) - col("ex99")) <= col("ex99") * 0.01).as("p99_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // train-prep: deterministic split, sequence packing, benchmark
     // decontamination (eval set = every 20th document, so the planted

@@ -45,11 +45,13 @@ object Queries6 {
     }),
 
     // lossy decode QC: real JPEGs, exact decoded dims + bounded mean
-    // reconstruction error (DCT quantization can't hash-match pixels)
+    // reconstruction error (DCT quantization can't hash-match pixels).
+    // Each doc also emits an inverted-field control row planted FALSE,
+    // so the tolerance boolean is non-constant in the oracle — a
+    // lit(true) stub can't match (round-7 stub-proofing).
     "multimodal_jpeg_decode_qc" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.jpegDecodeQc(
-          Multimodal.jpegFromDocuments(t(s, dir, "documents")), JpegTolMilli)
+      Multimodal.jpegDecodeQcWithControls(t(s, dir, "documents"), JpegTolMilli)
         .toDF()
         .orderBy("doc_id")
     }),
@@ -158,13 +160,23 @@ object Queries6 {
     // lossless container swap: the BMP pixel-formula oracle verbatim
     "multimodal_png_decode" -> ExtQueries.oracles("multimodal_bmp_decode"),
 
+    // real rows TRUE, inverted-field control rows FALSE: the boolean
+    // column varies with the data, so only an engine that actually
+    // decodes and measures the error reproduces it
     "multimodal_jpeg_decode_qc" ->
       """SELECT doc_id,
                 CAST(8 + doc_id % 9 AS INT) AS width,
                 CAST(4 + doc_id % 5 AS INT) AS height,
                 TRUE AS mean_abs_err_ok,
                 TRUE AS nonzero_payload
-         FROM documents ORDER BY doc_id""",
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                CAST(8 + doc_id % 9 AS INT),
+                CAST(4 + doc_id % 5 AS INT),
+                FALSE, TRUE
+         FROM documents
+         ORDER BY doc_id""",
 
     // identical pixels → identical hashes → the BMP phash oracles hold
     "multimodal_png_phash_neardup" -> Queries5.oracles("multimodal_phash_neardup"),
@@ -212,9 +224,54 @@ object Queries6 {
                 CAST(types_cum * 1000000 // tokens_cum AS BIGINT) AS ttr_ppm
          FROM c ORDER BY slice""",
 
+    // hamming_control re-derives BOTH mismatched-pair BMP dHashes from
+    // the seeded luma formula (the same derivation as Queries5's
+    // phashCtes, but the +1e6 row is an unrelated doc's field, not a
+    // perturbed twin) — a pinned, per-doc-varying value an engine can
+    // only produce by running the dHash pipeline. Decoded dims pin the
+    // JPEG decode; the booleans tie the codec-dependent self distance
+    // under the pinned control (self ≤ 10 < 12 ≤ control, measured
+    // over 60k ids).
     "multimodal_jpeg_phash_robustness" ->
-      """SELECT doc_id, TRUE AS hamming_ok, TRUE AS decoded
-         FROM documents ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, doc_id AS src FROM documents
+                    UNION ALL
+                    SELECT doc_id, doc_id + 1000000 FROM documents),
+         base AS (SELECT doc_id, src,
+                         CAST(8 + src % 9 AS BIGINT) AS w,
+                         CAST(4 + src % 5 AS BIGINT) AS h
+                  FROM d),
+         g AS (SELECT doc_id, src, w, h, t.i // 9 AS gy, t.i % 9 AS gx
+               FROM base, range(72) t(i)),
+         p AS (SELECT doc_id, src, gy, gx,
+                      (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, w
+               FROM g),
+         l AS (SELECT doc_id, src, gy, gx,
+                 2126 * ((src * 2654435761 + (sy * w + sx) * 97 + 62) % 256)
+               + 7152 * ((src * 2654435761 + (sy * w + sx) * 97 + 31) % 256)
+               +  722 * ((src * 2654435761 + (sy * w + sx) * 97) % 256) AS luma
+               FROM p),
+         bits AS (SELECT a.doc_id, a.src, a.gy, a.gx,
+                         CASE WHEN a.luma > n.luma THEN 1 ELSE 0 END AS bit
+                  FROM l a JOIN l n ON n.doc_id = a.doc_id AND n.src = a.src
+                                   AND n.gy = a.gy AND n.gx = a.gx + 1
+                  WHERE a.gx < 8),
+         hsh AS (SELECT doc_id, src,
+                   CAST(bit_or(CASE WHEN bit = 0 THEN 0
+                                    WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+                                    ELSE (1::BIGINT << CAST(gy * 8 + gx AS INT)) END) AS BIGINT) AS hash
+                 FROM bits GROUP BY doc_id, src),
+         pair AS (SELECT a.doc_id,
+                         CAST(bit_count(xor(a.hash, b.hash)) AS INT) AS hamming_control
+                  FROM hsh a JOIN hsh b ON b.doc_id = a.doc_id
+                                       AND b.src = a.doc_id + 1000000
+                  WHERE a.src = a.doc_id)
+         SELECT doc_id,
+                CAST(8 + doc_id % 9 AS INT) AS width,
+                CAST(4 + doc_id % 5 AS INT) AS height,
+                hamming_control,
+                TRUE AS hamming_ok,
+                TRUE AS self_lt_control
+         FROM pair ORDER BY doc_id""",
 
     // the knn_ivfpq derivation (Queries5) widened to a 20-deep ADC
     // shortlist, then re-ranked on the EXACT integer-grid L2

@@ -795,6 +795,37 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       mean_abs_err_ok: Boolean, nonzero_payload: Boolean)
 
+  /** Mean absolute per-channel reconstruction error (milli-levels) of a
+    * decoded raster vs the seeded field of `fieldId` — or, with
+    * `inverted`, vs the 255-complement of that field (the planted-FALSE
+    * control: |x − (255−e)| averages ≈127 levels for a correct decode,
+    * measured ≥103.4 over 60k docs, so it breaches any sane tolerance
+    * with an ~11σ margin while the true-field error stays ≤38.5).
+    */
+  private def jpegErrMilli(
+      img: java.awt.image.BufferedImage, fieldId: Long, inverted: Boolean): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    def expect(i: Int, c: Int): Int = {
+      val e = bmpChannel(fieldId, i, c)
+      if (inverted) 255 - e else e
+    }
+    var errSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = y * w + x
+        errSum += math.abs(((rgb >> 16) & 0xff) - expect(i, 2)) +
+          math.abs(((rgb >> 8) & 0xff) - expect(i, 1)) +
+          math.abs((rgb & 0xff) - expect(i, 0))
+        x += 1
+      }
+      y += 1
+    }
+    errSum * 1000L / (w.toLong * h * 3L)
+  }
+
   def jpegDecodeQc(
       media: Dataset[BmpRecord],
       tolMilli: Long,
@@ -804,23 +835,37 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable JPEG for doc ${r.doc_id}")
+        JpegQc(r.doc_id, img.getWidth, img.getHeight,
+          jpegErrMilli(img, r.doc_id, inverted = false) <= tolMilli,
+          r.payload.length > 0)
+      })
+    }
+  }
+
+  /** [[jpegDecodeQc]] with planted-FALSE control rows, so the key's
+    * `mean_abs_err_ok` column is NON-constant and a `lit(true)` engine
+    * stub cannot hash-match the oracle: each doc additionally emits a
+    * doc_id+1e6 row scoring the SAME decoded raster against the
+    * inverted expected field — deterministically outside tolerance (the
+    * margin note on [[jpegErrMilli]]) — while real rows stay inside.
+    * Both rows derive from one decode; dims stay the decoded ones.
+    */
+  def jpegDecodeQcWithControls(
+      docs: DataFrame,
+      tolMilli: Long,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[JpegQc] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { id =>
+        val jpeg = encodeJpeg(id)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, s"undecodable JPEG for doc $id")
         val w = img.getWidth; val h = img.getHeight
-        var errSum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val i = y * w + x
-            errSum += math.abs(((rgb >> 16) & 0xff) - bmpChannel(r.doc_id, i, 2)) +
-              math.abs(((rgb >> 8) & 0xff) - bmpChannel(r.doc_id, i, 1)) +
-              math.abs((rgb & 0xff) - bmpChannel(r.doc_id, i, 0))
-            x += 1
-          }
-          y += 1
-        }
-        val meanMilli = errSum * 1000L / (w.toLong * h * 3L)
-        JpegQc(r.doc_id, w, h, meanMilli <= tolMilli, r.payload.length > 0)
+        Iterator(
+          JpegQc(id, w, h,
+            jpegErrMilli(img, id, inverted = false) <= tolMilli, jpeg.length > 0),
+          JpegQc(id + 1000000L, w, h,
+            jpegErrMilli(img, id, inverted = true) <= tolMilli, jpeg.length > 0))
       })
     }
   }
@@ -831,11 +876,24 @@ object Multimodal {
     * within `maxHamming`. THE property that makes perceptual dedup
     * work on a real corpus — the same photo re-encoded at different
     * qualities must still collide — proven here over real codecs end
-    * to end (measured: 0–8 differing bits across the seeded corpus vs
-    * ~32 for unrelated images; tolerance 10). Map-only; two in-memory
-    * encodes + decodes per row, nothing shuffles but the verdict.
+    * to end (measured over 60k docs: ≤10 differing bits for the same
+    * image vs ≥12 — typically ~32 — for the mismatched-pair control;
+    * tolerance 10). Map-only; the encodes + decodes stay in-memory per
+    * row, nothing shuffles but the verdict columns.
+    *
+    * Stub-proofing (round 7): the row also carries the decoded JPEG
+    * dims and `hamming_control` — the EXACT Hamming distance between
+    * this doc's BMP dHash and the BMP dHash of the unrelated doc
+    * doc_id+1e6 — a non-constant value the oracle re-derives from the
+    * seeded luma formula. An engine that answers `lit(true)` without
+    * running the dHash pipeline cannot produce that column;
+    * `self_lt_control` then ties the (codec-dependent, un-pinnable)
+    * self distance to the pinned control: self ≤ 10 < 12 ≤ control on
+    * every probed id.
     */
-  case class JpegPhashQc(doc_id: Long, hamming_ok: Boolean, decoded: Boolean)
+  case class JpegPhashQc(
+      doc_id: Long, width: Int, height: Int,
+      hamming_control: Int, hamming_ok: Boolean, self_lt_control: Boolean)
 
   def jpegPhashRobustness(
       docs: DataFrame,
@@ -845,11 +903,15 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { id =>
         val hBmp = dhashFromBytes(id, encodeBmp(id))
+        val hCtl = dhashFromBytes(id + 1000000L, encodeBmp(id + 1000000L))
         val jpeg = encodeJpeg(id)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, s"undecodable JPEG for doc $id")
         val hJpg = dhashFromImage(id, jpeg)
-        JpegPhashQc(id,
-          java.lang.Long.bitCount(hBmp ^ hJpg) <= maxHamming,
-          jpeg.length > 0)
+        val self = java.lang.Long.bitCount(hBmp ^ hJpg)
+        val ctl = java.lang.Long.bitCount(hBmp ^ hCtl)
+        JpegPhashQc(id, img.getWidth, img.getHeight, ctl,
+          self <= maxHamming, self < ctl)
       })
     }
   }
@@ -1162,23 +1224,49 @@ object Multimodal {
       if (fs.exists(root)) fs.delete(root, true)
       fs.mkdirs(root)
       docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
-        val efs = new Path(dir).getFileSystem(hconf.value)
-        efs.setWriteChecksum(false)
-        it.foreach { id =>
-          val out = efs.create(new Path(dir, s"$id.bmp"), true)
-          try out.write(encodeBmp(id)) finally out.close()
-        }
+        // newInstance, not the JVM-cached FileSystem.get: setWriteChecksum
+        // would otherwise silently disable client-side checksums for every
+        // other writer sharing the cached instance in this executor.
+        val efs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new Path(dir).toUri, hconf.value)
+        try {
+          efs.setWriteChecksum(false)
+          it.foreach { id =>
+            val out = efs.create(new Path(dir, s"$id.bmp"), true)
+            try out.write(encodeBmp(id)) finally out.close()
+          }
+        } finally efs.close()
       }
     }
   }
 
+  private val stagingCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Per-session staging root for keys that must materialize real
     * files: scoping by `applicationId` means two concurrent sessions
     * (bench + verify, parallel CI) can never clobber each other's
-    * staged directories mid-scan.
+    * staged directories mid-scan. The appId-scoped root is deleted on
+    * JVM shutdown (first call registers the hook) — without that,
+    * every session leaks its thousands of staged tiny files into
+    * java.io.tmpdir forever, since no later session reuses the path.
     */
-  def stagingDir(spark: SparkSession, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${spark.sparkContext.applicationId}/$name"
+  def stagingDir(spark: SparkSession, name: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_rt_${spark.sparkContext.applicationId}")
+    if (stagingCleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+    }
+    s"$root/$name"
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val it = java.nio.file.Files.walk(root)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally it.close()
+    }
 
   def decodeBmpFiles(dir: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._

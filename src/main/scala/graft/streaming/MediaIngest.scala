@@ -32,6 +32,22 @@ import graft.ext.Multimodal
   */
 object MediaIngest {
 
+  /** Read `dir` as parquet only if it holds at least one COMMITTED
+    * data file. Directory-exists is not enough: a crash during the
+    * very first batch's append can leave only an uncommitted
+    * `_temporary/` tree, and a bare `spark.read.parquet` would then
+    * throw schema-inference errors on every restart — permanently
+    * wedging the stream in exactly the recovery path the marker
+    * protocol is meant to harden. */
+  private def readCommitted(dir: String)(
+      implicit spark: SparkSession): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (hasData) Some(spark.read.parquet(dir)) else None
+  }
+
   def phashIngest(
       media: DataFrame, // (doc_id LONG, payload BINARY)
       outDir: String,
@@ -63,27 +79,27 @@ object MediaIngest {
           val kept = hashes.join(inBatchDrop, Seq("id"), "left_anti")
           // (2) probe the persisted index: band equi-join, Hamming verify
           val dataDir = s"$indexDir/hashes"
-          val fresh =
-            if (fs.exists(new org.apache.hadoop.fs.Path(dataDir))) {
-              val idx = Multimodal.bandedHashes(spark.read.parquet(dataDir), bands)
+          val fresh = readCommitted(dataDir) match {
+            case Some(persisted) =>
+              val idx = Multimodal.bandedHashes(persisted, bands)
                 .select(col("band_idx"), col("band"), col("hash").as("i_hash"))
               val hit = Multimodal.bandedHashes(kept, bands)
                 .join(idx, Seq("band_idx", "band"))
                 .filter(expr(s"bit_count(hash ^ i_hash) <= $maxHamming"))
                 .select(col("id")).distinct()
               kept.join(hit, Seq("id"), "left_anti")
-            } else kept
+            case None => kept
+          }
           // (3) append survivors to gold and index, then commit the
           // batch. Each append anti-joins the ids already in its
           // target so replaying a partially-committed batch writes
           // exactly the missing suffix (idempotence note above).
-          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-              frame.join(spark.read.parquet(dir).select("id").distinct(),
-                Seq("id"), "left_anti")
-            else frame
-          }
+          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame =
+            readCommitted(dir) match {
+              case Some(existing) =>
+                frame.join(existing.select("id").distinct(), Seq("id"), "left_anti")
+              case None => frame
+            }
           val surv = fresh.persist()
           notAlreadyIn(surv, outDir).write.mode("append").parquet(outDir)
           notAlreadyIn(surv, dataDir).write.mode("append").parquet(dataDir)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Round-7 batch: stub-proofed lossy-JPEG oracles and the kll key's
+  * histogram-form exact verifier.
+  */
+class Queries7Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("approx_quantiles_kll plans NO exact percentile aggregate (single-reducer-per-group killer)") {
+    val p = SparkEntry.queries("approx_quantiles_kll")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // percentile_approx is the sketch under test; the exact
+    // `percentile(...)` aggregate (whole group on one reducer) must be
+    // gone — the verifier is the distributed histogram form now
+    assert(!p.replace("percentile_approx(", "").contains("percentile("),
+      "exact percentile() aggregate found in the kll key's plan:\n" + p.take(1500))
+    val rows = SparkEntry.queries("approx_quantiles_kll")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      "sketch quantiles must sit within 1% of the histogram-form exact quantiles")
+  }
+
+  test("JPEG decode QC controls: real rows inside tolerance, inverted-field rows planted FALSE") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"))
+    val qc = Multimodal.jpegDecodeQcWithControls(docs, 60000L).collect()
+    assert(qc.length == 80)
+    val (real, ctl) = qc.partition(_.doc_id < 1000000L)
+    assert(real.forall(_.mean_abs_err_ok), "real decodes must sit inside the 60-level tolerance")
+    assert(ctl.forall(!_.mean_abs_err_ok),
+      "inverted-field control rows must breach tolerance (planted FALSE)")
+    // control rows carry the SOURCE doc's decoded dims
+    assert(ctl.forall(r => r.width == 8 + (r.doc_id - 1000000L) % 9 &&
+      r.height == 4 + (r.doc_id - 1000000L) % 5))
+  }
+
+  test("JPEG phash robustness: pinned mismatched-pair control dominates the codec self-distance") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"))
+    val rows = Multimodal.jpegPhashRobustness(docs).collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_.hamming_ok), "same-image BMP/JPEG dHashes must agree within 10 bits")
+    assert(rows.forall(_.self_lt_control))
+    assert(rows.forall(_.hamming_control >= 12),
+      "mismatched-pair control must stay above the self tolerance band")
+    // the control varies across docs — the stub-proof property: a
+    // constant column cannot reproduce it
+    assert(rows.map(_.hamming_control).distinct.length > 5)
+    assert(rows.forall(r => r.width == 8 + r.doc_id % 9 && r.height == 4 + r.doc_id % 5))
+    // engine control hash derivation equals the oracle's formula-side
+    // derivation on a spot id
+    val h0 = Multimodal.dhashFromBytes(7L, Multimodal.encodeBmp(7L))
+    val h1 = Multimodal.dhashFromBytes(1000007L, Multimodal.encodeBmp(1000007L))
+    assert(rows.find(_.doc_id == 7L).get.hamming_control ==
+      java.lang.Long.bitCount(h0 ^ h1))
+  }
+}
