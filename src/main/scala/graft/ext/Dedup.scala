@@ -433,9 +433,9 @@ object Dedup {
     // iterate over edge-touched nodes only — singletons can't change
     // label, so they rejoin once at the end instead of being dragged
     // through every round's shuffle
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.truncate(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -447,13 +447,12 @@ object Dedup {
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
-      val updated = labels
+      val updated = Checkpoints.truncate(labels
         .join(propagated, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
             .as("cluster_id"),
-          (col("nbr_label") < col("cluster_id")).as("changed"))
-        .localCheckpoint(true)
+          (col("nbr_label") < col("cluster_id")).as("changed")))
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.drop("changed")
       round += 1
@@ -512,14 +511,14 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint(true)
+    var edges = Checkpoints.truncate(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     var prev = (-1L, 0L)
     var round = 0
     var cur = checksum(edges)
     while (cur != prev && round < maxRounds) {
       prev = cur
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = Checkpoints.truncate(smallStar(largeStar(edges)))
       cur = checksum(edges)
       round += 1
     }

@@ -55,12 +55,12 @@ object GraphOps {
       // each eager localCheckpoint costs a full job, so a short fixed
       // run composes lazily and long runs truncate periodically
       if (i % checkpointEvery == 0 && i < iterations)
-        rank = rank.localCheckpoint(true)
+        rank = Checkpoints.truncate(rank)
     }
     // ONE final materialization: the returned frame must not depend on
     // the caches being unpersisted below (the lazy tail would silently
     // recompute the whole edge subtree per downstream action)
-    rank = rank.localCheckpoint(true)
+    rank = Checkpoints.truncate(rank)
     deg.unpersist()
     sym.unpersist()
     rank.select(col("node"), col("r").as("rank_ppm"))
@@ -89,7 +89,9 @@ object GraphOps {
     *
     * Scale shape per round: one symmetric-degree aggregate + two
     * semi-joins that shrink the edge list; the edge set REPLACES
-    * itself (localCheckpoint truncates lineage), and convergence is an
+    * itself ([[Checkpoints.truncate]] cuts lineage — reliable
+    * checkpoints on a cluster when `spark.graft.checkpointDir` is
+    * set, localCheckpoint otherwise), and convergence is an
     * edge-count fixpoint. Rounds are bounded by the peel depth —
     * power-law graphs converge in a few dozen rounds; each round's
     * cost shrinks with the graph. (No DuckDB oracle: per-round
@@ -98,8 +100,8 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("ea"), col("eb"))
-      .filter(col("ea") =!= col("eb")).distinct().localCheckpoint(true)
+    var e = Checkpoints.truncate(edges.select(col("ea"), col("eb"))
+      .filter(col("ea") =!= col("eb")).distinct())
     var prevEdges = -1L
     var round = 0
     var nEdges = e.count()
@@ -109,9 +111,9 @@ object GraphOps {
         .unionByName(e.select(col("eb").as("u"), col("ea").as("v")))
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
-      e = e.join(keep.select(col("u").as("ea")), Seq("ea"), "left_semi")
-        .join(keep.select(col("u").as("eb")), Seq("eb"), "left_semi")
-        .localCheckpoint(true)
+      e = Checkpoints.truncate(
+        e.join(keep.select(col("u").as("ea")), Seq("ea"), "left_semi")
+          .join(keep.select(col("u").as("eb")), Seq("eb"), "left_semi"))
       nEdges = e.count()
       round += 1
     }

@@ -26,6 +26,35 @@ class Queries7Spec extends SparkSpec {
       "sketch quantiles must sit within 1% of the histogram-form exact quantiles")
   }
 
+  test("reliable-checkpoint mode: k-core and star CC produce identical output with spark.graft.checkpointDir set") {
+    val edges = graft.ext.Assoc.coOrderEdges(
+      graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")).persist()
+    val pairs = edges.select(col("ea").as("a_id"), col("eb").as("b_id"))
+    val ids = edges.select(col("ea").as("doc_id"))
+      .unionByName(edges.select(col("eb").as("doc_id"))).distinct()
+    try {
+      val localCore = graft.ext.GraphOps.kCore(edges, k = 3, maxRounds = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val localCc = graft.ext.Dedup.dupClustersStar(ids, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+      spark.conf.set("spark.graft.checkpointDir", ckDir)
+      try {
+        val reliableCore = graft.ext.GraphOps.kCore(edges, k = 3, maxRounds = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val reliableCc = graft.ext.Dedup.dupClustersStar(ids, pairs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(reliableCore == localCore)
+        assert(reliableCc == localCc)
+        // the reliable path actually wrote checkpoint data to the dir
+        val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        try assert(wrote.filter(p => java.nio.file.Files.isRegularFile(p)).count() > 0,
+          "reliable checkpoint mode must materialize to the configured dir")
+        finally wrote.close()
+      } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally { edges.unpersist(); () }
+  }
+
   test("JPEG decode QC controls: real rows inside tolerance, inverted-field rows planted FALSE") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 40).select(col("id").as("doc_id"))
