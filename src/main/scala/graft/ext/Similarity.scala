@@ -794,4 +794,165 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Adaptive IVF-PQ — the policy layer the round-6 organic recall
+    * curve demanded: a FIXED shortlist throws away recall as cells
+    * grow (measured: rerank recall ∝ shortlist/probed-population —
+    * 0.02 at 20, 0.30 at 640 on 8k weak-structure vectors), and on
+    * low-SNR residuals the ADC ordering itself carries almost no
+    * signal, so no shortlist short of the whole list helps. Two
+    * measured decisions replace the fixed knob:
+    *
+    *  1. **Residual SNR gate.** One tiny aggregate over the encode
+    *     pass measures the PQ codes' explained variance,
+    *     `snr_ppm = (Σ|r|² − Σ minᶜ‖r−c‖²)·1e6 div Σ|r|²`. Below
+    *     `snrThresholdPpm` the codes are noise → fall back to
+    *     IVF-FLAT: exact distances over the probed cells' members
+    *     (recall = whatever the coarse probes retain — 0.60 on the
+    *     organic corpus vs ≈0.0 ADC-only — at probed-population scan
+    *     cost, still `probes/cells` of the corpus, never all of it).
+    *  2. **Population-sized shortlist.** Above the gate, each query's
+    *     ADC shortlist is `max(minShortlist,
+    *     shortlistFracPpm · pop(probed cells) div 1e6)` — sized from
+    *     the MEASURED inverted-list populations ([[ivfCellStats]]'
+    *     contract), so the rerank stage keeps a constant recall
+    *     fraction as cells grow instead of a constant row count.
+    *
+    * The SNR decision is evaluated eagerly (a 2-long aggregate — the
+    * same driver-model-by-design class as the k-row centroid state):
+    * the returned plan is the CHOSEN branch only, so the cluster never
+    * executes the losing branch. Output carries the policy evidence:
+    * `mode` ('adc_rerank' | 'ivf_flat'), per-query `shortlist_len`
+    * (the ADC shortlist target, or the probed population for flat) and
+    * `snr_ppm`, so an index operator can audit the decision from the
+    * result alone.
+    *
+    * Scale shape: identical to [[ivfPqTopK]]/[[ivfPqRerank]] on the
+    * rerank branch; the flat branch is one corpus scan with the
+    * (|Q|·probes)-row probe list + query vectors broadcast onto it.
+    * All arithmetic integer on the 1e-6 grid; ties → lowest id.
+    */
+  def ivfPqAdaptive(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      topK: Int = 5,
+      shortlistFracPpm: Long = 200000L,
+      minShortlist: Int = 20,
+      snrThresholdPpm: Long = 300000L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(probes >= 1 && probes <= cells, s"probes must be in [1, $cells]")
+    require(minShortlist >= topK, s"minShortlist ($minShortlist) must cover topK ($topK)")
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"), quantized(col("embedding")).as("cq"))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    // coarse assignment, keeping BOTH the original vector (flat branch
+    // scores on it) and the residual (encode + ADC branch)
+    val asg = c.join(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
+      .join(broadcast(cent), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), col("q"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = asg.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), posexplode(expr(subvectors("r", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "c_sub")
+    // encode: per (vector, subspace) the nearest residual-codebook entry
+    // AND its quantization error — the error sum is the SNR numerator
+    val enc = asg
+      .select(col("vec_id").as("n_id"), col("cell_id"), posexplode(expr(subvectors("r", m))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "v_sub")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("n_id"), col("cell_id"), col("sub"), col("cid"),
+        expr(l2sq("v_sub", "c_sub")).as("d2"))
+      .groupBy(col("n_id"), col("cell_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("n_id"), col("cell_id"), col("sub"),
+        col("best.cid").as("cid"), col("best.d2").as("err_d2"))
+    // the gate: 2 numbers off the corpus (residual energy, PQ error).
+    // decimal(38) sums: per-vector energies are ~1e13 on the 1e-6 grid,
+    // so a long sum overflows past ~1e5 vectors — this aggregate must
+    // survive a 100 TB corpus. The ppm division happens in driver-side
+    // BigInt (exact), clamped at 0: codes WORSE than the zero vector
+    // (|r−c|² > |r|²) are just "no signal", and the clamp keeps the
+    // engine/oracle integer-division conventions trivially aligned.
+    val snrRow = asg.select(col("vec_id"), qdot(col("r"), col("r")).as("r2"))
+      .join(enc.groupBy(col("n_id").as("vec_id")).agg(sum(col("err_d2")).as("err")),
+        Seq("vec_id"))
+      .agg(sum(col("r2").cast("decimal(38,0)")).as("sum_r2"),
+        sum(col("err").cast("decimal(38,0)")).as("sum_err"))
+      .collect().head
+    val sumR2 = BigInt(snrRow.getDecimal(0).toBigInteger)
+    val sumErr = BigInt(snrRow.getDecimal(1).toBigInteger)
+    val snrPpm = if (sumR2 == 0) 1000000L
+      else ((sumR2 - sumErr).max(BigInt(0)) * 1000000 / sumR2).toLong
+    // probe lists + measured populations → per-query shortlist target
+    val pop = asg.groupBy(col("cell_id")).agg(count(lit(1)).as("n_members"))
+    val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q"))
+    val pw = Window.partitionBy("q_id").orderBy(col("d2c"), col("cell_id"))
+    val probed = qv.join(broadcast(cent))
+      .select(col("q_id"), col("q"), col("cell_id"), col("cq"), expr(l2sq("q", "cq")).as("d2c"))
+      .withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= probes)
+    val slLen = probed.join(broadcast(pop), Seq("cell_id"))
+      .groupBy(col("q_id"))
+      .agg(greatest(lit(minShortlist.toLong),
+        expr(s"sum(n_members) * $shortlistFracPpm div 1000000")).as("shortlist_len"))
+    val out =
+      if (snrPpm < snrThresholdPpm) {
+        // IVF-FLAT fallback: exact distances over probed cells' members
+        val probeFlat = probed.select(col("q_id"), col("cell_id"), col("q").as("qq"))
+        val w = Window.partitionBy("q_id").orderBy(col("exact_d2"), col("n_id"))
+        // flat scans the whole probed population — report that as the
+        // effective shortlist
+        val flatLen = probed.join(broadcast(pop), Seq("cell_id"))
+          .groupBy(col("q_id")).agg(sum(col("n_members")).as("shortlist_len"))
+        asg.select(col("vec_id").as("n_id"), col("cell_id"), col("q").as("cv"))
+          .join(broadcast(probeFlat), Seq("cell_id"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), expr(l2sq("cv", "qq")).as("exact_d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .join(broadcast(flatLen), Seq("q_id"))
+          .withColumn("mode", lit("ivf_flat"))
+      } else {
+        // ADC with the population-sized shortlist, then exact rerank
+        val dtab = probed
+          .select(col("q_id"), col("cell_id"),
+            expr("zip_with(q, cq, (x, y) -> x - y)").as("qr"))
+          .select(col("q_id"), col("cell_id"), posexplode(expr(subvectors("qr", m))))
+          .withColumnRenamed("pos", "sub").withColumnRenamed("col", "q_sub")
+          .join(broadcast(cb), Seq("sub"))
+          .select(col("q_id"), col("cell_id"), col("sub"), col("cid"),
+            expr(l2sq("q_sub", "c_sub")).as("d2"))
+        val adc = enc.join(broadcast(dtab), Seq("cell_id", "sub", "cid"))
+          .filter(col("q_id") =!= col("n_id"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(sum(col("d2")).as("adc_d2"))
+        val aw = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("n_id"))
+        val sl = adc.withColumn("adc_rank", row_number().over(aw))
+          .join(broadcast(slLen), Seq("q_id"))
+          .filter(col("adc_rank") <= col("shortlist_len"))
+          .select(col("q_id"), col("n_id"), col("shortlist_len"))
+        val cv = Scale.widen(corpus)
+          .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("cv"))
+        val w = Window.partitionBy("q_id").orderBy(col("exact_d2"), col("n_id"))
+        cv.join(broadcast(sl), Seq("n_id"))
+          .join(broadcast(qv.select(col("q_id"), col("q").as("qq"))), Seq("q_id"))
+          .select(col("q_id"), col("n_id"), col("shortlist_len"),
+            expr(l2sq("cv", "qq")).as("exact_d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .withColumn("mode", lit("adc_rerank"))
+      }
+    out.select(col("q_id"), col("n_id"), col("exact_d2"), col("rank"),
+      col("mode"), col("shortlist_len"), lit(snrPpm).as("snr_ppm"))
+  }
 }

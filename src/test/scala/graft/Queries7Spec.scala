@@ -55,6 +55,51 @@ class Queries7Spec extends SparkSpec {
     } finally { edges.unpersist(); () }
   }
 
+  test("adaptive IVF-PQ: SNR gate picks ivf_flat on weak-structure embeddings, adc_rerank on clustered ones") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val weak = graft.ext.Similarity.ivfPqAdaptive(e, e.filter(col("vec_id") < 10)).collect()
+    assert(weak.nonEmpty && weak.forall(_.getString(4) == "ivf_flat"),
+      "near-isotropic embeddings must measure low residual SNR and fall back to exact-over-probed-cells")
+    assert(weak.forall(_.getLong(6) < 300000L))
+    val structured = SparkEntry.queries("knn_ivfpq_adaptive_structured")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(structured.nonEmpty && structured.forall(_.getString(4) == "adc_rerank"),
+      "zero-residual corpus must measure full SNR and take the ADC+rerank branch")
+    assert(structured.forall(_.getLong(6) == 1000000L))
+    // shortlist sizing is population-derived, not the fixed constant:
+    // 20% of the probed population, floored at minShortlist
+    assert(structured.forall { r =>
+      val sl = r.getLong(5); sl >= 20L
+    })
+  }
+
+  test("adaptive IVF-PQ flat fallback recovers the recall a fixed-20 shortlist loses (sf0.001 exact check)") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    // L2 ground truth over the quantized grid (the adaptive ranking domain)
+    val c = e.select(col("vec_id").as("n_id"),
+      graft.ext.TextPrimitives.quantized(col("embedding")).as("cv"))
+    val qq = q.select(col("vec_id").as("q_id"),
+      graft.ext.TextPrimitives.quantized(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    val truth = c.join(broadcast(qq), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        expr("aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)").as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val adaptive = graft.ext.Similarity.ivfPqAdaptive(e, q).select(col("q_id"), col("n_id"))
+    val fixed = graft.ext.Similarity.ivfPqRerank(e, q).select(col("q_id"), col("n_id"))
+    val n = truth.count().toDouble
+    val adaptiveRecall = adaptive.join(truth, Seq("q_id", "n_id")).count() / n
+    val fixedRecall = fixed.join(truth, Seq("q_id", "n_id")).count() / n
+    assert(adaptiveRecall >= 0.5,
+      s"adaptive recall@5 must clear 0.5, got $adaptiveRecall")
+    assert(adaptiveRecall >= fixedRecall,
+      s"adaptive ($adaptiveRecall) must not lose to the fixed-20 shortlist ($fixedRecall)")
+  }
+
   test("JPEG decode QC controls: real rows inside tolerance, inverted-field rows planted FALSE") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 40).select(col("id").as("doc_id"))
