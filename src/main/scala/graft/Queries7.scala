@@ -48,6 +48,28 @@ object Queries7 {
       Similarity.ivfPqAdaptive(corpus, corpus.filter(col("vec_id") < 10))
         .orderBy("q_id", "rank")
     }),
+
+    // the re-banding DECISION as data: both width monitors side by
+    // side plus the policy verdict simhashNearPairsAuto acts on
+    // (budget16 super-linear in corpus size → re-band to 64-bit).
+    // Everything — both signature derivations, all bucket stats, the
+    // CASE — re-derived independently by the DuckDB oracle.
+    "dedup_simhash_rebanding" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val s16 = graft.ext.Dedup.simhashBandStats(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s64 = graft.ext.Dedup.simhashBandStats64(d)
+      val dec = s16
+        .agg(sum(col("pair_budget")).as("b16"), max(col("n_docs")).as("nd"))
+        .select(when(col("b16") > col("nd") * 8, 64).otherwise(16)
+          .as("chosen_bits"))
+      s16.withColumn("sig_bits", lit(16))
+        .unionByName(s64.withColumn("sig_bits", lit(64)))
+        .crossJoin(broadcast(dec))
+        .select(col("sig_bits"), col("seg_id"), col("n_docs"), col("n_buckets"),
+          col("max_bucket"), col("pair_budget"), col("chosen_bits"))
+        .orderBy("sig_bits", "seg_id")
+    }),
   )
 
   /** The shared adaptive-IVF-PQ oracle body: everything from coarse
@@ -154,5 +176,46 @@ object Queries7 {
       """SELECT a.vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN b.embedding] AS q
          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id % 8"""),
+
+    "dedup_simhash_rebanding" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sig16 AS (SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM tok),
+         segs16 AS (SELECT doc_id, CAST(t.s AS INT) AS seg_id,
+                           substr(simhash, CAST(t.s * 8 + 1 AS INT), 8) AS seg
+                    FROM sig16, range(2) t(s)),
+         b16 AS (SELECT seg_id, seg, count(*) AS c FROM segs16 GROUP BY 1, 2),
+         st16 AS (SELECT CAST(16 AS INT) AS sig_bits, seg_id,
+                         CAST(sum(c) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_buckets,
+                         CAST(max(c) AS BIGINT) AS max_bucket,
+                         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_budget
+                  FROM b16 GROUP BY seg_id),
+         m AS (SELECT doc_id, [md5(t) || md5('1|' || t) FOR t IN toks] AS mat FROM tok),
+         sig64 AS (SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END FOR h IN mat])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 65)], '') AS simhash
+           FROM m),
+         segs64 AS (SELECT doc_id, CAST(t.s AS INT) AS seg_id,
+                           substr(simhash, CAST(t.s * 16 + 1 AS INT), 16) AS seg
+                    FROM sig64, range(4) t(s)),
+         b64 AS (SELECT seg_id, seg, count(*) AS c FROM segs64 GROUP BY 1, 2),
+         st64 AS (SELECT CAST(64 AS INT) AS sig_bits, seg_id,
+                         CAST(sum(c) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_buckets,
+                         CAST(max(c) AS BIGINT) AS max_bucket,
+                         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_budget
+                  FROM b64 GROUP BY seg_id),
+         u AS (SELECT * FROM st16 UNION ALL SELECT * FROM st64),
+         dec AS (SELECT CASE WHEN (SELECT sum(pair_budget) FROM st16)
+                                  > 8 * (SELECT max(n_docs) FROM st16)
+                             THEN CAST(64 AS INT) ELSE CAST(16 AS INT) END AS chosen_bits)
+         SELECT u.sig_bits, u.seg_id, u.n_docs, u.n_buckets, u.max_bucket,
+                u.pair_budget, dec.chosen_bits
+         FROM u, dec ORDER BY sig_bits, seg_id""",
   )
 }

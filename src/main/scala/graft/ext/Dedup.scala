@@ -384,6 +384,78 @@ object Dedup {
         sum(expr("c * (c - 1) div 2")).as("pair_budget"))
   }
 
+  /** [[simhashBandStats]] for the 64-bit signature path: the same
+    * (band, bucket) occupancy + exact candidate-pair budget, measured
+    * over [[simhashNearPairs64]]'s segments. Run both monitors at a new
+    * scale and the ratio of pair budgets IS the measured payoff of
+    * re-banding to the wider signature.
+    */
+  def simhashBandStats64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 64, s"maxHamming in [1,63], got $maxHamming")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(i => i * 64 / nSeg)
+    val mat = Scale.widen(docs).select(col("doc_id"),
+      transform(tokens(col("text")), t =>
+        concat(md5(t), md5(concat(lit("1|"), t)))).as("m"))
+    val sig = mat.select(col("doc_id"), concat_ws("",
+      (1 to 64).map(i =>
+        when(aggregate(col("m"), lit(0),
+          (acc, h) => acc + when(h.substr(i, 1) >= "8", 1).otherwise(-1)) >= 0, lit("1"))
+          .otherwise(lit("0"))): _*).as("simhash"))
+    val segs = sig.select(col("doc_id"),
+      posexplode(array((0 until nSeg).map(i =>
+        col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
+        .as(Seq("seg_id", "seg")))
+    segs.groupBy(col("seg_id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("seg_id"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pair_budget"))
+  }
+
+  /** The re-banding POLICY the saturation monitors feed — round-6
+    * measured the cliff (fixed 16-bit signatures on a fixed-vocab
+    * corpus: in-cap candidate pairs grow ~quadratically, 22× wall at
+    * 10× organic data), round 7 acts on it: run [[simhashBandStats]]
+    * FIRST (an nSeg-row aggregate — the same eager driver-side gate
+    * class as ivfPqAdaptive's SNR decision), and when the measured
+    * candidate-pair budget is super-linear in the corpus
+    * (`pair_budget > budgetFactor · n_docs`) re-band to the 64-bit
+    * signature ([[simhashNearPairs64]]: same number of bands, 4×
+    * wider segments — collision probability per band collapses) before
+    * any pair is expanded. Healthy signatures keep the cheap 16-bit
+    * config (and its DuckDB-portable oracle).
+    *
+    * Returns the pair frame of the CHOSEN config with the decision
+    * evidence attached (`sig_bits`, the measured 16-bit `pair_budget`
+    * and `n_docs`), so a pipeline log records WHY the width changed.
+    * The losing config's join never executes — the whole point of
+    * monitoring before expanding.
+    */
+  def simhashNearPairsAuto(
+      docs: DataFrame,
+      maxHamming16: Int = 1,
+      maxHamming64: Int = 3,
+      maxBucket: Int = 10000,
+      budgetFactor: Long = 8L): DataFrame = {
+    val stats = simhashBandStats(docs, maxHamming16)
+      .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_docs")).as("n_docs"))
+      .collect().head
+    val budget = stats.getLong(0)
+    val nDocs = stats.getLong(1)
+    val saturated = budget > budgetFactor * nDocs
+    val pairs =
+      if (saturated) simhashNearPairs64(docs, maxHamming64, maxBucket)
+        .withColumn("sig_bits", lit(64))
+      else simhashNearPairs(docs, maxHamming16, maxBucket)
+        .withColumn("sig_bits", lit(16))
+    pairs
+      .withColumn("pair_budget_16", lit(budget))
+      .withColumn("n_docs", lit(nDocs))
+  }
+
   /** All-pairs n-gram Jaccard WITHIN blocks: the quadratic scorer,
     * bounded by a blocking key (here the caller pre-groups; pairs are
     * generated per equal `blockCols` value). At scale the block is an
