@@ -59,6 +59,50 @@ object Snapshot {
       foreignKeys = read(dialect.foreignKeysSql))
   }
 
+  /** Snapshot of a live MySQL database over the RAW WIRE PROTOCOL —
+    * the driverless fallback for environments with a MySQL server but
+    * no JDBC driver on the classpath ([[graft.mysql.MySqlWire]]). Same
+    * four set-oriented catalog queries as [[fromJdbc]] with the
+    * [[graft.dialect.MySql]] dialect, same output contract; values
+    * arrive in the text protocol (everything a string, booleans as
+    * MySQL's 1/0 rendering) and are cast here exactly as the JDBC
+    * path's driver would. Catalog frames are driver-local
+    * (`createDataFrame` over collected rows): catalogs are metadata-
+    * sized by definition — the 100k-table parallel-read path stays
+    * [[fromJdbc]] with `numPartitions`.
+    */
+  def fromMySqlWire(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      user: String,
+      database: String): SchemaSnapshot = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val client = new graft.mysql.MySqlWire.Client(host, port, user, database)
+    try {
+      def frame(rs: graft.mysql.MySqlWire.ResultSet): DataFrame = {
+        val schema = StructType(rs.columns.map(c => StructField(c, StringType, nullable = true)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(rs.rows.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r)): _*), schema)
+      }
+      val d = graft.dialect.MySql
+      val tables = frame(client.query(d.tablesSql))
+      val columns = frame(client.query(d.columnsSql))
+        .withColumn("ordinal", col("ordinal").cast("int"))
+        .withColumn("is_nullable", col("is_nullable") === "1")
+        .withColumn("is_auto_increment", col("is_auto_increment") === "1")
+      val indexes = d.postProcessIndexes(
+        frame(client.query(d.indexesSql))
+          .withColumn("ordinal", col("ordinal").cast("int"))
+          .withColumn("is_unique", col("is_unique") === "1"))
+      val fks = frame(client.query(d.foreignKeysSql))
+        .withColumn("ordinal", col("ordinal").cast("int"))
+      SchemaSnapshot(tables, columns, indexes, fks)
+    } finally client.close()
+  }
+
   /** Treat a directory of parquet files as a "database": each
     * `<name>.parquet` is a table whose columns come from the parquet
     * schema (footer). Lets the testdata dirs act as diffable databases
