@@ -101,11 +101,17 @@ object Bench {
     // regression. Table goes to BENCH_RATIOS.json + stderr (stderr so
     // the driver's stdout tail capture still ends on the summary line).
     try {
-      val recPath = java.nio.file.Paths.get("BENCH_RECORD.json")
-      if (java.nio.file.Files.exists(recPath)) {
-        val rec = new String(java.nio.file.Files.readAllBytes(recPath), "UTF-8")
-        val recSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(rec).map(_.group(1))
-        if (recSf.contains(sfDir)) {
+      // candidate records: the sf0.1 record plus the organic ×10-scale
+      // record (where the saturation cliffs live) — whichever matches
+      // this run's sf dir guards it
+      val recOpt = Seq("BENCH_RECORD.json", "BENCH_RECORD_organic1.json")
+        .map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.exists(_))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .find(rec => """"sf":"([^"]+)"""".r.findFirstMatchIn(rec)
+          .map(_.group(1)).contains(sfDir))
+      recOpt.foreach { rec =>
+        {
           val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
           val recMap = pair.findAllMatchIn(rec.drop(rec.indexOf("\"queries\"")))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap

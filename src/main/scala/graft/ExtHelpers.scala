@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, GraphOps, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
+
+
+/** Shared fixtures of the extension-layer registries: the planted-dup
+  * corpora (documents ∪ perturbed copies, built identically on both
+  * engines), the co-purchase edge list, and the DuckDB SQL fragments
+  * (MinHash bands, shingles, quantized-cosine) every tier's oracles
+  * compose. Mixed into [[ExtQueries]] and the per-tier registry objects
+  * (round-7 split — one definition, six consumers, zero duplication).
+  */
+private[graft] trait ExtHelpers {
+
+  protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  /** Interval-containment oracle, shared by the manual binning key
+    * (`range_join_binned`) and the optimizer-rule twin
+    * (`range_join_rule_auto`) — one independent re-derivation both
+    * physical strategies must match.
+    */
+  protected val rangeJoinOracle =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us
+         FROM events),
+       l AS (
+         SELECT *, CASE
+           WHEN lag(ts_us) OVER w IS NULL THEN 1
+           WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+           ELSE 0 END AS is_new
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       s AS (
+         SELECT *, CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM l),
+       sess AS (
+         SELECT user_id, session_id,
+           CAST(min(ts_us) AS BIGINT) AS start_us,
+           CAST(max(ts_us) AS BIGINT) AS end_us
+         FROM s GROUP BY user_id, session_id),
+       clicks AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'click')
+       SELECT c.event_id, c.user_id, c.ts_us,
+              ss.session_id, ss.start_us, ss.end_us
+       FROM clicks c JOIN sess ss
+         ON c.user_id = ss.user_id
+        AND c.ts_us BETWEEN ss.start_us AND ss.end_us
+       ORDER BY event_id, session_id"""
+
+  /** As-of oracle, shared by the composition key (`asof_join`) and the
+    * native-operator twin (`asof_join_native`): the window formulation
+    * IS the independent re-derivation both implementations must match.
+    */
+  protected val asofJoinOracle =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                CAST(round(value * 100) AS BIGINT) AS value_cents
+         FROM events),
+       u AS (
+         SELECT user_id, ts_us, 0 AS side,
+                CAST(NULL AS BIGINT) AS l_event_id, CAST(NULL AS BIGINT) AS l_value_cents,
+                event_id AS r_event_id, ts_us AS r_ts_us, value_cents AS r_value_cents
+         FROM e WHERE event_type = 'view'
+         UNION ALL
+         SELECT user_id, ts_us, 1, event_id, value_cents,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM e WHERE event_type = 'click'),
+       m AS (
+         SELECT *,
+           last_value(r_event_id IGNORE NULLS) OVER w AS a_event_id,
+           last_value(r_ts_us IGNORE NULLS) OVER w AS a_ts_us,
+           last_value(r_value_cents IGNORE NULLS) OVER w AS a_value_cents
+         FROM u WINDOW w AS (
+           PARTITION BY user_id ORDER BY ts_us, side ROWS UNBOUNDED PRECEDING))
+       SELECT l_event_id AS event_id, user_id, ts_us, l_value_cents AS value_cents,
+              a_event_id AS asof_event_id, a_ts_us AS asof_ts_us,
+              a_value_cents AS asof_value_cents
+       FROM m WHERE side = 1 ORDER BY event_id"""
+
+  /** Part co-purchase edges (ea < eb, co-ordered in >= 2 orders): pair
+    * generation via in-order set expansion, NOT a self-join — one
+    * shuffle keyed by order collects each order's part set, id-ordered
+    * pairs explode in place. Per-order expansion is quadratic in ORDER
+    * SIZE (bounded ~40), never in table size. Shared by the pagerank /
+    * degree-histogram keys (same graph as graph_triangle_count).
+    */
+  protected def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+             transform(slice(pks, i + 2, size(pks) - i - 1), y -> struct(x AS ea, y AS eb))))"""))
+        .as("e"))
+      .select(col("e.ea"), col("e.eb"))
+      .groupBy(col("ea"), col("eb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("ea"), col("eb"))
+
+  /** documents ∪ exact copies at doc_id+1e6. */
+  protected def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (last two words dropped) at doc_id+1e6. */
+  protected def corpusWithNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+  }
+
+  // SQL fragments shared by the oracles.
+  protected val corpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+  protected val nearCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000,
+              array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
+  protected val shinglesSql = // over a relation with (doc_id, text)
+    """SELECT doc_id,
+              [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)"""
+  protected def mhSql(seed: Int) =
+    s"list_min([substr(md5('${seed / 6}|' || x), ${(seed % 6) * 5 + 1}, 5) FOR x IN sh])"
+  protected def bandSql(firstSeed: Int) =
+    (firstSeed until firstSeed + 3).map(mhSql).mkString(" || ")
+  protected val jaccardSql = // over (ash, bsh)
+    """CAST(len(list_distinct(ash)) + len(list_distinct(bsh))
+            - len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)"""
+  protected val quantSql =
+    "SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q FROM embeddings"
+  protected def qcosSql(a: String, b: String) =
+    s"""CAST(list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE)
+        / (sqrt(CAST(list_sum([$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE))
+           * sqrt(CAST(list_sum([$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]) AS DOUBLE)))"""
+
+  // ---------------------------------------------------------------------
+}

@@ -1,0 +1,363 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, GraphOps, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
+
+
+/** Similarity-search tier: brute-force/LSH/IVF kNN, clustering-model and embedding-QC keys (split from ExtQueries, round 7 — no behavior change).
+  * Shared corpus/SQL helpers live in [[ExtHelpers]]; every key keeps its
+  * DuckDB oracle twin next to it in this file's `oracles` map.
+  */
+object ExtQueriesAnn extends ExtHelpers {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    "knn_bruteforce_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+
+    "knn_lsh_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, bits = 8)
+        .orderBy("q_id", "rank")
+    }),
+
+
+    "knn_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, bits = 8, probes = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+
+    "knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 3, cells = 16, probes = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+
+    // exact kNN GRAPH (top-k for every vector) via the blocked tile
+    // equi-join — the build step for graph dedup / clustering
+    "knn_graph_blocked" -> ((s, dir) =>
+      Similarity.knnGraphBlocked(t(s, dir, "embeddings"), k = 3)
+        .orderBy("q_id", "rank")),
+
+
+    // majority-vote 5-NN labeling over the exact graph
+    "knn_classify_majority" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5).orderBy("vec_id")),
+
+
+    // SemDeDup: cluster-then-prune semantic dedup — pairwise cosine
+    // only WITHIN a coarse cell (the clustering is the blocking), keep
+    // the lowest id of each near-dup pair
+    "semdedup_prune" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), cells = 16, threshold = 0.4)
+        .orderBy("vec_id")),
+
+
+    // int8 index-compression QC: symmetric per-vector quantization and
+    // its reconstruction error, all in exact integer arithmetic
+    "embedding_int8_quant" -> ((s, dir) =>
+      Similarity.int8QuantQc(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+
+    // spherical k-means, 2 deterministic Lloyd rounds: integer SUM
+    // centroids (cosine is scale-invariant — no mean division), shifted
+    // to bound self-dots; the oracle unrolls both rounds
+    "kmeans_spherical" -> ((s, dir) =>
+      Similarity.sphericalKMeans(t(s, dir, "embeddings"), k = 8, iterations = 2)
+        .orderBy("cell_id")),
+
+
+    // embedding coverage QC: which docs lack a vector (per lang, ppm)
+    // and how many vectors are orphaned — the join-health check before
+    // any embedding-dependent stage
+    "embedding_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+      val covered = d.join(e.withColumnRenamed("vec_id", "doc_id")
+        .withColumn("has_vec", lit(1L)), Seq("doc_id"), "left")
+      val perLang = covered.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0L))).as("n_with_vec"))
+        .withColumn("coverage_ppm", expr("n_with_vec * 1000000 div n_docs"))
+      val orphans = e.join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_vecs"))
+      perLang.crossJoin(orphans).orderBy("lang")
+    }),
+
+
+    // per-label vector QC: exact integer self-dot extrema/sums — norm
+    // drift and zero-vector detection without any float accumulation
+    "embedding_norm_stats" -> ((s, dir) => {
+      import graft.ext.TextPrimitives._
+      val e = t(s, dir, "embeddings")
+      graft.functions.GraftFunctions.register(s)
+      e.select(col("label"),
+          graft.functions.GraftFunctions.qdotNative(
+            quantized(col("embedding")), quantized(col("embedding"))).as("d2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .orderBy("label")
+    }),
+
+
+    // per-(label, dim) exact centroid sums — the cluster-health probe
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings")).orderBy("label", "dim")),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "knn_bruteforce_cosine" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN (SELECT * FROM q WHERE vec_id < 8) qs
+             ON qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cosine, rank FROM ranked
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+
+
+    "knn_lsh_bucketed" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN (SELECT * FROM q WHERE vec_id < 8) qs
+             ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, bucket, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, bucket, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+
+    "knn_lsh_multiprobe" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket
+           FROM embeddings),
+         qs AS (
+           SELECT vec_id, q, unnest([
+             bucket,
+             (CASE WHEN substr(bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 2, 7),
+             substr(bucket, 1, 1) || (CASE WHEN substr(bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 3, 6)
+           ]) AS bucket
+           FROM q WHERE vec_id < 8),
+         scored AS (
+           SELECT qs.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
+                  ${qcosSql("qs.q", "c.q")} AS cosine
+           FROM q c JOIN qs ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, bucket, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, bucket, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+
+    "knn_ivf" ->
+      s"""WITH q AS ($quantSql),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 16),
+         assigned AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         probed AS (
+           SELECT q_id, q_q, cell_id FROM (
+             SELECT qs.vec_id AS q_id, qs.q AS q_q, c.cell_id,
+                    row_number() OVER (PARTITION BY qs.vec_id
+                      ORDER BY ${qcosSql("qs.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM (SELECT * FROM q WHERE vec_id < 8) qs CROSS JOIN cent c)
+           WHERE rn <= 3),
+         scored AS (
+           SELECT p.q_id, a.n_id, a.cell_id, ${qcosSql("p.q_q", "a.n_q")} AS cosine
+           FROM assigned a JOIN probed p ON a.cell_id = p.cell_id AND p.q_id <> a.n_id),
+         ranked AS (
+           SELECT q_id, n_id, cell_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cell_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+
+    "knn_graph_blocked" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM scored)
+         SELECT q_id, n_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+
+
+    "knn_classify_majority" ->
+      s"""WITH q AS ($quantSql),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT q_id, n_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+           FROM scored),
+         votes AS (
+           SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes
+           FROM ranked JOIN lab ON ranked.n_id = lab.vec_id
+           WHERE rnk <= 5 GROUP BY 1, 2),
+         win AS (
+           SELECT q_id, label, n_votes,
+                  row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS r
+           FROM votes)
+         SELECT q_id AS vec_id, label AS predicted_label, n_votes
+         FROM win WHERE r = 1 ORDER BY vec_id""",
+
+
+    "semdedup_prune" ->
+      s"""WITH q AS ($quantSql),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 16),
+         assigned AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         pruned AS (
+           SELECT DISTINCT b.n_id AS vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.n_id < b.n_id
+           WHERE ${qcosSql("a.n_q", "b.n_q")} > 0.4)
+         SELECT a.n_id AS vec_id, a.cell_id,
+                (p.vec_id IS NULL) AS keep
+         FROM assigned a LEFT JOIN pruned p ON a.n_id = p.vec_id
+         ORDER BY vec_id""",
+
+
+    "embedding_int8_quant" ->
+      """WITH q AS (SELECT vec_id,
+                           [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+         m AS (SELECT vec_id, q,
+                      greatest(list_max([abs(v) FOR v IN q]), 1) AS maxabs FROM q),
+         e AS (SELECT vec_id, maxabs, len(q) AS n_dims,
+                      [abs(abs(v)*127 - ((abs(v)*127 + maxabs//2)//maxabs)*maxabs) FOR v IN q] AS errs,
+                      [((abs(v)*127 + maxabs//2)//maxabs) FOR v IN q] AS sabs
+               FROM m)
+         SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs_q,
+                CAST(n_dims AS INT) AS n_dims,
+                CAST(list_sum(errs) AS BIGINT) AS sum_err,
+                CAST(list_max(errs) AS BIGINT) AS max_err,
+                CAST(len(list_filter(sabs, x -> x = 127)) AS BIGINT) AS n_sat
+         FROM e ORDER BY vec_id""",
+
+
+    "kmeans_spherical" -> {
+      def assignSql(name: String, cent: String) =
+        s"""$name AS (SELECT vec_id, cell_id FROM (
+           SELECT n.vec_id, c.cell_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+           FROM q n CROSS JOIN $cent c) WHERE rn = 1)"""
+      def updateSql(name: String, a: String) =
+        s"""$name AS (
+           SELECT cell_id, list(s ORDER BY dim) AS c_q FROM (
+             SELECT $a.cell_id, t.i AS dim,
+                    CAST(sum(q.q[t.i]) AS BIGINT) >> 10 AS s
+             FROM $a JOIN q USING (vec_id), range(1, 65) t(i)
+             GROUP BY $a.cell_id, t.i) GROUP BY cell_id)"""
+      s"""WITH q AS ($quantSql),
+         cent0 AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 8),
+         ${assignSql("a1", "cent0")},
+         ${updateSql("cent1", "a1")},
+         ${assignSql("a2", "cent1")},
+         ${updateSql("cent2", "a2")},
+         ${assignSql("a3", "cent2")}
+         SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(vec_id) AS BIGINT) AS id_checksum
+         FROM a3 GROUP BY cell_id ORDER BY cell_id"""
+    },
+
+
+    "embedding_coverage" ->
+      """WITH cov AS (
+           SELECT d.lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(e.vec_id) AS BIGINT) AS n_with_vec
+           FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+           GROUP BY 1),
+         orph AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_orphan_vecs
+           FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.doc_id IS NULL)
+         SELECT lang, n_docs, n_with_vec,
+                CAST(n_with_vec * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+                orph.n_orphan_vecs
+         FROM cov, orph ORDER BY lang""",
+
+
+    "embedding_norm_stats" ->
+      """WITH q AS (
+           SELECT label,
+                  [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+           FROM embeddings),
+         d AS (SELECT label,
+                 list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)]) AS d2
+               FROM q)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2,
+                CAST(sum(d2) AS BIGINT) AS sum_d2
+         FROM d GROUP BY 1 ORDER BY label""",
+
+
+    "embedding_centroids" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+                  [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+           FROM embeddings),
+         x AS (
+           SELECT label,
+                  unnest([struct_pack(d := i, v := q[i + 1]) FOR i IN range(0, len(q))]) AS s
+           FROM q),
+         g AS (
+           SELECT label, CAST(s['d'] AS INT) AS dim,
+                  CAST(count(*) AS BIGINT) AS n_vecs,
+                  CAST(sum(s['v']) AS BIGINT) AS sum_q
+           FROM x GROUP BY 1, 2)
+         SELECT label, dim, n_vecs, sum_q,
+                CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q
+         FROM g ORDER BY label, dim""",
+  )
+}

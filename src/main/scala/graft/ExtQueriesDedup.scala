@@ -1,0 +1,566 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsOf, CorpusClean, DataDiff, Dedup, Events, GraphOps, Multimodal, RangeJoin, Similarity, TextAnalysis, TrainPrep}
+
+
+/** Deduplication tier: exact/MinHash/SimHash near-dup detection, clustering, calibration and dedup QC keys (split from ExtQueries, round 7 — no behavior change).
+  * Shared corpus/SQL helpers live in [[ExtHelpers]]; every key keeps its
+  * DuckDB oracle twin next to it in this file's `oracles` map.
+  */
+object ExtQueriesDedup extends ExtHelpers {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(corpusWithCopies(s, dir)).orderBy("keep_id")),
+
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(corpusWithNearCopies(s, dir)).orderBy("a_id", "b_id")),
+
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashBuckets(corpusWithNearCopies(s, dir)).orderBy("doc_id")),
+
+
+    // subset corpus: a 16-bit signature space saturates around √65536
+    // docs, after which candidate volume grows quadratically — the
+    // operator's contract is "width must scale with corpus size"
+    // (production: 64-bit), and the testdata pins the 16-bit oracle
+    // pairs -> transitive clusters -> canonical keep-list: the step a
+    // dedup pipeline needs after ANY pairwise detector. The registry
+    // runs the O(log n)-round star-contraction CC (the 100 TB path);
+    // the O(diameter) label-propagation twin [[Dedup.dupClusters]] is
+    // equality-pinned against it in ExtSpec.
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = corpusWithNearCopies(s, dir)
+      Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
+    }),
+
+
+    // the pipeline's final emit step after clustering: keep the member
+    // with the most tokens per duplicate cluster (ties -> lowest id)
+    "dedup_cluster_representatives" -> ((s, dir) => {
+      val corpus = corpusWithNearCopies(s, dir)
+      Dedup.clusterRepresentatives(corpus,
+          Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)))
+        .orderBy("doc_id")
+    }),
+
+
+    "dedup_simhash_hamming" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+      Dedup.simhashNearPairs(corpus).orderBy("a_id", "b_id")
+    }),
+
+
+    "dedup_simhash64" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+      Dedup.simhashNearPairs64(corpus).orderBy("a_id", "b_id")
+    }),
+
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, blockCols = Seq("lang", "source"))
+        .orderBy("a_id", "b_id")),
+
+
+    // the integer-domain (production) LSH promoted to a first-class
+    // oracle key: same verified-pair contract as dedup_minhash_lsh but
+    // everything that shuffles is a LONG (xxhash64 double-hash minhash
+    // family), never an md5 hex string. Band family r=1 × b=24 puts the
+    // per-pair detection-miss probability at the 0.5 threshold below
+    // (1-0.5)^24 ≈ 6e-8, so the exact-Jaccard-verified output equals
+    // the all-pairs ground truth the oracle computes — precision is
+    // exact by construction, recall is the band knob. Production
+    // configs (r≥3, fewer candidates) are covered by the recall-floor
+    // spec against the md5 twin.
+    "dedup_minhash_lsh_fast" -> ((s, dir) =>
+      Dedup.minhashLshFast(t(s, dir, "documents"), k = 3, bands = 24,
+          rowsPerBand = 1, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupsBlocked(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("a_id", "b_id")),
+
+
+    // incremental ingest dedup: near-copies (+1e6, last two words
+    // dropped) are "today's batch", matched against the original corpus
+    // only — never corpus×corpus
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val newBatch = d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text"))
+      Dedup.minhashLshIncremental(d, newBatch).orderBy("old_id", "new_id")
+    }),
+
+
+    // time-windowed ingest dedup: rows with identical content keys
+    // (user, type, cents) inside the same hour collapse to the
+    // earliest — the batch twin of streaming dropDuplicates-with-
+    // watermark (graft.streaming Sessionize.dedupStream). Planted
+    // copies at event_id+1e6 guarantee every content key collides.
+    // One shuffle keyed by the content hash; nothing but ids and the
+    // content key ever moves.
+    "dedup_time_windowed" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val corpus = base.unionByName(
+        base.withColumn("event_id", col("event_id") + 1000000L))
+      val kept = corpus
+        .withColumn("hour", expr("t_us div 3600000000"))
+        .groupBy(col("user_id"), col("event_type"), col("cents"), col("hour"))
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("keep_id"))
+      kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_rows")).as("n_total"),
+          expr("(CAST(sum(n_rows) AS BIGINT) - count(1)) * 1000000 div sum(n_rows)")
+            .as("dropped_ppm"))
+        .orderBy("event_type")
+    }),
+
+
+    // paragraph-surrogate exact dedup: non-overlapping 32-word chunks
+    // over the corpus with planted exact copies, chunk-hash multiplicity
+    // histogram — the C4/RefinedWeb "drop repeated paragraphs" primitive
+    // at chunk granularity. Only md5 digests are ever grouped; chunk
+    // text stays in the map side.
+    "dedup_paragraph_exact" -> ((s, dir) =>
+      TrainPrep.chunkWindows(corpusWithCopies(s, dir), w = 32, s = 32)
+        .select(md5(col("chunk_text")).as("ch"))
+        .groupBy(col("ch")).agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies")).agg(count(lit(1)).as("n_chunks"))
+        .orderBy("n_copies")),
+
+
+    // duplicate-cluster-size distribution from the exact-dedup groups:
+    // how much of the corpus is singletons vs 2x vs k-fold copies.
+    // Seeded with VARYING multiplicity (all docs once, every 2nd doc
+    // again, every 4th doc again) so the histogram has real shape.
+    "dup_size_histogram" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.exact(corpus)
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy("n_copies")
+    }),
+
+
+    // near-dup incidence per language: which slices carry the
+    // duplication (drives slice-targeted dedup budgets). Docs counted
+    // once however many pairs they appear in; rate in exact ppm.
+    "near_dup_rate_by_slice" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val corpus = corpusWithNearCopies(s, dir)
+      val pairs = Dedup.minhashLsh(corpus)
+      val dupDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+        // near-copies carry +1e6 ids; attribute them to the original doc
+        .select(pmod(col("doc_id"), lit(1000000L)).as("doc_id"))
+        .distinct()
+      meta.join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
+        .withColumn("dup_ppm", expr("n_near_dup * 1000000 div n_docs"))
+        .orderBy("lang")
+    }),
+
+
+    // LSH recall calibration against the planted near-dup pairs: for
+    // each (original, near-copy) pair, how many of the 4 bands agree.
+    // bands_agree=0 rows are pairs candidate generation MISSES — the
+    // measured recall knob behind the bands×rows choice (more bands =
+    // more recall, more shuffle). Null-safe equality so shingle-less
+    // docs (both signatures NULL) count as colliding, matching the
+    // bucket join which groups NULL signatures together.
+    "lsh_band_calibration" -> ((s, dir) => {
+      import graft.ext.TextPrimitives._
+      // ONE shingling pass over the corpus (md5 dominates this key's
+      // cost), then ONE shuffle keyed by the pair id: each (original,
+      // near-copy) pair reunites in a 2-row group whose sides are
+      // pulled apart with max(when(side, band)) — a self-join here
+      // would shingle the corpus twice for the same histogram.
+      val bandCols = (0 until 4).map(b =>
+        bandFromHashes(col("shh"), b * 3, 3).as(s"b$b"))
+      val bands = corpusWithNearCopies(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .withColumn("shh", shingleHashes(col("sh")))
+        .select(col("doc_id") +: bandCols: _*)
+        .select(pmod(col("doc_id"), lit(1000000L)).as("pair_id"),
+          (col("doc_id") < 1000000L).as("is_orig"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+      val sides = (0 until 4).flatMap(b => Seq(
+        max(when(col("is_orig"), col(s"b$b"))).as(s"o$b"),
+        max(when(!col("is_orig"), col(s"b$b"))).as(s"c$b")))
+      bands.groupBy(col("pair_id"))
+        .agg(sides.head, sides.tail: _*)
+        .select((0 until 4).map(b =>
+            (col(s"o$b") <=> col(s"c$b")).cast("long")).reduce(_ + _)
+          .as("bands_agree"))
+        .groupBy(col("bands_agree"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bands_agree")
+    }),
+
+
+    "fuzzy_levenshtein_join" -> ((s, dir) =>
+      TextAnalysis.fuzzyNamePairs(t(s, dir, "part"), "p_name", 3)),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "dedup_exact" ->
+      s"""WITH corpus AS ($corpusSql)
+         SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM corpus GROUP BY md5(text) ORDER BY keep_id""",
+
+
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         scored AS (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+
+    "dedup_simhash" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))
+         SELECT doc_id, simhash,
+                CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+         FROM sig ORDER BY doc_id""",
+
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r AS (
+           SELECT doc_id AS node, doc_id AS m FROM corpus
+           UNION
+           SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node)
+         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         FROM clusters ORDER BY doc_id""",
+
+
+    "dedup_cluster_representatives" ->
+      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r AS (
+           SELECT doc_id AS node, doc_id AS m FROM corpus
+           UNION
+           SELECT e.dst AS node, r.m FROM r JOIN edges e ON e.src = r.node),
+         clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM r GROUP BY node),
+         tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM corpus)
+         SELECT c.doc_id, c.cluster_id, t.n_tokens,
+                (row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY t.n_tokens DESC, c.doc_id) = 1) AS is_representative
+         FROM clusters c JOIN tok t USING (doc_id) ORDER BY c.doc_id""",
+
+
+    "dedup_simhash_hamming" ->
+      s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM docs5
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs5)),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(md5(t), i, 1) >= '8' THEN 1 ELSE -1 END FOR t IN toks])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 17)], '') AS simhash
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS ash, b.simhash AS bsh
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+              OR substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8))),
+         h AS (SELECT a_id, b_id,
+                 CAST(len(list_filter(range(1, 17), i -> ash[i] != bsh[i])) AS INT) AS hamming
+               FROM cand)
+         SELECT a_id, b_id, hamming FROM h
+         WHERE hamming <= 1 ORDER BY a_id, b_id""",
+
+
+    "dedup_simhash64" ->
+      s"""WITH docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM docs5
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs5)),
+         m AS (
+           SELECT doc_id, [md5(t) || md5('1|' || t) FOR t IN string_split(text, ' ')] AS mat
+           FROM corpus),
+         sig AS (
+           SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END FOR h IN mat])
+               >= 0 THEN '1' ELSE '0' END FOR i IN range(1, 65)], '') AS simhash
+           FROM m),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS ash, b.simhash AS bsh
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+              OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+              OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+              OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))),
+         h AS (SELECT a_id, b_id,
+                 CAST(len(list_filter(range(1, 65), i -> ash[i] != bsh[i])) AS INT) AS hamming
+               FROM cand)
+         SELECT a_id, b_id, hamming FROM h
+         WHERE hamming <= 3 ORDER BY a_id, b_id""",
+
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, lang, source,
+             [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents))
+         SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY a_id, b_id""",
+
+
+    // ground truth for the integer-LSH key: exact all-pairs shingle-set
+    // Jaccard at the same threshold (see the key's comment on why the
+    // near-exhaustive band family makes LSH output == ground truth)
+    "dedup_minhash_lsh_fast" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(w[i+1:i+3], ' ')
+                            FOR i IN range(0, greatest(len(w)-2, 0))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(a.sh) + len(b.sh)
+                  - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p
+         WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+
+    "dedup_embedding_cosine" ->
+      s"""WITH q AS ($quantSql),
+         scored AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${qcosSql("a.q", "b.q")} AS cosine
+           FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, cosine FROM scored
+         WHERE cosine > 0.4 ORDER BY a_id, b_id""",
+
+
+    "dedup_incremental_lsh" ->
+      s"""WITH newb AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(w[1:greatest(len(w)-2, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         osh AS (
+           SELECT doc_id,
+                  [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         nsh AS (
+           SELECT doc_id,
+                  [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newb)),
+         omh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM osh),
+         nmh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM nsh),
+         cand AS (
+           SELECT o.doc_id AS old_id, n.doc_id AS new_id, o.sh AS ash, n.sh AS bsh
+           FROM omh o JOIN nmh n
+             ON (o.s0 = n.s0 OR o.s1 = n.s1 OR o.s2 = n.s2 OR o.s3 = n.s3)),
+         scored AS (SELECT old_id, new_id, $jaccardSql AS jaccard FROM cand)
+         SELECT old_id, new_id, jaccard FROM scored
+         WHERE jaccard >= 0.5 ORDER BY old_id, new_id""",
+
+
+    "dedup_time_windowed" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         corpus AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT event_id + 1000000, user_id, event_type, t_us, cents FROM base),
+         kept AS (
+           SELECT user_id, event_type, cents, t_us // 3600000000 AS hour,
+                  count(*) AS n_rows, min(event_id) AS keep_id
+           FROM corpus GROUP BY 1, 2, 3, 4)
+         SELECT event_type, count(*) AS n_kept,
+                CAST(sum(n_rows) AS BIGINT) AS n_total,
+                CAST((sum(n_rows) - count(*)) * 1000000 // sum(n_rows) AS BIGINT)
+                  AS dropped_ppm
+         FROM kept GROUP BY 1 ORDER BY 1""",
+
+
+    "dedup_paragraph_exact" ->
+      s"""WITH corpus AS ($corpusSql),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         nck AS (SELECT doc_id, w,
+                  CASE WHEN len(w) <= 32 THEN 1
+                       ELSE 1 + (len(w) - 32 + 31) // 32 END AS nc
+                 FROM tok),
+         ch AS (SELECT unnest([md5(array_to_string(w[i*32+1:i*32+32], ' '))
+                              FOR i IN range(0, nc)]) AS ch
+                FROM nck),
+         mult AS (SELECT ch, count(*) AS n_copies FROM ch GROUP BY 1)
+         SELECT CAST(n_copies AS BIGINT) AS n_copies,
+                count(*) AS n_chunks
+         FROM mult GROUP BY 1 ORDER BY 1""",
+
+
+    "dup_size_histogram" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0),
+         groups AS (
+           SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+           FROM corpus GROUP BY 1)
+         SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_copies) AS BIGINT) AS n_docs
+         FROM groups GROUP BY 1 ORDER BY n_copies""",
+
+
+    "near_dup_rate_by_slice" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh AS ($shinglesSql),
+         mh AS (SELECT doc_id, sh,
+                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
+                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+           FROM mh a JOIN mh b
+             ON a.doc_id < b.doc_id
+            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         pairs AS (SELECT a_id, b_id FROM cand WHERE $jaccardSql >= 0.5),
+         dup AS (
+           SELECT DISTINCT doc_id % 1000000 AS doc_id
+           FROM (SELECT a_id AS doc_id FROM pairs
+                 UNION ALL SELECT b_id FROM pairs)),
+         flagged AS (
+           SELECT d.lang, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(is_dup) AS BIGINT) AS n_near_dup,
+                CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         FROM flagged GROUP BY 1 ORDER BY lang""",
+
+
+    "lsh_band_calibration" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         sh0 AS ($shinglesSql),
+         b AS (
+           SELECT doc_id, ${bandSql(0)} AS b0, ${bandSql(3)} AS b1,
+                  ${bandSql(6)} AS b2, ${bandSql(9)} AS b3
+           FROM sh0),
+         o AS (SELECT * FROM b WHERE doc_id < 1000000),
+         c AS (SELECT doc_id - 1000000 AS doc_id, b0 AS c0, b1 AS c1,
+                      b2 AS c2, b3 AS c3
+               FROM b WHERE doc_id >= 1000000)
+         SELECT bands_agree, count(*) AS n_pairs FROM (
+           SELECT CAST(o.b0 IS NOT DISTINCT FROM c.c0 AS BIGINT)
+                + CAST(o.b1 IS NOT DISTINCT FROM c.c1 AS BIGINT)
+                + CAST(o.b2 IS NOT DISTINCT FROM c.c2 AS BIGINT)
+                + CAST(o.b3 IS NOT DISTINCT FROM c.c3 AS BIGINT) AS bands_agree
+           FROM o JOIN c USING (doc_id))
+         GROUP BY 1 ORDER BY 1""",
+
+
+    "fuzzy_levenshtein_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM n a JOIN n b
+           ON string_split(a.name, ' ')[-1] = string_split(b.name, ' ')[-1]
+          AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 3
+         ORDER BY name_a, name_b""",
+  )
+}
