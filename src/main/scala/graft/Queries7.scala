@@ -49,6 +49,19 @@ object Queries7 {
         .orderBy("q_id", "rank")
     }),
 
+    // lossy AUDIO at the codec seam: PCM16 WAV → a real G.711 μ-law
+    // RIFF container (format 7, the 2:1 telephony codec — the lossy
+    // audio the JDK can genuinely speak) → container re-parse +
+    // expansion → exact reconstruction metrics. μ-law is pure integer
+    // companding, so unlike JPEG the oracle re-derives EVERY error
+    // value exactly — no tolerance booleans.
+    "multimodal_ulaw_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ext.Multimodal.ulawRoundTripQc(t(s, dir, "documents"))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // the re-banding DECISION as data: both width monitors side by
     // side plus the policy verdict simhashNearPairsAuto acts on
     // (budget16 super-linear in corpus size → re-band to 64-bit).
@@ -176,6 +189,42 @@ object Queries7 {
       """SELECT a.vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN b.embedding] AS q
          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id % 8"""),
+
+    // the full CCITT μ-law transform re-derived in SQL: clip+bias,
+    // segment = top-bit position (CASE chain — no float log2), 4-bit
+    // mantissa, exact expansion. Every metric is an exact integer.
+    "multimodal_ulaw_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+                           256 + doc_id % 512 AS n
+                    FROM documents),
+         s AS (SELECT doc_id, sample_rate, n, t.i AS i,
+                      CAST((doc_id * 2654435761 + t.i * 40503) % 65536 - 32768 AS BIGINT) AS pcm
+               FROM d, range(768) t(i) WHERE t.i < n),
+         e AS (SELECT *,
+                 CASE WHEN pcm < 0 THEN 1 ELSE 0 END AS neg,
+                 least(abs(pcm), 32635) + 132 AS mag
+               FROM s),
+         x AS (SELECT *,
+                 CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                      WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                      WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                      WHEN mag >= 256 THEN 1 ELSE 0 END AS expo
+               FROM e),
+         m AS (SELECT *, (mag // (1 << (expo + 3))) % 16 AS mant FROM x),
+         dec AS (SELECT doc_id, sample_rate, n, i, pcm,
+                        (CASE WHEN neg = 1 THEN -1 ELSE 1 END) *
+                        ((mant * 8 + 132) * (1 << expo) - 132) AS rec
+                 FROM m)
+         SELECT doc_id,
+                CAST(min(sample_rate) AS INT) AS sample_rate,
+                CAST(min(n) AS BIGINT) AS n_samples,
+                CAST(44 + 2 * min(n) AS BIGINT) AS pcm_bytes,
+                CAST(44 + min(n) AS BIGINT) AS ulaw_bytes,
+                CAST(max(abs(rec - pcm)) AS INT) AS max_abs_err,
+                CAST(sum(abs(rec - pcm)) AS BIGINT) AS sum_abs_err,
+                CAST(sum((i + 1) * rec) AS BIGINT) AS decoded_checksum
+         FROM dec GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_simhash_rebanding" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -209,7 +209,7 @@ object Multimodal {
     val riffSize = bb.getInt
     require(riffSize == bytes.length - 8, s"RIFF size $riffSize != ${bytes.length - 8}")
     require(tag() == "WAVE", "missing WAVE form type")
-    var rate = -1; var bits = -1; var channels = -1
+    var rate = -1; var bits = -1; var channels = -1; var fmtCode = -1
     var samples: Array[Short] = null
     // real readers iterate chunks — `fmt `/`data` may be interleaved
     // with LIST/fact/cue chunks written by other tools
@@ -220,7 +220,9 @@ object Multimodal {
         case "fmt " =>
           val fmtEnd = bb.position() + size
           val audioFormat = bb.getShort
-          require(audioFormat == 1, s"not PCM: format=$audioFormat")
+          require(audioFormat == 1 || audioFormat == 7,
+            s"unsupported format: $audioFormat (PCM=1, mu-law=7)")
+          fmtCode = audioFormat
           channels = bb.getShort.toInt
           rate = bb.getInt
           bb.getInt; bb.getShort // byte rate, block align (derived)
@@ -229,11 +231,24 @@ object Multimodal {
         case "data" =>
           require(rate > 0, "data chunk before fmt")
           require(samples == null, "duplicate data chunk")
-          require(bits == 16 && channels == 1,
-            s"unsupported PCM layout: ${bits}bit x$channels")
-          samples = new Array[Short](size / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          if (fmtCode == 7) {
+            // G.711 μ-law: 8-bit companded samples, expanded to PCM16
+            // on decode (the JDK's ULAW codec agrees byte-for-byte —
+            // spec-pinned)
+            require(bits == 8 && channels == 1,
+              s"unsupported mu-law layout: ${bits}bit x$channels")
+            samples = new Array[Short](size)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = ulawToLinear(bb.get() & 0xff).toShort; i += 1
+            }
+          } else {
+            require(bits == 16 && channels == 1,
+              s"unsupported PCM layout: ${bits}bit x$channels")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          }
           // odd-sized data chunks pad to even like any other chunk; the
           // 16-bit read loop consumed size/2*2 bytes, so an odd size
           // leaves 1 payload byte + 1 RIFF pad byte before the next
@@ -246,6 +261,112 @@ object Multimodal {
     }
     require(samples != null, "no data chunk")
     (rate, samples)
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // G.711 μ-law — the LOSSY audio codec the JDK can actually speak
+  // (MP3/FLAC/Opus have no in-JDK codec and stay environment-blocked;
+  // μ-law companding is the real 2:1 lossy telephony codec, format 7
+  // in RIFF/WAVE). Unlike JPEG, the transform is pure integer
+  // arithmetic (the public CCITT formula), so the ORACLE IS EXACT:
+  // DuckDB re-derives every companded byte and every reconstruction
+  // error — no tolerance booleans anywhere.
+  // ───────────────────────────────────────────────────────────────────
+
+  private final val UlawBias = 0x84 // 132
+  private final val UlawClip = 32635
+
+  /** CCITT G.711 linear-PCM16 → μ-law byte (the standard public
+    * algorithm: clip, bias, segment = top-bit position, 4-bit
+    * mantissa, ones-complement). Spec-pinned byte-identical to the
+    * JDK's javax.sound ULAW codec over the full 16-bit input domain.
+    */
+  private[graft] def linearToUlaw(pcmIn: Int): Int = {
+    var pcm = pcmIn
+    val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+    if (pcm > UlawClip) pcm = UlawClip
+    pcm += UlawBias
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (pcm & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (pcm >> (exponent + 3)) & 0x0f
+    (~(sign | (exponent << 4) | mantissa)) & 0xff
+  }
+
+  /** μ-law byte → linear PCM16 (exact inverse expansion:
+    * ((mantissa·8 + 132) << exponent) − 132, signed).
+    */
+  private[graft] def ulawToLinear(uIn: Int): Int = {
+    val u = (~uIn) & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val magnitude = (((mantissa << 3) + UlawBias) << exponent) - UlawBias
+    if ((u & 0x80) != 0) -magnitude else magnitude
+  }
+
+  /** Transcode a PCM16 WAV payload to a REAL μ-law RIFF/WAVE container
+    * (format 7, 8-bit mono — what telephony archives and call-center
+    * corpora actually store). Half the bytes of the PCM original.
+    */
+  def transcodeWavUlaw(bytes: Array[Byte]): Array[Byte] = {
+    val (rate, samples) = decodeWavSamples(bytes)
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7)                       // G.711 mu-law
+      .putShort(1)                       // mono
+      .putInt(rate)
+      .putInt(rate)                      // byte rate (1 byte/sample)
+      .putShort(1)                       // block align
+      .putShort(8)                       // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { bb.put(linearToUlaw(samples(i).toInt).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Per-payload lossy-audio QC at the codec seam: PCM16 WAV →
+    * μ-law container ([[transcodeWavUlaw]]) → container re-parse +
+    * expansion ([[decodeWavSamples]] format-7 branch) → EXACT
+    * reconstruction metrics vs the original samples. Every output is
+    * an exact integer the DuckDB oracle re-derives from the public
+    * companding formula — the stub-proof shape the JPEG keys can only
+    * approximate with controls. Map-only; two in-memory containers per
+    * row, nothing shuffles but the metric row.
+    */
+  case class UlawQc(
+      doc_id: Long, sample_rate: Int, n_samples: Long,
+      pcm_bytes: Long, ulaw_bytes: Long,
+      max_abs_err: Int, sum_abs_err: Long, decoded_checksum: Long)
+
+  def ulawRoundTripQc(
+      docs: DataFrame,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[UlawQc] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { id =>
+        val pcm = encodeWav(id)
+        val ulaw = transcodeWavUlaw(pcm)
+        val (rate, orig) = decodeWavSamples(pcm)
+        val (rate2, dec) = decodeWavSamples(ulaw)
+        require(rate2 == rate && dec.length == orig.length,
+          s"mu-law round trip changed shape for doc $id")
+        var maxErr = 0; var sumErr = 0L; var checksum = 0L
+        var i = 0
+        while (i < orig.length) {
+          val e = math.abs(dec(i).toInt - orig(i).toInt)
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          checksum += (i + 1).toLong * dec(i).toInt
+          i += 1
+        }
+        UlawQc(id, rate, orig.length.toLong,
+          pcm.length.toLong, ulaw.length.toLong, maxErr, sumErr, checksum)
+      })
+    }
   }
 
   /** The batched decode stage over real WAV payloads — identical

@@ -158,6 +158,58 @@ class Queries7Spec extends SparkSpec {
     if (bits.nonEmpty) assert(bits.head.getInt(0) == 16)
   }
 
+  test("mu-law codec agrees byte-for-byte with the JDK's javax.sound ULAW codec (both directions)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // decode: all 256 mu-law codes through the JDK expander
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val codes = Array.tabulate[Byte](256)(i => i.toByte)
+    val decStream = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(codes), ulawFmt, 256))
+    val decoded = decStream.readAllBytes()
+    assert(decoded.length == 512)
+    (0 until 256).foreach { c =>
+      val jdk = ((decoded(2 * c) & 0xff) | (decoded(2 * c + 1) << 8)).toShort.toInt
+      assert(jdk == Multimodal.ulawToLinear(c),
+        s"decode mismatch at code $c: jdk=$jdk ours=${Multimodal.ulawToLinear(c)}")
+    }
+    // encode: the full 16-bit domain through the JDK compressor
+    val pcmBytes = new Array[Byte](65536 * 2)
+    (0 until 65536).foreach { i =>
+      val v = i - 32768
+      pcmBytes(2 * i) = (v & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val encStream = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, 65536))
+    val encoded = encStream.readAllBytes()
+    assert(encoded.length == 65536)
+    (0 until 65536).foreach { i =>
+      val v = i - 32768
+      assert((encoded(i) & 0xff) == Multimodal.linearToUlaw(v),
+        s"encode mismatch at pcm $v: jdk=${encoded(i) & 0xff} ours=${Multimodal.linearToUlaw(v)}")
+    }
+  }
+
+  test("mu-law WAV seam: format-7 container round-trips through the chunk walker with bounded companding error") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"))
+    val qc = Multimodal.ulawRoundTripQc(docs).collect()
+    assert(qc.length == 40)
+    qc.foreach { r =>
+      assert(r.ulaw_bytes == (r.pcm_bytes - 44) / 2 + 44, "2:1 companded payload")
+      // mu-law max quantization error: top segment step is 1024 → ±512,
+      // plus the 32635 clip costs up to 133 at full scale
+      assert(r.max_abs_err > 0 && r.max_abs_err <= 645,
+        s"doc ${r.doc_id}: max_abs_err ${r.max_abs_err} outside mu-law bounds")
+      assert(r.sum_abs_err > 0, "companding must be genuinely lossy on this signal")
+    }
+    // the whole WAV feature family accepts format-7 payloads directly
+    val ul = Multimodal.transcodeWavUlaw(Multimodal.encodeWav(7L))
+    val stats = Multimodal.decodeWav(7L, ul)
+    assert(stats.n_samples == 256 + 7 % 512 && stats.sample_rate == 8000 + (7 % 4) * 4000)
+  }
+
   test("JPEG decode QC controls: real rows inside tolerance, inverted-field rows planted FALSE") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = spark.range(0, 40).select(col("id").as("doc_id"))
