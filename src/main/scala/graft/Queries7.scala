@@ -86,14 +86,15 @@ object Queries7 {
   )
 
   /** The shared adaptive-IVF-PQ oracle body: everything from coarse
-    * assignment to the branch union, parameterized only by the corpus
-    * CTE (`q`). Mirrors Similarity.ivfPqAdaptive with cells=8, m=4,
-    * k=8, probes=2, topK=5, frac=200000 ppm, minShortlist=20,
-    * snrThreshold=300000 ppm.
+    * assignment to the branch union, parameterized by the corpus CTE
+    * (`q`) and the coarse cell count (default the fixed 8; the
+    * round-8 auto-cells key passes the √n SQL expression). Mirrors
+    * Similarity.ivfPqAdaptive with m=4, k=8, probes=2, topK=5,
+    * frac=200000 ppm, minShortlist=20, snrThreshold=300000 ppm.
     */
-  private def adaptiveOracle(corpusCte: String): String =
+  private[graft] def adaptiveOracle(corpusCte: String, cellsExpr: String = "8"): String =
     s"""WITH q AS ($corpusCte),
-       cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM q WHERE vec_id < 8),
+       cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM q WHERE vec_id < ($cellsExpr)),
        ad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
                      list_sum(list_transform(range(1, 65),
                        i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS d2c

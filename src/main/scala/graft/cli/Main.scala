@@ -45,6 +45,11 @@ object Main {
       case e: java.sql.SQLException =>
         System.err.println(s"error: database connection failed: ${e.getMessage}")
         sys.exit(1)
+      case e @ (_: graft.mysql.MySqlWire.MySqlWireException | _: java.io.IOException) =>
+        // the driverless wire path fails with protocol/socket errors
+        // where JDBC would throw SQLException — same exit contract
+        System.err.println(s"error: database connection failed: ${e.getMessage}")
+        sys.exit(1)
       case _: AbortRequested =>
         // user pressed q in the TUI — a clean abort, not a crash
         System.err.println("aborted")
@@ -53,7 +58,7 @@ object Main {
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "diff" :: base :: target :: flags =>
       require(new java.io.File(base).isDirectory, s"not a directory: $base")
       require(new java.io.File(target).isDirectory, s"not a directory: $target")
@@ -197,16 +202,30 @@ object Main {
     }
     // plain step logging for pipes/CI; in-place interactive view (with
     // `q` to abort) on a real terminal or with an explicit --tui on
+    // `mysql-wire://user@host:port/db` URLs take the driverless wire
+    // client (Snapshot.fromMySqlWire); anything else is a JDBC URL.
+    // Both sides are routed independently, so a JDBC base can be
+    // diffed against a wire target.
+    def pingUrl(url: String): Unit = url match {
+      case Snapshot.WireUrl(user, host, port, db) =>
+        require(dialect == graft.dialect.MySql,
+          s"mysql-wire:// requires the mysql dialect, got: $dialect")
+        Snapshot.pingMySqlWire(host, port, user, db)
+      case _ => Snapshot.ping(spark, url, dialect)
+    }
+    def snapshot(url: String): graft.schema.SchemaSnapshot = url match {
+      case Snapshot.WireUrl(user, host, port, db) =>
+        Snapshot.fromMySqlWire(spark, host, port, user, db)
+      case _ => Snapshot.fromJdbc(spark, url, dialect)
+    }
     val progress = Tui.auto(spark, opts.tui, steps = 5)
     try {
       progress.step("connect") {
-        Snapshot.ping(spark, baseUrl, dialect)
-        Snapshot.ping(spark, targetUrl, dialect)
+        pingUrl(baseUrl)
+        pingUrl(targetUrl)
       }
-      val base = progress.step("base snapshot")(
-        Snapshot.fromJdbc(spark, baseUrl, dialect).cached())
-      val target = progress.step("target snapshot")(
-        Snapshot.fromJdbc(spark, targetUrl, dialect).cached())
+      val base = progress.step("base snapshot")(snapshot(baseUrl).cached())
+      val target = progress.step("target snapshot")(snapshot(targetUrl).cached())
       val report = progress.step("check")(
         Report.fromFindings(Diff.diff(base, target, diffOpts)))
       progress.step("report")(emit(report, opts))
@@ -303,6 +322,7 @@ object Main {
       |       graft.cli.Main profile <dir> <table> [--out <dir>]
       |       graft.cli.Main skew <dir> <table> <keyCol> [--out <dir>]
       |       graft.cli.Main diff-jdbc <baseUrl> <targetUrl> --dialect postgres|mysql [flags]
+      |         (urls: any JDBC url, or mysql-wire://user@host:port/db for the driverless wire client)
       |       graft.cli.Main run [--pair <name>] [--config <path>] [flags]
       |       graft.cli.Main init --name <n> --type postgres|mysql --base-url <u> --target-url <u>
       |                           [--lang en|ko] [--config <path>]

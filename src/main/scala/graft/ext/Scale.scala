@@ -102,6 +102,45 @@ object Scale {
     saltedBig.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** The skew POLICY the skew report feeds — measure→decide→act (the
+    * dedup_simhash_rebanding pattern applied to joins): measure the
+    * big side's per-key histogram FIRST (a 1-row aggregate — the same
+    * eager driver-side gate class as the SNR and re-banding
+    * decisions), and when the hottest key holds more than
+    * `skewThresholdPpm` of its even share (`max_n · n_keys / n_rows`
+    * in ppm — [[Profile.skew]]'s `skew_x_ppm`) run [[saltedJoin]];
+    * healthy keys take the plain equi-join Catalyst can freely
+    * broadcast or co-locate. Decision evidence rides on the output
+    * (`join_strategy`, `skew_x_ppm`) so a pipeline log records WHY.
+    *
+    * Salting targets the shuffle-join case (a dim too big to
+    * broadcast); when Catalyst broadcasts the exploded small side
+    * anyway the salt is harmless — the policy guards the 100 TB plan,
+    * where the hot key of an SMJ/shuffled-hash join is the stage
+    * straggler. AQE's skew split handles symmetric skew; the explicit
+    * policy covers the one-key-exceeds-any-split case and keeps the
+    * decision observable.
+    */
+  def adaptiveJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16,
+      skewThresholdPpm: Long = 1500000L): DataFrame = {
+    val m = big.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_n"), sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .collect().head
+    val skewXPpm =
+      (BigInt(m.getLong(0)) * m.getLong(2) * 1000000 / m.getLong(1)).toLong
+    val skewed = skewXPpm > skewThresholdPpm
+    val joined = if (skewed) saltedJoin(big, small, key, salts)
+      else big.join(small, Seq(key))
+    joined
+      .withColumn("join_strategy", lit(if (skewed) "salted" else "plain"))
+      .withColumn("skew_x_ppm", lit(skewXPpm))
+  }
+
   /** Two-phase (salted) aggregation for skewed group keys: partial
     * aggregate on (key, salt), then final aggregate on key. Supported
     * aggregates must be decomposable (sum/count/min/max — the partial

@@ -832,6 +832,20 @@ object Similarity {
     * (|Q|·probes)-row probe list + query vectors broadcast onto it.
     * All arithmetic integer on the 1e-6 grid; ties → lowest id.
     */
+  /** Corpus-sized IVF cell count — the last static ANN knob made
+    * adaptive (the same measure→decide pattern as the SNR gate): cells
+    * ≈ √n keeps both per-cell population AND centroid-scan cost at
+    * O(√n), so the flat fallback's scan fraction is probes/√n —
+    * FALLING as the corpus grows — instead of a constant fraction
+    * (probes/8 ≈ 25% forever, which is brute force with a smaller
+    * constant at 10⁹ vectors). Deterministic: floor(√n) is exact in
+    * IEEE double for any count below 2⁵³, so the DuckDB oracle derives
+    * the identical cell count from its own `count(*)`. Seeding stays
+    * the pinned lowest-id convention (`vec_id < cells`).
+    */
+  def adaptiveCells(n: Long, minCells: Int = 8): Int =
+    math.max(minCells, math.sqrt(n.toDouble).toLong).toInt
+
   def ivfPqAdaptive(
       corpus: DataFrame,
       queries: DataFrame,
@@ -851,16 +865,19 @@ object Similarity {
     val c = Scale.widen(corpus)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     // coarse assignment, keeping BOTH the original vector (flat branch
-    // scores on it) and the residual (encode + ADC branch)
-    val asg = c.join(broadcast(cent))
+    // scores on it) and the residual (encode + ADC branch). Eagerly
+    // checkpointed, not persisted: the SNR gate below forces it anyway,
+    // the returned plan reuses the blocks, and checkpoint blocks are
+    // reference-tracked (freed when the frame goes unreferenced) —
+    // a CacheManager persist here would outlive the call.
+    val asg = Checkpoints.truncate(c.join(broadcast(cent))
       .select(col("vec_id"), col("q"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
       .groupBy(col("vec_id"), col("q"))
       .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
       .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
       .join(broadcast(cent), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"), col("q"),
-        expr("zip_with(q, cq, (x, y) -> x - y)").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("r")))
     val cb = asg.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), posexplode(expr(subvectors("r", m))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "c_sub")

@@ -195,8 +195,14 @@ object MySqlWire {
             name
           }
           expectEof()
+          // an ERR packet mid-result-set (server timeout, killed query)
+          // must THROW — swallowing it would return a truncated set
+          // that looks like a successful smaller catalog
           val rows = Iterator.continually(io.readPacket())
-            .takeWhile(p => !isEof(p) && (p(0) & 0xff) != 0xff)
+            .map { p =>
+              if ((p(0) & 0xff) == 0xff) throw parseErr(p); p
+            }
+            .takeWhile(p => !isEof(p))
             .map { p =>
               val r = new Reader(p)
               (1 to colCount).map { _ =>

@@ -59,6 +59,28 @@ object Snapshot {
       foreignKeys = read(dialect.foreignKeysSql))
   }
 
+  /** `mysql-wire://user@host:port/db` — the URL scheme that routes a
+    * CLI connection through the driverless wire client
+    * ([[fromMySqlWire]]) instead of JDBC. Matches the reference's
+    * mysql connection config shape (host/port/user/database) without
+    * requiring a driver jar on the classpath.
+    */
+  object WireUrl {
+    private val Re = "^mysql-wire://([^@/]+)@([^:/]+):([0-9]+)/(.+)$".r
+    def unapply(url: String): Option[(String, String, Int, String)] = url match {
+      case Re(user, host, port, db) => Some((user, host, port.toInt, db))
+      case _ => None
+    }
+  }
+
+  /** COM_PING over the wire client — the [[ping]] analog for
+    * `mysql-wire://` connections (reference S3 on the driverless path).
+    */
+  def pingMySqlWire(host: String, port: Int, user: String, database: String): Unit = {
+    val client = new graft.mysql.MySqlWire.Client(host, port, user, database)
+    try client.ping() finally client.close()
+  }
+
   /** Snapshot of a live MySQL database over the RAW WIRE PROTOCOL —
     * the driverless fallback for environments with a MySQL server but
     * no JDBC driver on the classpath ([[graft.mysql.MySqlWire]]). Same

@@ -10,6 +10,12 @@ import graft.ext.Similarity
   * on a given corpus — run on both the structured sf* embeddings and
   * the weak-structure organic embeddings to place the SNR threshold
   * between the two regimes.
+  *
+  * args: dir [cells] — cells is an integer, "auto" (√n via
+  * Similarity.adaptiveCells — the round-8 growth-table mode), or
+  * omitted for the fixed default 8. The printed scan_frac =
+  * mean(shortlist_len)/n is the fraction of the corpus each query
+  * actually scores.
   */
 object AdaptiveProbe {
   def main(args: Array[String]): Unit = {
@@ -24,7 +30,11 @@ object AdaptiveProbe {
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
     val n = e.count()
-    val res = Similarity.ivfPqAdaptive(e, q).persist()
+    val cells =
+      if (args.length < 2) 8
+      else if (args(1) == "auto") Similarity.adaptiveCells(n)
+      else args(1).toInt
+    val res = Similarity.ivfPqAdaptive(e, q, cells = cells).persist()
     val head = res.select(col("mode"), col("snr_ppm")).limit(1).collect().head
     val truth = Similarity.bruteForceTopK(e, q, 5)
       .select(col("q_id"), col("n_id"))
@@ -48,9 +58,10 @@ object AdaptiveProbe {
       .join(truthL2, Seq("q_id", "n_id")).count()
     val denom = truthL2.count()
     val slStats = res.groupBy(col("q_id")).agg(max(col("shortlist_len")).as("sl"))
-      .agg(min(col("sl")), max(col("sl"))).collect().head
-    println(s"PROBE dir=$dir n=$n mode=${head.getString(0)} snr_ppm=${head.getLong(1)} " +
+      .agg(min(col("sl")), max(col("sl")), avg(col("sl"))).collect().head
+    println(s"PROBE dir=$dir n=$n cells=$cells mode=${head.getString(0)} snr_ppm=${head.getLong(1)} " +
       s"recall5_l2=${hit.toDouble / denom} sl_min=${slStats.get(0)} sl_max=${slStats.get(1)} " +
+      s"scan_frac=${slStats.getDouble(2) / n} " +
       s"cos_recall=${res.select(col("q_id"), col("n_id")).join(truth, Seq("q_id", "n_id")).count().toDouble / denom}")
     spark.stop()
   }

@@ -767,7 +767,7 @@ class ExtSpec extends SparkSpec {
     val badMagic = base.clone(); badMagic(0) = 'X'.toByte
     assert(msg(badMagic).contains("RIFF"))
     val badFmt = base.clone(); badFmt(20) = 3 // audioFormat = 3 (IEEE float)
-    assert(msg(badFmt).contains("not PCM"))
+    assert(msg(badFmt).contains("unsupported format: 3"))
     val badSize = base.clone()
     java.nio.ByteBuffer.wrap(badSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, Int.MaxValue) // data chunk claims more than remains

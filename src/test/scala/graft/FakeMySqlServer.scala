@@ -110,6 +110,16 @@ final class FakeMySqlServer(
             }
             catalog.get(sql) match {
               case Some((cols, rows)) => writeResultSet(io, cols, rows)
+              // fault injection: a query asking for it gets a valid
+              // result-set header + one row, then an ERR packet where
+              // the next row belongs — the "server killed the query
+              // mid-stream" shape a client must surface, not swallow
+              case None if sql == FakeMySqlServer.MidStreamErrSql =>
+                io.writePacket(new Writer().lenencInt(1L).result())
+                writeColumnDef(io, "c")
+                writeEof(io)
+                io.writePacket(new Writer().lenencString("row1").result())
+                writeErr(io, 1317, "Query execution was interrupted")
               case None => writeErr(io, 1064,
                 s"graft-fake: unexpected query (not in canned catalog): ${sql.take(120)}")
             }
@@ -130,26 +140,27 @@ final class FakeMySqlServer(
       .u1('#').bytes("42000".getBytes(UTF_8))
       .bytes(msg.getBytes(UTF_8)).result())
 
+  private def writeColumnDef(io: PacketIO, name: String): Unit =
+    io.writePacket(new Writer()
+      .lenencString("def")
+      .lenencString("") // schema
+      .lenencString("graft_snap") // virtual table
+      .lenencString("") // org table
+      .lenencString(name)
+      .lenencString(name) // org name
+      .lenencInt(0x0c) // fixed-length fields length
+      .u2(33) // charset utf8_general_ci
+      .u4(1024L) // column length
+      .u1(0xfd) // MYSQL_TYPE_VAR_STRING
+      .u2(0) // flags
+      .u1(0) // decimals
+      .u2(0) // filler
+      .result())
+
   private def writeResultSet(
       io: PacketIO, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
     io.writePacket(new Writer().lenencInt(cols.length.toLong).result())
-    cols.foreach { name =>
-      io.writePacket(new Writer()
-        .lenencString("def")
-        .lenencString("") // schema
-        .lenencString("graft_snap") // virtual table
-        .lenencString("") // org table
-        .lenencString(name)
-        .lenencString(name) // org name
-        .lenencInt(0x0c) // fixed-length fields length
-        .u2(33) // charset utf8_general_ci
-        .u4(1024L) // column length
-        .u1(0xfd) // MYSQL_TYPE_VAR_STRING
-        .u2(0) // flags
-        .u1(0) // decimals
-        .u2(0) // filler
-        .result())
-    }
+    cols.foreach(writeColumnDef(io, _))
     writeEof(io)
     rows.foreach { row =>
       val w = new Writer()
@@ -164,4 +175,11 @@ final class FakeMySqlServer(
 
   private def writeEof(io: PacketIO): Unit =
     io.writePacket(new Writer().u1(0xfe).u2(0).u2(0x0002).result())
+}
+
+object FakeMySqlServer {
+  /** Any connection may send this to get a result set that dies
+    * mid-stream with ERR 1317 after one row.
+    */
+  val MidStreamErrSql = "GRAFT_FAKE_MIDSTREAM_ERR"
 }

@@ -66,21 +66,11 @@ class MySqlWireSpec extends SparkSpec {
     try f(server) finally server.close()
   }
 
-  test("full diff e2e over the wire: dialect SQL down, catalog rows up, FIXTURES findings out") {
-    withServer { server =>
-      val base = Snapshot.fromMySqlWire(spark, "127.0.0.1", server.port, "root", "graft_base")
-      val target = Snapshot.fromMySqlWire(spark, "127.0.0.1", server.port, "root", "graft_target")
-
-      // the server received EXACTLY the four production dialect
-      // statements, in snapshot order, byte-identical — per database
-      val expectedSql = Vector(
-        MySql.tablesSql, MySql.columnsSql, MySql.indexesSql, MySql.foreignKeysSql)
-      assert(server.receivedQueries("graft_base") == expectedSql)
-      assert(server.receivedQueries("graft_target") == expectedSql)
-
-      val report = Report.fromFindings(Diff.diff(base, target, DiffOptions()))
-        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
-      val want = Map(
+  /** The FIXTURES.md §3 finding set — what ANY full-pipeline drive of
+    * the ported example catalogs must produce, whichever transport
+    * carried the snapshot.
+    */
+  private val fixtureFindings = Map(
         "admins" -> Seq(
           "Column: admins.id has different AUTO_INCREMENT. => AUTO_INCREMENT != NOT AUTO_INCREMENT"),
         "blocks" -> Seq(
@@ -101,8 +91,60 @@ class MySqlWireSpec extends SparkSpec {
           "Foreign Key: reports_fk_test.reports_fk_test_ibfk_2 exists in the base database, but not in the target database."),
         "tags" -> Seq(
           "Column: tags.name has different data type. => varchar(255) != varchar(155)"))
-      assert(report == want,
+
+  test("full diff e2e over the wire: dialect SQL down, catalog rows up, FIXTURES findings out") {
+    withServer { server =>
+      val base = Snapshot.fromMySqlWire(spark, "127.0.0.1", server.port, "root", "graft_base")
+      val target = Snapshot.fromMySqlWire(spark, "127.0.0.1", server.port, "root", "graft_target")
+
+      // the server received EXACTLY the four production dialect
+      // statements, in snapshot order, byte-identical — per database
+      val expectedSql = Vector(
+        MySql.tablesSql, MySql.columnsSql, MySql.indexesSql, MySql.foreignKeysSql)
+      assert(server.receivedQueries("graft_base") == expectedSql)
+      assert(server.receivedQueries("graft_target") == expectedSql)
+
+      val report = Report.fromFindings(Diff.diff(base, target, DiffOptions()))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(report == fixtureFindings,
         "wire-protocol snapshot must reproduce the FIXTURES.md §3 finding set exactly")
+    }
+  }
+
+  test("CLI `run` drives the wire client end-to-end: config -> COM_PING -> snapshots -> report JSON") {
+    withServer { server =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-wire-cli")
+      val cfgPath = dir.resolve("config.json")
+      graft.config.Config.save(graft.config.GraftConfig(
+        database_pairs = Seq(graft.config.DatabasePair(
+          name = "default",
+          database_type = "mysql",
+          base_connection = s"mysql-wire://root@127.0.0.1:${server.port}/graft_base",
+          target_connection = s"mysql-wire://root@127.0.0.1:${server.port}/graft_target")),
+        default_database_pair = "default"), cfgPath)
+      val out = dir.resolve("report").toString
+      // the reference `magiceye run` path (background.rs:8-66): config →
+      // connect (COM_PING over the wire) → snapshots → check → report
+      graft.cli.Main.run(spark, List("run",
+        "--config", cfgPath.toString, "--table-comments", "off", "--out", out))
+      // byte-identical dialect SQL reached the server through the CLI
+      val expectedSql = Vector(
+        MySql.tablesSql, MySql.columnsSql, MySql.indexesSql, MySql.foreignKeysSql)
+      assert(server.receivedQueries("graft_base") == expectedSql)
+      assert(server.receivedQueries("graft_target") == expectedSql)
+      // the emitted JSON file carries exactly the FIXTURES finding set
+      val reportFile = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(
+        java.nio.file.Files.readAllBytes(reportFile.toPath))
+      import scala.jdk.CollectionConverters._
+      val got = root.get("report_table_list").elements().asScala.map { n =>
+        n.get("table_name").asText() ->
+          n.get("report_list").elements().asScala.map(_.asText()).toSeq
+      }.toMap
+      assert(got == fixtureFindings,
+        "CLI run over mysql-wire:// must emit the FIXTURES.md §3 findings as JSON")
     }
   }
 
@@ -120,6 +162,19 @@ class MySqlWireSpec extends SparkSpec {
         assert(err.code == 1064 && err.message.contains("unexpected query"))
         // the connection survives an ERR and keeps serving
         assert(c.query("SELECT NULL AS n, 'x' AS v").rows.nonEmpty)
+      } finally c.close()
+    }
+  }
+
+  test("an ERR packet mid-result-set throws instead of returning a truncated catalog") {
+    withServer { server =>
+      val c = new MySqlWire.Client("127.0.0.1", server.port, "root", "graft_base")
+      try {
+        val err = intercept[MySqlWire.MySqlWireException] {
+          c.query(FakeMySqlServer.MidStreamErrSql)
+        }
+        assert(err.code == 1317 && err.message.contains("interrupted"),
+          "a server kill during row streaming must surface as the server's error")
       } finally c.close()
     }
   }

@@ -184,10 +184,24 @@ class Queries7Spec extends SparkSpec {
       new AudioInputStream(new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, 65536))
     val encoded = encStream.readAllBytes()
     assert(encoded.length == 65536)
-    (0 until 65536).foreach { i =>
-      val v = i - 32768
-      assert((encoded(i) & 0xff) == Multimodal.linearToUlaw(v),
-        s"encode mismatch at pcm $v: jdk=${encoded(i) & 0xff} ours=${Multimodal.linearToUlaw(v)}")
+    // byte-identical on the non-clip domain [-32635, 32635]
+    (-32635 to 32635).foreach { v =>
+      assert((encoded(v + 32768) & 0xff) == Multimodal.linearToUlaw(v),
+        s"encode mismatch at pcm $v: jdk=${encoded(v + 32768) & 0xff} ours=${Multimodal.linearToUlaw(v)}")
+    }
+    // In the clip regions the JDK's encoder WRAPS instead of
+    // saturating: the biased magnitude overflows the short domain and
+    // comes back as a LOW-magnitude code (observed: 112–127 on the
+    // negative side, 240–255 on the positive — near-silence for a
+    // full-scale input; exact values are a JDK implementation detail,
+    // so only the divergence itself is pinned). We follow G.711 and
+    // clip to the full-scale codes (0x00 / 0x80).
+    ((-32768 to -32636) ++ (32636 to 32767)).foreach { v =>
+      val ours = Multimodal.linearToUlaw(v)
+      assert(ours == (if (v < 0) 0x00 else 0x80),
+        s"G.711 clip broken at pcm $v: ours=$ours")
+      assert((encoded(v + 32768) & 0xff) != ours,
+        s"JDK no longer wraps at pcm $v — extend the byte-identical domain")
     }
   }
 
@@ -208,6 +222,25 @@ class Queries7Spec extends SparkSpec {
     val ul = Multimodal.transcodeWavUlaw(Multimodal.encodeWav(7L))
     val stats = Multimodal.decodeWav(7L, ul)
     assert(stats.n_samples == 256 + 7 % 512 && stats.sample_rate == 8000 + (7 % 4) * 4000)
+  }
+
+  test("odd-length format-7 data chunk: pad byte skipped, trailing LIST chunk still parses") {
+    // doc 7 has 256 + 7%512 = 263 samples → 8-bit mu-law data chunk of
+    // odd size 263. The 8-bit read loop consumes all 263 payload bytes,
+    // so exactly ONE pad byte sits before the next chunk header (the
+    // 16-bit skip-2 would eat the 'L' of LIST and misparse everything
+    // after it).
+    val ul = Multimodal.transcodeWavUlaw(Multimodal.encodeWav(7L))
+    val (rate0, samples0) = Multimodal.decodeWavSamples(ul)
+    assert(samples0.length % 2 == 1, "test needs an odd-length data chunk")
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val padded = ul ++ Array[Byte](0) ++ listChunk
+    java.nio.ByteBuffer.wrap(padded).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, padded.length - 8)
+    val (rate1, samples1) = Multimodal.decodeWavSamples(padded)
+    assert(rate1 == rate0 && samples1.sameElements(samples0),
+      "a trailing chunk after an odd mu-law data chunk must not shift parsing")
   }
 
   test("JPEG decode QC controls: real rows inside tolerance, inverted-field rows planted FALSE") {
