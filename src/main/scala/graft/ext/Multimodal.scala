@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * with the payload column pruned — parquet column pruning makes the
   * scan itself cheap when only metadata is touched.
   */
-object Multimodal {
+// Serializable: methods that moved into the mixin traits close over
+// `this` (the singleton) in their executor lambdas — a plain object
+// would fail closure cleaning; scalac's readResolve keeps the
+// deserialized reference the MODULE$ singleton.
+object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
+    with Serializable {
 
   /** One media object: payload + metadata the pipeline can route on. */
   case class MediaRecord(
@@ -137,39 +142,6 @@ object Multimodal {
       peak_abs: Int,
       sum_sq: Long)
 
-  /** Deterministic sample stream: s(i) = ((id·2654435761 + i·40503)
-    * mod 65536) − 32768 — pure integer arithmetic so DuckDB can
-    * reproduce it with a `range()` expansion.
-    */
-  private[graft] def wavSample(docId: Long, i: Int): Int =
-    (((docId * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
-
-  private[graft] def wavRate(docId: Long): Int = 8000 + (docId % 4).toInt * 4000
-
-  private[graft] def wavSampleCount(docId: Long): Int = 256 + (docId % 512).toInt
-
-  /** Assemble a complete RIFF/WAVE file: 16-bit mono PCM. */
-  def encodeWav(docId: Long): Array[Byte] = {
-    val n = wavSampleCount(docId)
-    val rate = wavRate(docId)
-    val dataSize = n * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1)                       // PCM
-      .putShort(1)                       // mono
-      .putInt(rate)
-      .putInt(rate * 2)                  // byte rate
-      .putShort(2)                       // block align
-      .putShort(16)                      // bits per sample
-    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
-    var i = 0
-    while (i < n) { bb.putShort(wavSample(docId, i).toShort); i += 1 }
-    bb.array()
-  }
-
   /** documents → real WAV payloads (map-only; payload never shuffles). */
   def wavFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[WavRecord] = {
     import spark.implicits._
@@ -194,146 +166,6 @@ object Multimodal {
     }
     WavStats(docId, rate, samples.length.toLong,
       samples.length.toLong * 1000L / rate, peak, sumSq)
-  }
-
-  /** Container parse only: (sample rate, PCM samples). The seam feature
-    * extractors ([[decodeWav]], [[wavFrameEnergy]]) share it.
-    */
-  private[graft] def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
-    require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def tag(): String = {
-      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-    }
-    require(tag() == "RIFF", "missing RIFF magic")
-    val riffSize = bb.getInt
-    require(riffSize == bytes.length - 8, s"RIFF size $riffSize != ${bytes.length - 8}")
-    require(tag() == "WAVE", "missing WAVE form type")
-    var rate = -1; var bits = -1; var channels = -1; var fmtCode = -1
-    var samples: Array[Short] = null
-    // real readers iterate chunks — `fmt `/`data` may be interleaved
-    // with LIST/fact/cue chunks written by other tools
-    while (bb.remaining() >= 8) {
-      val id = tag(); val size = bb.getInt
-      require(size >= 0 && size <= bb.remaining(), s"chunk $id overruns: $size")
-      id match {
-        case "fmt " =>
-          val fmtEnd = bb.position() + size
-          val audioFormat = bb.getShort
-          require(audioFormat == 1 || audioFormat == 7,
-            s"unsupported format: $audioFormat (PCM=1, mu-law=7)")
-          fmtCode = audioFormat
-          channels = bb.getShort.toInt
-          rate = bb.getInt
-          bb.getInt; bb.getShort // byte rate, block align (derived)
-          bits = bb.getShort.toInt
-          bb.position(fmtEnd)
-        case "data" =>
-          require(rate > 0, "data chunk before fmt")
-          require(samples == null, "duplicate data chunk")
-          if (fmtCode == 7) {
-            // G.711 μ-law: 8-bit companded samples, expanded to PCM16
-            // on decode (the JDK's ULAW expander agrees byte-for-byte
-            // on all 256 codes — spec-pinned)
-            require(bits == 8 && channels == 1,
-              s"unsupported mu-law layout: ${bits}bit x$channels")
-            samples = new Array[Short](size)
-            var i = 0
-            while (i < samples.length) {
-              samples(i) = ulawToLinear(bb.get() & 0xff).toShort; i += 1
-            }
-          } else {
-            require(bits == 16 && channels == 1,
-              s"unsupported PCM layout: ${bits}bit x$channels")
-            samples = new Array[Short](size / 2)
-            var i = 0
-            while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
-          }
-          // odd-sized data chunks pad to even like any other chunk.
-          // The 16-bit read loop consumed size/2*2 bytes, so an odd
-          // size leaves 1 payload byte + 1 RIFF pad byte; the 8-bit
-          // μ-law loop consumed all `size` bytes, leaving only the
-          // pad byte (pad may be absent when data is the last chunk)
-          if ((size & 1) == 1) {
-            val skip = if (fmtCode == 7) 1 else 2
-            bb.position(math.min(bb.limit(), bb.position() + skip))
-          }
-        case _ =>
-          bb.position(bb.position() + size + (size & 1)) // chunks pad to even
-      }
-    }
-    require(samples != null, "no data chunk")
-    (rate, samples)
-  }
-
-  // ───────────────────────────────────────────────────────────────────
-  // G.711 μ-law — the LOSSY audio codec the JDK can actually speak
-  // (MP3/FLAC/Opus have no in-JDK codec and stay environment-blocked;
-  // μ-law companding is the real 2:1 lossy telephony codec, format 7
-  // in RIFF/WAVE). Unlike JPEG, the transform is pure integer
-  // arithmetic (the public CCITT formula), so the ORACLE IS EXACT:
-  // DuckDB re-derives every companded byte and every reconstruction
-  // error — no tolerance booleans anywhere.
-  // ───────────────────────────────────────────────────────────────────
-
-  private final val UlawBias = 0x84 // 132
-  private final val UlawClip = 32635
-
-  /** CCITT G.711 linear-PCM16 → μ-law byte (the standard public
-    * algorithm: clip, bias, segment = top-bit position, 4-bit
-    * mantissa, ones-complement). Spec-pinned byte-identical to the
-    * JDK's javax.sound ULAW codec over [-32635, 32635]. In the clip
-    * regions (|pcm| ≥ 32636) the JDK's encoder WRAPS instead of
-    * saturating — the biased magnitude overflows the short domain and
-    * full-scale input encodes as a near-silence low-magnitude code —
-    * while we follow the G.711 clip (0x00 / 0x80 = full-scale codes).
-    * Both behaviors are pinned in Queries7Spec.
-    */
-  private[graft] def linearToUlaw(pcmIn: Int): Int = {
-    var pcm = pcmIn
-    val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
-    if (pcm > UlawClip) pcm = UlawClip
-    pcm += UlawBias
-    var exponent = 7
-    var mask = 0x4000
-    while (exponent > 0 && (pcm & mask) == 0) { exponent -= 1; mask >>= 1 }
-    val mantissa = (pcm >> (exponent + 3)) & 0x0f
-    (~(sign | (exponent << 4) | mantissa)) & 0xff
-  }
-
-  /** μ-law byte → linear PCM16 (exact inverse expansion:
-    * ((mantissa·8 + 132) << exponent) − 132, signed).
-    */
-  private[graft] def ulawToLinear(uIn: Int): Int = {
-    val u = (~uIn) & 0xff
-    val exponent = (u >> 4) & 0x07
-    val mantissa = u & 0x0f
-    val magnitude = (((mantissa << 3) + UlawBias) << exponent) - UlawBias
-    if ((u & 0x80) != 0) -magnitude else magnitude
-  }
-
-  /** Transcode a PCM16 WAV payload to a REAL μ-law RIFF/WAVE container
-    * (format 7, 8-bit mono — what telephony archives and call-center
-    * corpora actually store). Half the bytes of the PCM original.
-    */
-  def transcodeWavUlaw(bytes: Array[Byte]): Array[Byte] = {
-    val (rate, samples) = decodeWavSamples(bytes)
-    val n = samples.length
-    val bb = java.nio.ByteBuffer.allocate(44 + n)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
-      .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(7)                       // G.711 mu-law
-      .putShort(1)                       // mono
-      .putInt(rate)
-      .putInt(rate)                      // byte rate (1 byte/sample)
-      .putShort(1)                       // block align
-      .putShort(8)                       // bits per sample
-    bb.put("data".getBytes("US-ASCII")).putInt(n)
-    var i = 0
-    while (i < n) { bb.put(linearToUlaw(samples(i).toInt).toByte); i += 1 }
-    bb.array()
   }
 
   /** Per-payload lossy-audio QC at the codec seam: PCM16 WAV →
@@ -537,35 +369,6 @@ object Multimodal {
     }
   }
 
-  /** REAL audio downsampling: decode the PCM, keep every `factor`-th
-    * sample (decimation — the point-sampling kernel; a production
-    * pipeline low-pass-filters first, which swaps into this same
-    * seam), re-encode a genuine WAV at rate/factor, and report the
-    * decoded stats OF THE DOWNSAMPLED clip — the audio twin of
-    * [[resizeBmpBatch]]: decode → resample → encode → decode
-    * round-trips through the real container both ways. Map-only;
-    * payloads never shuffle.
-    */
-  def downsampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
-    require(factor >= 1, s"factor must be >= 1, got $factor")
-    val (rate, samples) = decodeWavSamples(bytes)
-    require(rate % factor == 0, s"rate $rate not divisible by factor $factor")
-    val outN = (samples.length + factor - 1) / factor
-    val outRate = rate / factor
-    val dataSize = outN * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1)
-      .putInt(outRate).putInt(outRate * 2).putShort(2).putShort(16)
-    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
-    var i = 0
-    while (i < outN) { bb.putShort(samples(i * factor)); i += 1 }
-    bb.array()
-  }
-
   def downsampleWavBatch(
       media: Dataset[WavRecord],
       factor: Int = 2,
@@ -608,56 +411,6 @@ object Multimodal {
       sum_b: Long,
       peak_luma: Long,
       pos_checksum: Long)
-
-  /** Deterministic channel value at logical pixel i (top-down
-    * row-major), channel c (0=B, 1=G, 2=R):
-    * ((id·2654435761 + i·97 + c·31) mod 256).
-    */
-  private[graft] def bmpChannel(docId: Long, i: Int, c: Int): Int =
-    ((docId * 2654435761L + i.toLong * 97L + c.toLong * 31L) % 256L).toInt
-
-  /** Widths 8..16: width·3 mod 4 cycles through all paddings 0..3. */
-  private[graft] def bmpWidth(docId: Long): Int = 8 + (docId % 9).toInt
-
-  private[graft] def bmpHeight(docId: Long): Int = 4 + (docId % 5).toInt
-
-  /** Assemble a complete BMP file (bottom-up, 24-bit BI_RGB). */
-  def encodeBmp(docId: Long): Array[Byte] = {
-    val w = bmpWidth(docId)
-    val h = bmpHeight(docId)
-    val stride = (w * 3 + 3) / 4 * 4
-    val imgSize = stride * h
-    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put('B'.toByte).put('M'.toByte)
-      .putInt(54 + imgSize)  // file size
-      .putInt(0)             // reserved
-      .putInt(54)            // pixel data offset
-    bb.putInt(40)            // BITMAPINFOHEADER size
-      .putInt(w).putInt(h)   // positive height = bottom-up rows
-      .putShort(1)           // planes
-      .putShort(24)          // bits per pixel
-      .putInt(0)             // BI_RGB (uncompressed)
-      .putInt(imgSize)
-      .putInt(2835).putInt(2835) // 72 DPI in pixels/metre
-      .putInt(0).putInt(0)   // palette sizes (none for 24-bit)
-    var fileRow = 0
-    while (fileRow < h) {
-      val y = h - 1 - fileRow // bottom-up: first stored row is the last logical one
-      var x = 0
-      while (x < w) {
-        val i = y * w + x
-        bb.put(bmpChannel(docId, i, 0).toByte)
-          .put(bmpChannel(docId, i, 1).toByte)
-          .put(bmpChannel(docId, i, 2).toByte)
-        x += 1
-      }
-      var p = w * 3
-      while (p < stride) { bb.put(0.toByte); p += 1 }
-      fileRow += 1
-    }
-    bb.array()
-  }
 
   /** documents → real BMP payloads (map-only; payload never shuffles). */
   def bmpFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
@@ -798,72 +551,6 @@ object Multimodal {
     }
   }
 
-  // ───────────────────────────────────────────────────────────────────
-  // Entropy-coded formats at the same decode seam: PNG (DEFLATE) and
-  // JPEG (DCT + Huffman) through the in-JDK javax.imageio codecs. The
-  // BMP tier proves the seam on a trivially decodable container; these
-  // prove it on the formats a real 100 TB corpus actually stores.
-  // PNG is lossless, so ImageIO.read recovers the exact seeded pixel
-  // field and every statistic pins to the SAME oracle formula as the
-  // BMP tier — the pixel contract is format-independent. JPEG is
-  // lossy, so its key emits exact dimensions plus a bounded-error QC
-  // boolean (the within-tolerance pattern the sketch keys use).
-  // ───────────────────────────────────────────────────────────────────
-
-  /** Render the seeded pixel field (same [[bmpChannel]] formula and
-    * [[bmpWidth]]×[[bmpHeight]] dimensions as the BMP tier) into a
-    * BufferedImage. `perturb` bumps the blue channel of logical pixel
-    * (0,0) by +8 mod 256 — the same near-dup planting device as
-    * [[perturbBmp]], applied pre-encode.
-    */
-  private def seededImage(docId: Long, perturb: Boolean): java.awt.image.BufferedImage = {
-    val w = bmpWidth(docId); val h = bmpHeight(docId)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = y * w + x
-        val b =
-          if (perturb && i == 0) (bmpChannel(docId, 0, 0) + 8) % 256
-          else bmpChannel(docId, i, 0)
-        img.setRGB(x, y,
-          (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) | b)
-        x += 1
-      }
-      y += 1
-    }
-    img
-  }
-
-  /** Encode the seeded image as a real PNG (entropy-coded: DEFLATE over
-    * filtered scanlines) via the in-JDK ImageIO writer. Lossless.
-    */
-  def encodePng(docId: Long, perturb: Boolean = false): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(seededImage(docId, perturb), "png", bos),
-      "no PNG writer on this JVM")
-    bos.toByteArray
-  }
-
-  /** Encode the seeded image as a real JPEG at the given quality via
-    * the in-JDK writer (DCT, quantization, Huffman coding). Lossy.
-    */
-  def encodeJpeg(docId: Long, quality: Float = 0.95f): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val params = writer.getDefaultWriteParam
-    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    params.setCompressionQuality(quality)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(seededImage(docId, false), null, null), params)
-    } finally { ios.close(); writer.dispose() }
-    bos.toByteArray
-  }
-
   /** documents → real PNG payloads (map-only; payload never shuffles). */
   def pngFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
@@ -932,49 +619,6 @@ object Multimodal {
     }
   }
 
-  /** dHash over a library-decoded raster: the same 9×8 BT.709 luma
-    * grid comparison as [[dhashFromBytes]], so a losslessly-coded
-    * image hashes identically to its BMP rendering and the PNG phash
-    * pipeline reuses the BMP oracle derivation unchanged.
-    */
-  def dhashFromImage(docId: Long, bytes: Array[Byte]): Long = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    require(img != null, s"undecodable image payload for doc $docId")
-    val w = img.getWidth; val h = img.getHeight
-    def luma(x: Int, y: Int): Long = {
-      val rgb = img.getRGB(x, y)
-      2126L * ((rgb >> 16) & 0xff) + 7152L * ((rgb >> 8) & 0xff) + 722L * (rgb & 0xff)
-    }
-    var hash = 0L
-    var gy = 0
-    while (gy < 8) {
-      val sy = gy * h / 8
-      var gx = 0
-      while (gx < 8) {
-        if (luma(gx * w / 9, sy) > luma((gx + 1) * w / 9, sy))
-          hash |= 1L << (gy * 8 + gx)
-        gx += 1
-      }
-      gy += 1
-    }
-    hash
-  }
-
-  /** Perceptual near-dup pairs over library-decoded payloads: dHash
-    * each raster ([[dhashFromImage]]) map-side, then the same
-    * band-LSH + Hamming-verify join as [[phashNearDup]] — never
-    * all-pairs; only 8-byte hashes leave the scan stage.
-    */
-  def phashNearDupDecoded(
-      media: Dataset[BmpRecord],
-      maxHamming: Int = 6,
-      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromImage(r.doc_id, r.payload))))
-      .toDF("id", "hash")
-    hammingPairs(bandedHashes(hashes, bands), maxHamming)
-  }
-
   /** JPEG decode QC: per payload, the EXACT decoded dimensions plus a
     * bounded-reconstruction check — mean absolute per-channel error vs
     * the seeded source field, in milli-levels (×1000), compared to
@@ -987,37 +631,6 @@ object Multimodal {
   case class JpegQc(
       doc_id: Long, width: Int, height: Int,
       mean_abs_err_ok: Boolean, nonzero_payload: Boolean)
-
-  /** Mean absolute per-channel reconstruction error (milli-levels) of a
-    * decoded raster vs the seeded field of `fieldId` — or, with
-    * `inverted`, vs the 255-complement of that field (the planted-FALSE
-    * control: |x − (255−e)| averages ≈127 levels for a correct decode,
-    * measured ≥103.4 over 60k docs, so it breaches any sane tolerance
-    * with an ~11σ margin while the true-field error stays ≤38.5).
-    */
-  private def jpegErrMilli(
-      img: java.awt.image.BufferedImage, fieldId: Long, inverted: Boolean): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    def expect(i: Int, c: Int): Int = {
-      val e = bmpChannel(fieldId, i, c)
-      if (inverted) 255 - e else e
-    }
-    var errSum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val i = y * w + x
-        errSum += math.abs(((rgb >> 16) & 0xff) - expect(i, 2)) +
-          math.abs(((rgb >> 8) & 0xff) - expect(i, 1)) +
-          math.abs((rgb & 0xff) - expect(i, 0))
-        x += 1
-      }
-      y += 1
-    }
-    errSum * 1000L / (w.toLong * h * 3L)
-  }
 
   def jpegDecodeQc(
       media: Dataset[BmpRecord],
@@ -1198,26 +811,6 @@ object Multimodal {
     hash
   }
 
-  /** Bump the blue channel of logical pixel (0, 0) by +8 (mod 256) —
-    * a one-byte pixel edit that leaves the container intact. The
-    * near-dup planting device: visually identical, byte-level
-    * different, so exact/md5 dedup misses it and perceptual hashing
-    * must catch it.
-    */
-  def perturbBmp(bytes: Array[Byte]): Array[Byte] = {
-    val out = bytes.clone()
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val dataOffset = bb.getInt(10)
-    val w = bb.getInt(18)
-    val rawH = bb.getInt(22)
-    val h = math.abs(rawH)
-    val stride = (w * 3 + 3) / 4 * 4
-    val fileRow = if (rawH < 0) 0 else h - 1 // logical top-left row
-    val base = dataOffset + fileRow * stride
-    out(base) = (((out(base).toInt & 0xff) + 8) % 256).toByte
-    out
-  }
-
   /** documents → real BMPs ∪ one-pixel-perturbed twins at doc_id+1e6
     * (map-only; 1 input row → 2 payload rows in place).
     */
@@ -1228,31 +821,6 @@ object Multimodal {
         val orig = encodeBmp(id)
         Iterator(BmpRecord(id, orig), BmpRecord(id + 1000000L, perturbBmp(orig)))
       })
-  }
-
-  /** Perceptual-hash near-duplicate detection over REAL decoded
-    * images: dHash each payload (map-only — the payload never
-    * shuffles; only the 8-byte hash leaves the scan stage), then pair
-    * images by LSH banding on the hash (`bands` contiguous bit slices;
-    * two images within Hamming distance `bands−1` of each other share
-    * at least one band by pigeonhole — a one-pixel edit concentrates
-    * its ≤4 grid cells in one band, so planted twins always collide)
-    * and keep candidate pairs whose full 64-bit Hamming distance is at
-    * most `maxHamming`.
-    *
-    * Scale shape: the band join is an equi-join on (band_idx, band
-    * value) over 8-byte hashes — never all-pairs, identical to the
-    * SimHash banding in [[Dedup.simhashPairs]]; candidate volume is
-    * governed by band width (16 bits → 65536 buckets per band).
-    */
-  def phashNearDup(
-      media: Dataset[BmpRecord],
-      maxHamming: Int = 6,
-      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val hashes = media.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
-      .toDF("id", "hash")
-    hammingPairs(bandedHashes(hashes, bands), maxHamming)
   }
 
   /** Sharpness / edge-density over REAL decoded pixels: the sum and
@@ -1307,260 +875,6 @@ object Multimodal {
         BmpSharpness(r.doc_id, w, h, n, sum, if (n == 0) 0L else sum / n, mx)
       })
     }
-  }
-
-  /** Incremental perceptual dedup (batch form of
-    * [[graft.streaming.MediaIngest.phashIngest]]'s probe): a new image
-    * batch is matched against the EXISTING corpus only — one band
-    * equi-join of batch hashes against the corpus hash index, full
-    * Hamming verify, never corpus×corpus. The daily-landing shape; the
-    * corpus side is the persistable 8-byte-per-image index.
-    */
-  def phashIncremental(
-      corpus: Dataset[BmpRecord],
-      batch: Dataset[BmpRecord],
-      maxHamming: Int = 6,
-      bands: Int = 4)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    def hashed(m: Dataset[BmpRecord]): DataFrame =
-      m.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
-        .toDF("id", "hash")
-    bandedHashes(hashed(corpus), bands)
-      .select(col("band_idx"), col("band"), col("id").as("old_id"), col("hash").as("ho"))
-      .join(bandedHashes(hashed(batch), bands)
-          .select(col("band_idx"), col("band"), col("id").as("new_id"), col("hash").as("hn")),
-        Seq("band_idx", "band"))
-      .select(col("old_id"), col("new_id"),
-        expr("cast(bit_count(ho ^ hn) as int)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
-
-  /** The (id, hash) frame every phash operator keys on, materialized
-    * once: payloads decode map-side, only 16 bytes/row survive. The
-    * policy layer ([[phashNearDupAuto]]) reads it twice (monitor +
-    * pair join), so it is eagerly checkpointed — decoding the image
-    * tier twice is the cost that would actually hurt at 100 TB.
-    */
-  def phashHashes(media: Dataset[BmpRecord])(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Checkpoints.truncate(
-      media.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
-        .toDF("id", "hash"))
-  }
-
-  /** [[Dedup.simhashBandStats]] for the 64-bit perceptual dHash: per
-    * band at the given banding config, bucket occupancy and the EXACT
-    * candidate-pair budget the band join would expand
-    * (`sum C(c,2)` over buckets). Band width is the knob: 4 bands →
-    * 16-bit buckets (cheap, but round 6 measured 17× organic budget
-    * saturation on low-entropy rasters), 2 bands → 32-bit buckets
-    * (collision probability collapses). An nBands-row aggregate — the
-    * monitor is free relative to one avoided pair expansion.
-    */
-  def phashBandStats(hashes: DataFrame, bands: Int): DataFrame =
-    bandedHashes(hashes, bands)
-      .groupBy(col("band_idx"), col("band")).agg(count(lit(1)).as("c"))
-      .groupBy(col("band_idx"))
-      .agg(sum(col("c")).as("n_imgs"),
-        count(lit(1)).as("n_buckets"),
-        max(col("c")).as("max_bucket"),
-        sum(expr("c * (c - 1) div 2")).as("pair_budget"))
-
-  /** The re-banding POLICY for image dedup — [[Dedup.simhashNearPairsAuto]]
-    * applied to the perceptual tier (the round-6 monitor finally acts):
-    * measure the 16-bit-band candidate budget FIRST, and when it is
-    * super-linear in the image count (`pair_budget > budgetFactor ·
-    * n_imgs` — the saturation signature of low-entropy rasters) re-band
-    * the SAME 64-bit hashes to 32-bit buckets before any pair is
-    * expanded. A one-pixel edit only perturbs grid bits gy∈{0,1},
-    * gx∈{0,1} (bits 0,1,8,9 — all inside band 0 at either width), so
-    * planted-twin recall is width-invariant while the budget collapses.
-    * Decision evidence rides on the output (`band_bits`,
-    * `pair_budget_16`, `n_imgs`) so a pipeline log records WHY.
-    */
-  def phashNearDupAuto(
-      media: Dataset[BmpRecord],
-      maxHamming: Int = 6,
-      budgetFactor: Long = 8L)(implicit spark: SparkSession): DataFrame =
-    phashNearDupAutoFromHashes(phashHashes(media), maxHamming, budgetFactor)
-
-  /** The policy core over a pre-materialized (id, hash) frame —
-    * [[phashNearDupAuto]] minus the decode stage, shared with callers
-    * that already hold hashes (and with the policy specs, which pin
-    * both decision directions on crafted hash corpora).
-    */
-  private[graft] def phashNearDupAutoFromHashes(
-      hashes: DataFrame,
-      maxHamming: Int = 6,
-      budgetFactor: Long = 8L): DataFrame = {
-    val stats = phashBandStats(hashes, 4)
-      .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_imgs")).as("n_imgs"))
-      .collect().head
-    val budget = stats.getLong(0)
-    val nImgs = stats.getLong(1)
-    val saturated = budget > budgetFactor * nImgs
-    hammingPairs(bandedHashes(hashes, if (saturated) 2 else 4), maxHamming)
-      .withColumn("band_bits", lit(if (saturated) 32 else 16))
-      .withColumn("pair_budget_16", lit(budget))
-      .withColumn("n_imgs", lit(nImgs))
-  }
-
-  /** Explode a (id, hash) frame into its LSH bands: one row per
-    * contiguous `64/bands`-bit slice. The bucket key both the batch
-    * pair join and the streaming index probe hash on.
-    */
-  private[graft] def bandedHashes(hashes: DataFrame, bands: Int): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    hashes.select(col("id"), col("hash"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS band_idx, shiftright(hash, b * $width) & $mask AS band))")).as("bb"))
-      .select(col("id"), col("hash"), col("bb.band_idx").as("band_idx"), col("bb.band").as("band"))
-  }
-
-  /** Band-bucketed Hamming pairs (id_a < id_b) from a banded frame. */
-  private[graft] def hammingPairs(banded: DataFrame, maxHamming: Int): DataFrame =
-    banded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("hash").as("ha"))
-      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("hash").as("hb")),
-        Seq("band_idx", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-
-  /** Object-store ingestion for media: stage every payload as an
-    * individual `<doc_id>.bmp` FILE, then read the directory back
-    * through Spark's `binaryFile` source — the path a real multimodal
-    * corpus takes (images land as files in object storage; the scan
-    * yields (path, length, content) rows) — and run the REAL decoder
-    * over the scanned bytes. Decoded stats must equal the in-memory
-    * pipeline's: proves the source preserves bytes and the
-    * path→doc_id recovery.
-    *
-    * Scale note: `binaryFile` is the bootstrap source; production
-    * compacts small files into parquet binary columns (the layout
-    * every other multimodal key uses) precisely because millions of
-    * tiny objects throttle listing — this key IS that ingestion step.
-    * Staging clears stale files first so a previous larger run can't
-    * pollute the read.
-    *
-    * Both the clear and the per-payload writes go through the Hadoop
-    * `FileSystem` resolved from the session's hadoopConfiguration, so
-    * on a real cluster the staged directory lands on the configured
-    * shared FS (HDFS/S3/…), not scattered across executor-local disks;
-    * `local[...]` resolves it to the local FS and behaves as before.
-    */
-  def stageBmpFiles(docs: DataFrame, dir: String)(implicit spark: SparkSession): Unit = {
-    import spark.implicits._
-    import org.apache.hadoop.fs.Path
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    // Hadoop's checksummed LocalFileSystem costs ~25x java.nio on a
-    // many-tiny-files write (one .crc + stream ceremony per file —
-    // caught by the bench tripwire), so the local scheme takes the
-    // direct path; any non-local scheme (hdfs://, s3a://) goes through
-    // the configured FS, checksums off, which is what makes the staged
-    // directory visible cluster-wide.
-    val uri = new Path(dir).toUri
-    val isLocal = uri.getScheme == null || uri.getScheme == "file"
-    if (isLocal) {
-      val root = java.nio.file.Paths.get(uri.getPath)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val it = java.nio.file.Files.list(root)
-        try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally it.close()
-      }
-      java.nio.file.Files.createDirectories(root)
-      val local = root.toString
-      docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
-        it.foreach { id =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(local, s"$id.bmp"), encodeBmp(id))
-          ()
-        }
-      }
-    } else {
-      val root = new Path(dir)
-      val fs = root.getFileSystem(hconf.value)
-      if (fs.exists(root)) fs.delete(root, true)
-      fs.mkdirs(root)
-      docs.select(col("doc_id")).as[Long].foreachPartition { (it: Iterator[Long]) =>
-        // newInstance, not the JVM-cached FileSystem.get: setWriteChecksum
-        // would otherwise silently disable client-side checksums for every
-        // other writer sharing the cached instance in this executor.
-        val efs = org.apache.hadoop.fs.FileSystem.newInstance(
-          new Path(dir).toUri, hconf.value)
-        try {
-          efs.setWriteChecksum(false)
-          it.foreach { id =>
-            val out = efs.create(new Path(dir, s"$id.bmp"), true)
-            try out.write(encodeBmp(id)) finally out.close()
-          }
-        } finally efs.close()
-      }
-    }
-  }
-
-  private val stagingCleanupRegistered =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-
-  /** Per-session staging root for keys that must materialize real
-    * files: scoping by `applicationId` means two concurrent sessions
-    * (bench + verify, parallel CI) can never clobber each other's
-    * staged directories mid-scan. The appId-scoped root is deleted on
-    * JVM shutdown (first call registers the hook) — without that,
-    * every session leaks its thousands of staged tiny files into
-    * java.io.tmpdir forever, since no later session reuses the path.
-    */
-  def stagingDir(spark: SparkSession, name: String): String = {
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_rt_${spark.sparkContext.applicationId}")
-    if (stagingCleanupRegistered.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
-    }
-    s"$root/$name"
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val it = java.nio.file.Files.walk(root)
-      try it.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally it.close()
-    }
-
-  def decodeBmpFiles(dir: String)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(
-        regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeBmp(id, bytes) })
-      .toDF()
-  }
-
-  /** The image-dedup pipeline's final emit step: given the phash
-    * cluster labels, keep the highest-RESOLUTION member of each
-    * duplicate cluster (pixel count from the REAL decoded header; ties
-    * → lowest id) — the image twin of the token-count rule in
-    * [[graft.ext.Dedup.clusterRepresentatives]]. The pixel-count
-    * projection is map-only over the payload scan; the pick is one
-    * window over the |images|-row label frame.
-    */
-  def phashClusterRepresentatives(
-      media: Dataset[BmpRecord],
-      clusters: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val px = decodeBmpBatch(media).toDF()
-      .select(col("doc_id"), (col("width").cast("long") * col("height")).as("n_pixels"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_pixels").desc, col("doc_id"))
-    clusters.select(col("doc_id"), col("cluster_id"))
-      .join(px, Seq("doc_id"))
-      .withColumn("is_representative", row_number().over(w) === 1)
   }
 
   /** One sampled "frame" of a media payload: the 1-record → N-frames
