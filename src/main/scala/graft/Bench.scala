@@ -104,12 +104,19 @@ object Bench {
       // candidate records: the sf0.1 record plus the organic ×10-scale
       // record (where the saturation cliffs live) — whichever matches
       // this run's sf dir guards it
-      val recOpt = Seq("BENCH_RECORD.json", "BENCH_RECORD_organic1.json")
-        .map(java.nio.file.Paths.get(_))
+      val candidates = Seq("BENCH_RECORD.json", "BENCH_RECORD_organic1.json")
+      val present = candidates.map(java.nio.file.Paths.get(_))
         .filter(java.nio.file.Files.exists(_))
+      val recOpt = present
         .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         .find(rec => """"sf":"([^"]+)"""".r.findFirstMatchIn(rec)
           .map(_.group(1)).contains(sfDir))
+      // a silent tripwire is worse than none: say when this run's sf
+      // has no committed record guarding it (and when a candidate file
+      // is missing entirely)
+      if (recOpt.isEmpty)
+        System.err.println(s"[bench] tripwire INACTIVE: no record matches sf=$sfDir " +
+          s"(present: ${present.mkString(", ")}; candidates: ${candidates.mkString(", ")})")
       recOpt.foreach { rec =>
         {
           val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
