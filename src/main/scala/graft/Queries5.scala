@@ -142,7 +142,11 @@ object Queries5 {
     "multimodal_phash_clusters" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
-      val pairs = Multimodal.phashNearDup(Multimodal.bmpWithPerturbedTwins(docs))
+      // through the re-banding POLICY (round-9): recall is
+      // width-invariant for the planted twins, so the cluster output
+      // survives whichever width the measured budget picks; the select
+      // drops the decision-evidence columns.
+      val pairs = Multimodal.phashNearDupAuto(Multimodal.bmpWithPerturbedTwins(docs))
         .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
       val ids = docs.select(col("doc_id"))
         .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
@@ -187,9 +191,12 @@ object Queries5 {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
       val all = Multimodal.bmpWithPerturbedTwins(docs)
-      Multimodal.phashIncremental(
+      // the corpus index decides the probe's band width (round-9
+      // policy routing); evidence columns dropped before the select
+      Multimodal.phashIncrementalAuto(
           all.filter(col("doc_id") < 1000000L),
           all.filter(col("doc_id") >= 1000000L))
+        .select(col("old_id"), col("new_id"), col("hamming"))
         .orderBy("old_id", "new_id")
     }),
 
@@ -314,7 +321,8 @@ object Queries5 {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
       val media = Multimodal.bmpWithPerturbedTwins(docs)
-      val pairs = Multimodal.phashNearDup(media)
+      // re-banding policy (round-9) — evidence columns dropped here
+      val pairs = Multimodal.phashNearDupAuto(media)
         .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
       val ids = docs.select(col("doc_id"))
         .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
@@ -363,6 +371,32 @@ object Queries5 {
        cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.hash AS ha, y.hash AS hb
                 FROM bands x JOIN bands y
                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id)"""
+
+  /** [[phashCtes]] plus the round-9 re-banding POLICY re-derivation:
+    * the 16-bit candidate budget is measured in SQL exactly as
+    * [[graft.ext.Multimodal.phashAutoBands]] measures it, and `acand`
+    * generates candidates at the CHOSEN width (32-bit buckets when the
+    * budget is super-linear in the image count). The pipeline oracles
+    * (clusters / representatives / incremental) build on `acand`; the
+    * fixed-width baseline key keeps `cand`.
+    */
+  private[graft] val phashAutoCtes =
+    s"""$phashCtes,
+       bands32a AS (SELECT id, hash, CAST(t.b AS INT) AS band_idx,
+                           (hash >> CAST(t.b * 32 AS INT)) & 4294967295 AS band
+                    FROM hsh, range(2) t(b)),
+       bsat AS (SELECT (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+                        FROM (SELECT count(*) AS c FROM bands GROUP BY band_idx, band))
+                     > 8 * (SELECT count(*) FROM hsh) AS sat),
+       acand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.hash AS ha, y.hash AS hb
+                 FROM bands x JOIN bands y
+                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id
+                 WHERE NOT (SELECT sat FROM bsat)
+                 UNION ALL
+                 SELECT DISTINCT x.id, y.id, x.hash, y.hash
+                 FROM bands32a x JOIN bands32a y
+                   ON y.band_idx = x.band_idx AND y.band = x.band AND x.id < y.id
+                 WHERE (SELECT sat FROM bsat))"""
 
   val oracles: Map[String, String] = Map(
 
@@ -687,8 +721,8 @@ object Queries5 {
          ORDER BY id_a, id_b""",
 
     "multimodal_phash_clusters" ->
-      s"""WITH RECURSIVE $phashCtes,
-         pr AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      s"""WITH RECURSIVE $phashAutoCtes,
+         pr AS (SELECT id_a, id_b FROM acand WHERE bit_count(xor(ha, hb)) <= 6),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pr
                    UNION ALL SELECT id_b, id_a FROM pr),
          r AS (SELECT id AS node, id AS m FROM ids
@@ -844,13 +878,33 @@ object Queries5 {
          FROM kf LEFT JOIN ov USING (q_id) ORDER BY q_id"""
     },
 
+    // the probe's band width is decided by the CORPUS index side only
+    // (id < 1e6 — the side that saturates as the library grows), so
+    // the decision CTE here measures corpus bands, not the union
     "multimodal_phash_incremental" ->
-      s"""WITH $phashCtes
+      s"""WITH $phashCtes,
+         isat AS (SELECT (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+                          FROM (SELECT count(*) AS c FROM bands
+                                WHERE id < 1000000 GROUP BY band_idx, band))
+                       > 8 * (SELECT count(*) FROM hsh WHERE id < 1000000) AS sat),
+         bands32i AS (SELECT id, hash, CAST(t.b AS INT) AS band_idx,
+                             (hash >> CAST(t.b * 32 AS INT)) & 4294967295 AS band
+                      FROM hsh, range(2) t(b)),
+         icand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.hash AS ha, y.hash AS hb
+                   FROM bands x JOIN bands y
+                     ON y.band_idx = x.band_idx AND y.band = x.band
+                   WHERE x.id < 1000000 AND y.id >= 1000000
+                     AND NOT (SELECT sat FROM isat)
+                   UNION ALL
+                   SELECT DISTINCT x.id, y.id, x.hash, y.hash
+                   FROM bands32i x JOIN bands32i y
+                     ON y.band_idx = x.band_idx AND y.band = x.band
+                   WHERE x.id < 1000000 AND y.id >= 1000000
+                     AND (SELECT sat FROM isat))
          SELECT id_a AS old_id, id_b AS new_id,
                 CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         FROM cand
-         WHERE id_a < 1000000 AND id_b >= 1000000
-           AND bit_count(xor(ha, hb)) <= 6
+         FROM icand
+         WHERE bit_count(xor(ha, hb)) <= 6
          ORDER BY old_id, new_id""",
 
     "knn_truncated_recall" -> {
@@ -965,8 +1019,8 @@ object Queries5 {
     },
 
     "multimodal_phash_representatives" ->
-      s"""WITH RECURSIVE $phashCtes,
-         pr AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+      s"""WITH RECURSIVE $phashAutoCtes,
+         pr AS (SELECT id_a, id_b FROM acand WHERE bit_count(xor(ha, hb)) <= 6),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pr
                    UNION ALL SELECT id_b, id_a FROM pr),
          r AS (SELECT id AS node, id AS m FROM ids

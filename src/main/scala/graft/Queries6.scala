@@ -66,10 +66,12 @@ object Queries6 {
     }),
 
     // PNG-fed image dedup end-to-end: phash pairs → star-contraction CC
+    // (through the re-banding policy, like the BMP pipeline — the
+    // shared clusters oracle re-derives the decision)
     "multimodal_png_phash_clusters" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
-      val pairs = Multimodal.phashNearDupDecoded(
+      val pairs = Multimodal.phashNearDupDecodedAuto(
           Multimodal.pngWithPerturbedTwins(docs))
         .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
       val ids = docs.select(col("doc_id"))

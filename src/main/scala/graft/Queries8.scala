@@ -40,8 +40,12 @@ object Queries8 {
       implicit val sp: SparkSession = s
       val hashes = Multimodal.phashHashes(
         Multimodal.bmpWithPerturbedTwins(t(s, dir, "documents")))
-      val s16 = Multimodal.phashBandStats(hashes, 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eagerly checkpointed (reference-tracked blocks), NOT persist():
+      // a library caller would otherwise leak the cached frame for the
+      // session's lifetime — the same hygiene fix ivfPqAdaptive got
+      // (Similarity.scala `Checkpoints.truncate`).
+      val s16 = graft.ext.Checkpoints.truncate(
+        Multimodal.phashBandStats(hashes, 4))
       val s32 = Multimodal.phashBandStats(hashes, 2)
       val dec = s16
         .agg(sum(col("pair_budget")).as("b16"), max(col("n_imgs")).as("ni"))

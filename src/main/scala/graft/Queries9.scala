@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Scale, Similarity}
+
+/** Round-9 registry: the two follow-ons the round-8 verdict ranked
+  * highest among new operators —
+  *
+  *  - `agg_skew_adaptive_*` — [[Scale.adaptiveJoin]]'s measured gate
+  *    applied to AGGREGATION (AQE splits skewed join partitions but
+  *    never skewed aggregations): histogram first, then plain hash
+  *    aggregate or the two-phase salted aggregate, decision evidence
+  *    on the output. Both branches oracle-pinned on the same
+  *    genuinely-skewed (`documents.lang`) vs genuinely-uniform
+  *    (`events.event_type`) keys as the join policy.
+  *  - `knn_ivf_two_level` — the IMI-shaped two-level coarse
+  *    assignment ([[Similarity.ivfTwoLevelCompare]]): ∜n-ish
+  *    super-centroids bound the per-vector centroid scan, the output
+  *    measures top-k agreement against flat assignment, and the DuckDB
+  *    oracle re-derives BOTH pipelines exactly.
+  */
+object Queries9 extends ExtHelpers {
+
+  // t(spark, dir, name) comes from ExtHelpers
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the agg policy's SALTED branch: documents.lang (en holds ~2× its
+    // even share — the English-dominated-corpus skew) through the
+    // measured gate; totals are strategy-invariant, so the oracle pins
+    // both the data and the decision.
+    "agg_skew_adaptive_salted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+      Scale.adaptiveAgg(d, "lang", "n_chars").orderBy("lang")
+    }),
+
+    // the PLAIN branch: uniform event_type (~1.01× max share) must NOT
+    // pay the extra salt shuffle.
+    "agg_skew_adaptive_plain" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Scale.adaptiveAgg(e, "event_type", "cents").orderBy("event_type")
+    }),
+
+    // two-level vs flat coarse assignment through the identical
+    // probe/search tail; per-(q_id, rank) agreement measured, never
+    // assumed
+    "knn_ivf_two_level" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTwoLevelCompare(e, e.filter(col("vec_id") < 8),
+          k = 3, cells = 16, probes = 3, supers = 4)
+        .orderBy("q_id", "rank")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_skew_adaptive_salted" ->
+      """WITH m AS (SELECT CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT) AS skew_x_ppm
+                    FROM (SELECT count(*) AS c FROM documents GROUP BY lang))
+         SELECT d.lang,
+                CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+                count(*) AS n_rows,
+                CASE WHEN m.skew_x_ppm > 1500000 THEN 'salted' ELSE 'plain' END AS agg_strategy,
+                m.skew_x_ppm
+         FROM documents d, m
+         GROUP BY d.lang, m.skew_x_ppm ORDER BY d.lang""",
+
+    "agg_skew_adaptive_plain" ->
+      """WITH m AS (SELECT CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT) AS skew_x_ppm
+                    FROM (SELECT count(*) AS c FROM events GROUP BY event_type))
+         SELECT e.event_type,
+                CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                count(*) AS n_rows,
+                CASE WHEN m.skew_x_ppm > 1500000 THEN 'salted' ELSE 'plain' END AS agg_strategy,
+                m.skew_x_ppm
+         FROM events e, m
+         GROUP BY e.event_type, m.skew_x_ppm ORDER BY e.event_type""",
+
+    // both assignments re-derived: super per centroid, super per
+    // vector, child-only argmax (two-level) next to the all-centroid
+    // argmax (flat), the SAME probe list, both top-k lists FULL-joined
+    // on (q_id, rank)
+    "knn_ivf_two_level" ->
+      s"""WITH q AS ($quantSql),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS c_q FROM q WHERE vec_id < 16),
+         sup AS (SELECT cell_id AS sup_id, c_q AS s_q FROM cent WHERE cell_id < 4),
+         centsup AS (
+           SELECT cell_id, sup_id FROM (
+             SELECT c.cell_id, s.sup_id,
+                    row_number() OVER (PARTITION BY c.cell_id
+                      ORDER BY ${qcosSql("c.c_q", "s.s_q")} DESC, s.sup_id) AS rn
+             FROM cent c CROSS JOIN sup s)
+           WHERE rn = 1),
+         vsup AS (
+           SELECT n_id, n_q, sup_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, s.sup_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "s.s_q")} DESC, s.sup_id) AS rn
+             FROM q n CROSS JOIN sup s)
+           WHERE rn = 1),
+         two AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT v.n_id, v.n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY v.n_id
+                      ORDER BY ${qcosSql("v.n_q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM vsup v JOIN centsup cs ON cs.sup_id = v.sup_id
+                         JOIN cent c ON c.cell_id = cs.cell_id)
+           WHERE rn = 1),
+         flat AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         probed AS (
+           SELECT q_id, q_q, cell_id FROM (
+             SELECT qs.vec_id AS q_id, qs.q AS q_q, c.cell_id,
+                    row_number() OVER (PARTITION BY qs.vec_id
+                      ORDER BY ${qcosSql("qs.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM (SELECT * FROM q WHERE vec_id < 8) qs CROSS JOIN cent c)
+           WHERE rn <= 3),
+         tk2 AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM (SELECT p.q_id, a.n_id, ${qcosSql("p.q_q", "a.n_q")} AS cosine
+                 FROM two a JOIN probed p ON a.cell_id = p.cell_id AND p.q_id <> a.n_id)),
+         tkf AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM (SELECT p.q_id, a.n_id, ${qcosSql("p.q_q", "a.n_q")} AS cosine
+                 FROM flat a JOIN probed p ON a.cell_id = p.cell_id AND p.q_id <> a.n_id))
+         SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                coalesce(a.rank, b.rank) AS rank,
+                a.n_id, a.cosine,
+                b.n_id AS n_id_flat, b.cosine AS cosine_flat,
+                coalesce(a.n_id = b.n_id, FALSE) AS agree
+         FROM (SELECT * FROM tk2 WHERE rank <= 3) a
+         FULL JOIN (SELECT * FROM tkf WHERE rank <= 3) b
+           ON a.q_id = b.q_id AND a.rank = b.rank
+         ORDER BY q_id, rank""",
+  )
+}

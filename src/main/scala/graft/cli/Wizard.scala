@@ -18,7 +18,16 @@ import graft.config.DatabasePair
   */
 class Wizard(
     write: String => Unit,
-    read: () => Int) {
+    read: () => Int,
+    /** Config-time URL validation: `(dbType, url) → Some(error)` keeps
+      * the user on the field with the error shown; `None` accepts. The
+      * default is [[Wizard.validateUrl]] — the same
+      * `Snapshot.WireUrl` extractor the `run` command routes on, so a
+      * `mysql-wire://` typo (or a wire URL under the postgres dialect)
+      * is rejected when the config is WRITTEN, not when the diff first
+      * runs. Injectable so specs (or a caller that wants a live ping
+      * here) swap it like the IO. */
+    validateUrl: (String, String) => Option[String] = Wizard.validateUrl) {
 
   /** Option lists mirror reference DatabaseType::list() / Language::list(). */
   private val dbTypes = Vector("postgres", "mysql")
@@ -92,6 +101,22 @@ class Wizard(
     None // unreachable
   }
 
+  /** [[textField]] + config-time validation: an invalid URL repaints
+    * the field with the error and re-prompts (the reference wizard
+    * never writes a config it can't run); abort still aborts.
+    */
+  @annotation.tailrec
+  private def urlField(label: String, dbType: String): Option[String] =
+    textField(label) match {
+      case None => None
+      case Some(url) => validateUrl(dbType, url) match {
+        case None => Some(url)
+        case Some(err) =>
+          write(s"  ! $err\n")
+          urlField(label, dbType)
+      }
+    }
+
   /** Run the flow. Returns the configured pair (named "default", as the
     * reference does — init.rs:181) and the chosen language; None on
     * abort at any step.
@@ -100,12 +125,32 @@ class Wizard(
     for {
       dt <- choose("Select Database Type", dbTypes)
       lang <- choose("Select Language", languages)
-      base <- textField(
-        s"Base Connection URL (e.g. $dt://user:password@host:port/dbname)")
-      target <- textField("Target Connection URL")
+      base <- urlField(
+        s"Base Connection URL (e.g. $dt://user:password@host:port/dbname)", dt)
+      target <- urlField("Target Connection URL", dt)
     } yield (DatabasePair(
       name = "default",
       database_type = dt,
       base_connection = base,
       target_connection = target), lang)
+}
+
+object Wizard {
+
+  /** Default config-time URL check — wire-URL parity with the `run`
+    * command's router ([[graft.schema.Snapshot.WireUrl]],
+    * cli/Main `pingUrl`): a `mysql-wire://` entry must parse to
+    * (user, host, port, db) AND the wizard's dialect must be mysql;
+    * anything else (JDBC URLs, parquet dirs) is accepted here and
+    * validated by the runtime ping, exactly as before.
+    */
+  def validateUrl(dbType: String, url: String): Option[String] =
+    if (!url.startsWith("mysql-wire://")) None
+    else url match {
+      case graft.schema.Snapshot.WireUrl(_, _, _, _) =>
+        if (dbType == "mysql") None
+        else Some(s"mysql-wire:// URLs require the mysql database type (selected: $dbType)")
+      case _ =>
+        Some("malformed mysql-wire URL — expected mysql-wire://user@host:port/db")
+    }
 }

@@ -26,6 +26,23 @@ trait MultimodalPhash { this: Multimodal.type =>
     hammingPairs(bandedHashes(hashes, bands), maxHamming)
   }
 
+  /** [[phashNearDupDecoded]] through the re-banding POLICY — the
+    * library-decoder (PNG/JPEG via ImageIO) twin of
+    * [[phashNearDupAuto]], so every pipeline consumer measures before
+    * it expands. Hashes are eagerly checkpointed (the policy reads them
+    * twice; re-decoding the image tier is the cost that would hurt).
+    */
+  def phashNearDupDecodedAuto(
+      media: Dataset[BmpRecord],
+      maxHamming: Int = 6,
+      budgetFactor: Long = 8L)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashes = Checkpoints.truncate(
+      media.mapPartitions(_.map(r => (r.doc_id, dhashFromImage(r.doc_id, r.payload))))
+        .toDF("id", "hash"))
+    phashNearDupAutoFromHashes(hashes, maxHamming, budgetFactor)
+  }
+
 
   /** Perceptual-hash near-duplicate detection over REAL decoded
     * images: dHash each payload (map-only — the payload never
@@ -68,15 +85,7 @@ trait MultimodalPhash { this: Multimodal.type =>
     def hashed(m: Dataset[BmpRecord]): DataFrame =
       m.mapPartitions(_.map(r => (r.doc_id, dhashFromBytes(r.doc_id, r.payload))))
         .toDF("id", "hash")
-    bandedHashes(hashed(corpus), bands)
-      .select(col("band_idx"), col("band"), col("id").as("old_id"), col("hash").as("ho"))
-      .join(bandedHashes(hashed(batch), bands)
-          .select(col("band_idx"), col("band"), col("id").as("new_id"), col("hash").as("hn")),
-        Seq("band_idx", "band"))
-      .select(col("old_id"), col("new_id"),
-        expr("cast(bit_count(ho ^ hn) as int)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    phashIncrementalFromHashes(hashed(corpus), hashed(batch), maxHamming, bands)
   }
 
 
@@ -138,17 +147,72 @@ trait MultimodalPhash { this: Multimodal.type =>
       hashes: DataFrame,
       maxHamming: Int = 6,
       budgetFactor: Long = 8L): DataFrame = {
+    val (bands, budget, nImgs) = phashAutoBands(hashes, budgetFactor)
+    hammingPairs(bandedHashes(hashes, bands), maxHamming)
+      .withColumn("band_bits", lit(64 / bands))
+      .withColumn("pair_budget_16", lit(budget))
+      .withColumn("n_imgs", lit(nImgs))
+  }
+
+  /** The band-width DECISION shared by every phash policy consumer
+    * (batch near-dup, the incremental probe, streaming ingest): measure
+    * the 16-bit-band candidate budget of `hashes` (one 1-row aggregate
+    * over 16-byte rows — the same eager driver-side gate class as the
+    * SNR and simhash re-banding decisions), and return
+    * `(bands, budget16, nImgs)` where bands = 2 (32-bit buckets) when
+    * the budget is super-linear in the image count, else 4 (16-bit).
+    */
+  private[graft] def phashAutoBands(
+      hashes: DataFrame,
+      budgetFactor: Long = 8L): (Int, Long, Long) = {
     val stats = phashBandStats(hashes, 4)
       .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_imgs")).as("n_imgs"))
       .collect().head
     val budget = stats.getLong(0)
     val nImgs = stats.getLong(1)
-    val saturated = budget > budgetFactor * nImgs
-    hammingPairs(bandedHashes(hashes, if (saturated) 2 else 4), maxHamming)
-      .withColumn("band_bits", lit(if (saturated) 32 else 16))
+    (if (budget > budgetFactor * nImgs) 2 else 4, budget, nImgs)
+  }
+
+  /** [[phashIncremental]] behind the re-banding policy: the CORPUS
+    * index (the side that saturates as the library grows — the batch
+    * is a day's landing) decides the band width for both sides of the
+    * probe. Planted-twin recall is width-invariant (the one-pixel
+    * perturbation footprint sits inside band 0 at either width — the
+    * argument spec-pinned for [[phashNearDupAuto]]), so the policy
+    * only caps the candidate budget. Decision evidence rides on the
+    * output (`band_bits`, `pair_budget_16`, `n_imgs`).
+    */
+  def phashIncrementalAuto(
+      corpus: Dataset[BmpRecord],
+      batch: Dataset[BmpRecord],
+      maxHamming: Int = 6,
+      budgetFactor: Long = 8L)(implicit spark: SparkSession): DataFrame = {
+    val corpusHashes = phashHashes(corpus)
+    val (bands, budget, nImgs) = phashAutoBands(corpusHashes, budgetFactor)
+    phashIncrementalFromHashes(corpusHashes, phashHashes(batch), maxHamming, bands)
+      .withColumn("band_bits", lit(64 / bands))
       .withColumn("pair_budget_16", lit(budget))
       .withColumn("n_imgs", lit(nImgs))
   }
+
+  /** The incremental probe core over pre-materialized (id, hash)
+    * frames — [[phashIncremental]] minus the decode stage, shared with
+    * the auto policy and the policy specs.
+    */
+  private[graft] def phashIncrementalFromHashes(
+      corpusHashes: DataFrame,
+      batchHashes: DataFrame,
+      maxHamming: Int,
+      bands: Int): DataFrame =
+    bandedHashes(corpusHashes, bands)
+      .select(col("band_idx"), col("band"), col("id").as("old_id"), col("hash").as("ho"))
+      .join(bandedHashes(batchHashes, bands)
+          .select(col("band_idx"), col("band"), col("id").as("new_id"), col("hash").as("hn")),
+        Seq("band_idx", "band"))
+      .select(col("old_id"), col("new_id"),
+        expr("cast(bit_count(ho ^ hn) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
 
   /** Explode a (id, hash) frame into its LSH bands: one row per
     * contiguous `64/bands`-bit slice. The bucket key both the batch

@@ -157,6 +157,45 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(valueCol).as(valueCol), sum("__n").as("n_rows"))
 
+  /** The skew POLICY for AGGREGATION — [[adaptiveJoin]]'s gate applied
+    * to the group-by side (AQE splits skewed join partitions but never
+    * skewed aggregations): measure the per-key histogram FIRST (the
+    * same map-combinable 1-row aggregate), and when the hottest key
+    * exceeds `skewThresholdPpm` of its even share run the two-phase
+    * [[saltedSumAgg]]; healthy keys take the plain hash aggregate.
+    * Decision evidence rides on the output (`agg_strategy`,
+    * `skew_x_ppm`).
+    *
+    * Scale honesty: for decomposable aggregates Spark's partial
+    * (map-side) aggregation already bounds the hot key's reducer input
+    * at one row per map task — the salt pays off when partial
+    * aggregation is ineffective (high group cardinality spills the
+    * hash map, `spark.sql.aggregate.partialaggregate` fallbacks) or
+    * when the per-key state is wide (collect-style aggregates), and it
+    * is how the same gate extends to those. The decision is measured,
+    * so the healthy path never pays the extra shuffle.
+    */
+  def adaptiveAgg(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      salts: Int = 16,
+      skewThresholdPpm: Long = 1500000L): DataFrame = {
+    val m = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_n"), sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .collect().head
+    val skewXPpm =
+      (BigInt(m.getLong(0)) * m.getLong(2) * 1000000 / m.getLong(1)).toLong
+    val skewed = skewXPpm > skewThresholdPpm
+    val agged = if (skewed) saltedSumAgg(df, key, valueCol, salts)
+      else df.groupBy(col(key))
+        .agg(sum(valueCol).as(valueCol), count(lit(1)).as("n_rows"))
+    agged
+      .withColumn("agg_strategy", lit(if (skewed) "salted" else "plain"))
+      .withColumn("skew_x_ppm", lit(skewXPpm))
+  }
+
   // deterministic per-row "randomness" for salting aggregations: hash
   // of all columns (monotonically_increasing_id would break retries)
   private def rand_from(df: DataFrame, salts: Int): Column =

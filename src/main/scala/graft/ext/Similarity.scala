@@ -972,4 +972,115 @@ object Similarity {
     out.select(col("q_id"), col("n_id"), col("exact_d2"), col("rank"),
       col("mode"), col("shortlist_len"), lit(snrPpm).as("snr_ppm"))
   }
+
+  /** Super-centroid count for the two-level coarse assignment:
+    * ≈ ∜n (the classic IMI shape), floored. With cells ≈ √n this puts
+    * BOTH levels' scan at O(∜n) per vector — total assignment cost
+    * O(n·∜n) distance evals instead of the flat O(n·√n), the build-side
+    * cliff the round-8 verdict flagged beyond ~10⁸ vectors.
+    */
+  def adaptiveSupers(n: Long, minSupers: Int = 2): Int =
+    math.max(minSupers, math.pow(n.toDouble, 0.25).toLong).toInt
+
+  /** TWO-LEVEL coarse assignment vs flat, compared through the same
+    * probe/search tail — the forward-looking ANN build-cost path: each
+    * corpus vector first picks its nearest of `supers` super-centroids
+    * (the `supers` lowest-id centroids — the pinned seeding
+    * convention), then argmaxes cosine over ONLY that super's child
+    * centroids. Arithmetic is the exact 1e-6 integer grid everywhere;
+    * ties → lowest id at both levels, so the assignment (and the DuckDB
+    * re-derivation) is fully deterministic.
+    *
+    * Output: per (q_id, rank), the two-level top-k next to the
+    * flat-assignment top-k and an `agree` flag — the key's claim is
+    * measured, not assumed (a boundary vector CAN land in a different
+    * cell when its true nearest centroid hangs off another super).
+    *
+    * Scale shape: both assignments are map-side broadcast joins +
+    * partial max_by (centroids and supers are tiny); the search tail is
+    * [[ivfTopK]]'s — probe lists broadcast, cost ∝ probed-cell volume.
+    * At 10⁹+ vectors only the two-level branch's O(n·(∜n + √n/∜n))
+    * eval count survives; the flat branch here exists to measure
+    * agreement.
+    */
+  def ivfTwoLevelCompare(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cells: Int = 16,
+      probes: Int = 2,
+      supers: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(supers >= 1 && supers <= cells,
+      s"need 1 <= supers <= cells, got supers=$supers cells=$cells")
+    require(probes >= 1 && probes <= cells,
+      s"need 1 <= probes <= cells, got cells=$cells probes=$probes")
+    val cent = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        quantized(col("embedding")).as("c_q"))
+      .withColumn("c_nrm", qnorm(col("c_q")))
+    val sup = cent.filter(col("cell_id") < supers)
+      .select(col("cell_id").as("sup_id"), col("c_q").as("s_q"),
+        col("c_nrm").as("s_nrm"))
+    // centroid → its super (argmax cosine, ties → lowest super id):
+    // a cells×supers cross — driver-free, broadcast both ways
+    val centSup = cent.join(broadcast(sup))
+      .groupBy(col("cell_id"))
+      .agg(max_by(col("sup_id"),
+        struct(qcosinePre(col("c_q"), col("s_q"), col("c_nrm"), col("s_nrm")),
+          -col("sup_id"))).as("sup_id"))
+    val centWithSup = cent.join(broadcast(centSup), Seq("cell_id"))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+      .withColumn("n_nrm", qnorm(col("n_q")))
+    // flat assignment: argmax over ALL centroids (the baseline)
+    val flat = c.join(broadcast(cent))
+      .groupBy(col("n_id"))
+      .agg(max_by(col("cell_id"),
+        struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
+          -col("cell_id"))).as("cell_id"),
+        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
+    // two-level: nearest super first, then only that super's children
+    val vSup = c.join(broadcast(sup))
+      .groupBy(col("n_id"))
+      .agg(max_by(col("sup_id"),
+        struct(qcosinePre(col("n_q"), col("s_q"), col("n_nrm"), col("s_nrm")),
+          -col("sup_id"))).as("sup_id"),
+        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
+    val twoLevel = vSup.join(broadcast(centWithSup), Seq("sup_id"))
+      .groupBy(col("n_id"))
+      .agg(max_by(col("cell_id"),
+        struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
+          -col("cell_id"))).as("cell_id"),
+        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
+    // probe lists are width-independent (they only read the centroids)
+    val qc = queries
+      .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
+      .withColumn("q_nrm", qnorm(col("q_q")))
+      .join(broadcast(cent))
+      .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"),
+        qcosinePre(col("q_q"), col("c_q"), col("q_nrm"), col("c_nrm")).as("c_cos"))
+    val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val probed = qc.withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= probes)
+      .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"))
+    def topk(assigned: DataFrame): DataFrame = {
+      val scored = assigned.join(broadcast(probed), Seq("cell_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    // full outer on (q_id, rank): an assignment difference can change
+    // how many candidates a probed cell holds, so list lengths differ
+    topk(twoLevel)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .join(topk(flat)
+          .select(col("q_id"), col("rank"), col("n_id").as("n_id_flat"),
+            col("cosine").as("cosine_flat")),
+        Seq("q_id", "rank"), "full")
+      .withColumn("agree",
+        coalesce(col("n_id") === col("n_id_flat"), lit(false)))
+  }
 }

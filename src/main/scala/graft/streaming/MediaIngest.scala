@@ -54,7 +54,7 @@ object MediaIngest {
       indexDir: String,
       checkpoint: String,
       maxHamming: Int = 6,
-      bands: Int = 4)(
+      bands: Option[Int] = None)(
       implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
@@ -72,18 +72,27 @@ object MediaIngest {
             })
             .toDF("id", "hash")
             .persist()
+          // Band width through the re-banding POLICY (round-9,
+          // [[Multimodal.phashAutoBands]]): the persisted INDEX is the
+          // side that saturates as the library grows, so it decides;
+          // before any index exists the batch's own hashes do. A fixed
+          // `bands` arg pins the width (the pre-policy behavior, kept
+          // for the width-sensitivity specs).
+          val dataDir = s"$indexDir/hashes"
+          val persistedIdx = readCommitted(dataDir)
+          val chosenBands = bands.getOrElse(
+            Multimodal.phashAutoBands(persistedIdx.getOrElse(hashes))._1)
           // (1) in-batch collapse: the higher id of every near-pair drops
           val inBatchDrop = Multimodal
-            .hammingPairs(Multimodal.bandedHashes(hashes, bands), maxHamming)
+            .hammingPairs(Multimodal.bandedHashes(hashes, chosenBands), maxHamming)
             .select(col("id_b").as("id")).distinct()
           val kept = hashes.join(inBatchDrop, Seq("id"), "left_anti")
           // (2) probe the persisted index: band equi-join, Hamming verify
-          val dataDir = s"$indexDir/hashes"
-          val fresh = readCommitted(dataDir) match {
+          val fresh = persistedIdx match {
             case Some(persisted) =>
-              val idx = Multimodal.bandedHashes(persisted, bands)
+              val idx = Multimodal.bandedHashes(persisted, chosenBands)
                 .select(col("band_idx"), col("band"), col("hash").as("i_hash"))
-              val hit = Multimodal.bandedHashes(kept, bands)
+              val hit = Multimodal.bandedHashes(kept, chosenBands)
                 .join(idx, Seq("band_idx", "band"))
                 .filter(expr(s"bit_count(hash ^ i_hash) <= $maxHamming"))
                 .select(col("id")).distinct()

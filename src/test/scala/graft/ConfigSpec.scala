@@ -110,4 +110,32 @@ class ConfigSpec extends AnyFunSuite {
     val (res, _) = drive("\r\r" + "qq\r" + "t\r")
     assert(res.contains((DatabasePair("default", "postgres", "qq", "t"), "English")))
   }
+
+  test("wizard: mysql-wire URLs validate at config time with the run command's extractor") {
+    // malformed wire URL (no port) re-prompts with the error; the
+    // corrected URL passes and lands in the config verbatim — the
+    // whole state machine driven end-to-end with a wire URL
+    val (res, rendered) = drive(
+      DOWN + "\r" +                             // mysql
+      "\r" +                                    // English
+      "mysql-wire://root@dbhost/app\r" +        // malformed: no :port
+      "mysql-wire://root@dbhost:3306/app\r" +   // corrected base
+      "mysql-wire://root@replica:3307/app\r")   // target
+    assert(rendered.contains("malformed mysql-wire URL"),
+      "the bad URL must surface the error, not land in the config")
+    assert(res.contains((DatabasePair("default", "mysql",
+      "mysql-wire://root@dbhost:3306/app",
+      "mysql-wire://root@replica:3307/app"), "English")))
+
+    // a wire URL under the postgres dialect is a config error too —
+    // same dialect guard the run command enforces, moved to write time
+    val (res2, rendered2) = drive(
+      "\r\r" +                                  // postgres, English
+      "mysql-wire://root@dbhost:3306/app\r" +   // rejected: wrong dialect
+      "postgres://base\r" +                     // corrected base
+      "postgres://tgt\r")
+    assert(rendered2.contains("require the mysql database type"))
+    assert(res2.contains((DatabasePair("default", "postgres",
+      "postgres://base", "postgres://tgt"), "English")))
+  }
 }

@@ -72,7 +72,12 @@ class Queries6Spec extends SparkSpec {
       "embedding_knn_dist_outliers", "graph_neighbor_jaccard", "knn_classify_majority",
       "knn_graph_blocked", "merge_upsert", "multimodal_phash_clusters",
       "multimodal_phash_representatives", "multimodal_png_phash_clusters",
-      "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share")
+      "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share",
+      // round-9 triage: the FULL OUTER join of the two top-k lists
+      // (two-level vs flat agreement) — BroadcastHashJoin does not
+      // support full outer, and both sides are |Q|·k rows (never
+      // corpus-scale), so the SMJ is structurally forced AND free
+      "knn_ivf_two_level")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, "/root/testdata/sf0.001").queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

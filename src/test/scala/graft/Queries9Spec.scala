@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Scale}
+
+/** Round-9: the re-banding policy ROUTED INTO the production phash
+  * pipeline (round-8 shipped the policy; its consumers still called
+  * fixed-width phashNearDup), plus the round-9 policy additions.
+  */
+class Queries9Spec extends SparkSpec {
+
+  test("phash pipeline re-bands on the saturating corpus: incremental probe picks 32-bit buckets at full twin recall") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val all = Multimodal.bmpWithPerturbedTwins(docs)
+    val corpus = all.filter(col("doc_id") < 1000000L)
+    val batch = all.filter(col("doc_id") >= 1000000L)
+    val auto = Multimodal.phashIncrementalAuto(corpus, batch).collect()
+    // the synthetic raster corpus saturates 16-bit bands (round-6
+    // measured 17×; Queries8Spec pins the batch policy) — the ROUTED
+    // incremental probe must re-band too
+    assert(auto.nonEmpty && auto.head.getAs[Int]("band_bits") == 32,
+      "the corpus index is saturated — the incremental probe must re-band")
+    val b16 = auto.head.getAs[Long]("pair_budget_16")
+    val n = auto.head.getAs[Long]("n_imgs")
+    assert(b16 > 8L * n, s"decision evidence: budget16=$b16 vs n=$n")
+    // every planted twin (id + 1e6, one-pixel edit inside band 0 at
+    // either width) must still probe-hit its original
+    val twinHits = auto.collect {
+      case r if r.getAs[Long]("new_id") == r.getAs[Long]("old_id") + 1000000L =>
+        r.getAs[Long]("old_id")
+    }.toSet
+    val want = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(twinHits == want, "re-banding must not lose a single planted twin in the probe")
+    // the evidence-free frame is exactly what the registry key selects
+    assert(auto.head.schema.fieldNames.toSet
+      .contains("hamming"), "probe must carry the verify distance")
+  }
+
+  test("phash pipeline keeps 16-bit width on a healthy corpus: the probe must not pay the wider-band config") {
+    import spark.implicits._
+    // well-spread hashes (xxhash64 of the id): 16-bit buckets stay
+    // near-singleton — the corpus-side decision must keep bands=4
+    val corpusHashes = spark.range(0, 2000)
+      .select(col("id"), xxhash64(col("id")).as("hash"))
+    val (bands, budget, n) = Multimodal.phashAutoBands(corpusHashes)
+    assert(bands == 4 && budget <= 8L * n,
+      s"healthy corpus must keep the cheap width (bands=$bands budget=$budget n=$n)")
+  }
+
+  test("adaptive agg: salted path fires ONLY on the skewed key, and totals are strategy-invariant") {
+    val d = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("lang"), col("n_chars"))
+    val salted = Scale.adaptiveAgg(d, "lang", "n_chars")
+    assert(salted.select(col("agg_strategy")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("salted"),
+      "documents.lang holds ~2x its even share — the measured gate must salt")
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "salted plan must carry the two-phase salt column")
+    // the two-phase rewrite must never change the aggregate's data
+    val plain = d.groupBy(col("lang"))
+      .agg(sum("n_chars").as("n_chars"), count(lit(1)).as("n_rows"))
+    assert(salted.drop("agg_strategy", "skew_x_ppm").except(plain).count() == 0)
+    assert(plain.except(salted.drop("agg_strategy", "skew_x_ppm")).count() == 0)
+    // the healthy key takes the plain hash aggregate, no salt machinery
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val pl = Scale.adaptiveAgg(e, "event_type", "cents")
+    assert(pl.select(col("agg_strategy")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("plain"))
+    assert(!pl.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "a healthy key must not pay the extra salt shuffle")
+  }
+
+  test("two-level IVF: supers=1 degenerates to flat assignment — every rank agrees exactly") {
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
+      e, e.filter(col("vec_id") < 4), k = 3, cells = 8, probes = 2, supers = 1)
+    val rows = cmp.collect()
+    assert(rows.nonEmpty)
+    // one super owns every centroid, so the child scan IS the flat scan
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("agree"),
+        s"supers=1 must be bitwise the flat assignment: $r")
+      assert(r.getAs[Long]("n_id") == r.getAs[Long]("n_id_flat"))
+    }
+  }
+
+  test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
+        e, e.filter(col("vec_id") < 4), k = 3, cells = 8, probes = 2, supers = 2)
+      .select(col("q_id"), col("rank"), col("n_id_flat").as("n_id"))
+      .filter(col("n_id").isNotNull)
+    val ref = graft.ext.Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 4), k = 3, cells = 8, probes = 2)
+      .select(col("q_id"), col("rank"), col("n_id"))
+    assert(cmp.except(ref).count() == 0 && ref.except(cmp).count() == 0,
+      "the comparison's flat branch must reproduce ivfTopK exactly")
+  }
+}
