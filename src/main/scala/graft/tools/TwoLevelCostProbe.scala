@@ -27,7 +27,20 @@ object TwoLevelCostProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    // `synth:N[:D]` — a deterministic hash-float corpus of N vectors,
+    // for placing the wall-clock crossover beyond what the parquet
+    // corpora reach (the eval-count model needs n ≥ ~10^5 before the
+    // two-level plan's two extra tiny joins amortize)
+    val e =
+      if (dir.startsWith("synth:")) {
+        val parts = dir.stripPrefix("synth:").split(":")
+        val n = parts(0).toLong
+        val d = if (parts.length > 1) parts(1).toInt else 64
+        spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${d - 1}), " +
+            "i -> cast(cast(hash(id, i) % 1000 as double) / 1000.0 as float))")
+            .as("embedding"))
+      } else graft.sources.Tables.load(spark, dir, "embeddings")
     val n = e.count()
     val cells = if (args.length > 1) args(1).toInt else Similarity.adaptiveCells(n)
     val supers = if (args.length > 2) args(2).toInt else Similarity.adaptiveSupers(n)
