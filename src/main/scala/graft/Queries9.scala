@@ -54,6 +54,18 @@ object Queries9 extends ExtHelpers {
           k = 3, cells = 16, probes = 3, supers = 4)
         .orderBy("q_id", "rank")
     }),
+
+    // the BUILD policy: n measured → flat below the crossover,
+    // two-level at/above it. buildThreshold=1000 puts the sf gate
+    // corpora (≤500 vectors) on flat and the organic ×10 corpus (~8k)
+    // on two-level, so the scaled gate executes the two-level SQL
+    // re-derivation for real.
+    "knn_ivf_build_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKAuto(e, e.filter(col("vec_id") < 8),
+          k = 3, probes = 3, buildThreshold = 1000L)
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,5 +155,71 @@ object Queries9 extends ExtHelpers {
          FULL JOIN (SELECT * FROM tkf WHERE rank <= 3) b
            ON a.q_id = b.q_id AND a.rank = b.rank
          ORDER BY q_id, rank""",
+
+    // both BUILD branches re-derived behind the same measured gate the
+    // engine uses (n, √n cells, ∜n supers all from count(*)); the
+    // UNION ALL arms are mutually exclusive on par.two_level, so
+    // whichever branch the corpus size selects actually runs
+    "knn_ivf_build_auto" ->
+      s"""WITH q AS ($quantSql),
+         par AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        greatest(8, CAST(floor(sqrt(count(*))) AS INT)) AS cells,
+                        least(greatest(2, CAST(floor(pow(count(*), 0.25)) AS INT)),
+                              greatest(8, CAST(floor(sqrt(count(*))) AS INT))) AS supers,
+                        count(*) >= 1000 AS two_level
+                 FROM embeddings),
+         cent AS (SELECT CAST(vec_id AS INT) AS cell_id, c.q AS c_q
+                  FROM q c, par WHERE c.vec_id < par.cells),
+         sup AS (SELECT cell_id AS sup_id, c_q AS s_q
+                 FROM cent, par WHERE cell_id < par.supers),
+         centsup AS (
+           SELECT cell_id, sup_id FROM (
+             SELECT c.cell_id, s.sup_id,
+                    row_number() OVER (PARTITION BY c.cell_id
+                      ORDER BY ${qcosSql("c.c_q", "s.s_q")} DESC, s.sup_id) AS rn
+             FROM cent c CROSS JOIN sup s)
+           WHERE rn = 1),
+         vsup AS (
+           SELECT n_id, n_q, sup_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, s.sup_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "s.s_q")} DESC, s.sup_id) AS rn
+             FROM q n CROSS JOIN sup s)
+           WHERE rn = 1),
+         twoa AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT v.n_id, v.n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY v.n_id
+                      ORDER BY ${qcosSql("v.n_q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM vsup v JOIN centsup cs ON cs.sup_id = v.sup_id
+                         JOIN cent c ON c.cell_id = cs.cell_id)
+           WHERE rn = 1),
+         flata AS (
+           SELECT n_id, n_q, cell_id FROM (
+             SELECT n.vec_id AS n_id, n.q AS n_q, c.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${qcosSql("n.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM q n CROSS JOIN cent c)
+           WHERE rn = 1),
+         assigned AS (
+           SELECT t.n_id, t.n_q, t.cell_id FROM twoa t, par WHERE par.two_level
+           UNION ALL
+           SELECT f.n_id, f.n_q, f.cell_id FROM flata f, par WHERE NOT par.two_level),
+         probed AS (
+           SELECT q_id, q_q, cell_id FROM (
+             SELECT qs.vec_id AS q_id, qs.q AS q_q, c.cell_id,
+                    row_number() OVER (PARTITION BY qs.vec_id
+                      ORDER BY ${qcosSql("qs.q", "c.c_q")} DESC, c.cell_id) AS rn
+             FROM (SELECT * FROM q WHERE vec_id < 8) qs CROSS JOIN cent c)
+           WHERE rn <= 3),
+         tk AS (
+           SELECT q_id, n_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+           FROM (SELECT p.q_id, a.n_id, ${qcosSql("p.q_q", "a.n_q")} AS cosine
+                 FROM assigned a JOIN probed p ON a.cell_id = p.cell_id AND p.q_id <> a.n_id))
+         SELECT tk.q_id, tk.n_id, tk.cosine, tk.rank,
+                CASE WHEN par.two_level THEN 'two_level' ELSE 'flat' END AS build_mode,
+                par.n AS n_corpus, par.cells, par.supers
+         FROM tk, par WHERE tk.rank <= 3 ORDER BY tk.q_id, tk.rank""",
   )
 }

@@ -1015,10 +1015,48 @@ object Similarity {
       s"need 1 <= supers <= cells, got supers=$supers cells=$cells")
     require(probes >= 1 && probes <= cells,
       s"need 1 <= probes <= cells, got cells=$cells probes=$probes")
-    val cent = corpus.filter(col("vec_id") < cells)
+    val cent = ivfCent(corpus, cells)
+    val c = ivfCorpusVecs(corpus)
+    val probed = ivfProbe(queries, cent, probes)
+    // full outer on (q_id, rank): an assignment difference can change
+    // how many candidates a probed cell holds, so list lengths differ
+    ivfSearchTopK(ivfAssignTwoLevel(c, cent, supers), probed, k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .join(ivfSearchTopK(ivfAssignFlat(c, cent), probed, k)
+          .select(col("q_id"), col("rank"), col("n_id").as("n_id_flat"),
+            col("cosine").as("cosine_flat")),
+        Seq("q_id", "rank"), "full")
+      .withColumn("agree",
+        coalesce(col("n_id") === col("n_id_flat"), lit(false)))
+  }
+
+  /** The coarse-quantizer centroid frame: the `cells` lowest-id corpus
+    * vectors (the pinned deterministic seeding), pre-normed. */
+  private def ivfCent(corpus: DataFrame, cells: Int): DataFrame =
+    corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell_id"),
         quantized(col("embedding")).as("c_q"))
       .withColumn("c_nrm", qnorm(col("c_q")))
+
+  private def ivfCorpusVecs(corpus: DataFrame): DataFrame =
+    Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
+      .withColumn("n_nrm", qnorm(col("n_q")))
+
+  /** Flat assignment: argmax cosine over ALL centroids (ties → lowest
+    * cell), broadcast join + partial max_by — one corpus-sized shuffle. */
+  private def ivfAssignFlat(c: DataFrame, cent: DataFrame): DataFrame =
+    c.join(broadcast(cent))
+      .groupBy(col("n_id"))
+      .agg(max_by(col("cell_id"),
+        struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
+          -col("cell_id"))).as("cell_id"),
+        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
+
+  /** Two-level (IMI-shaped) assignment: nearest super first, then
+    * argmax over only that super's child centroids. Same tie rules. */
+  private def ivfAssignTwoLevel(
+      c: DataFrame, cent: DataFrame, supers: Int): DataFrame = {
     val sup = cent.filter(col("cell_id") < supers)
       .select(col("cell_id").as("sup_id"), col("c_q").as("s_q"),
         col("c_nrm").as("s_nrm"))
@@ -1030,30 +1068,24 @@ object Similarity {
         struct(qcosinePre(col("c_q"), col("s_q"), col("c_nrm"), col("s_nrm")),
           -col("sup_id"))).as("sup_id"))
     val centWithSup = cent.join(broadcast(centSup), Seq("cell_id"))
-    val c = Scale.widen(corpus)
-      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("n_q"))
-      .withColumn("n_nrm", qnorm(col("n_q")))
-    // flat assignment: argmax over ALL centroids (the baseline)
-    val flat = c.join(broadcast(cent))
-      .groupBy(col("n_id"))
-      .agg(max_by(col("cell_id"),
-        struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
-          -col("cell_id"))).as("cell_id"),
-        first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
-    // two-level: nearest super first, then only that super's children
     val vSup = c.join(broadcast(sup))
       .groupBy(col("n_id"))
       .agg(max_by(col("sup_id"),
         struct(qcosinePre(col("n_q"), col("s_q"), col("n_nrm"), col("s_nrm")),
           -col("sup_id"))).as("sup_id"),
         first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
-    val twoLevel = vSup.join(broadcast(centWithSup), Seq("sup_id"))
+    vSup.join(broadcast(centWithSup), Seq("sup_id"))
       .groupBy(col("n_id"))
       .agg(max_by(col("cell_id"),
         struct(qcosinePre(col("n_q"), col("c_q"), col("n_nrm"), col("c_nrm")),
           -col("cell_id"))).as("cell_id"),
         first(col("n_q")).as("n_q"), first(col("n_nrm")).as("n_nrm"))
-    // probe lists are width-independent (they only read the centroids)
+  }
+
+  /** Probe lists: the `probes` nearest centroids per query —
+    * width/assignment-independent (they only read the centroids). */
+  private def ivfProbe(
+      queries: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
     val qc = queries
       .select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q_q"))
       .withColumn("q_nrm", qnorm(col("q_q")))
@@ -1061,26 +1093,58 @@ object Similarity {
       .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"),
         qcosinePre(col("q_q"), col("c_q"), col("q_nrm"), col("c_nrm")).as("c_cos"))
     val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
-    val probed = qc.withColumn("probe_rank", row_number().over(pw))
+    qc.withColumn("probe_rank", row_number().over(pw))
       .filter(col("probe_rank") <= probes)
       .select(col("q_id"), col("q_q"), col("q_nrm"), col("cell_id"))
-    def topk(assigned: DataFrame): DataFrame = {
-      val scored = assigned.join(broadcast(probed), Seq("cell_id"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    }
-    // full outer on (q_id, rank): an assignment difference can change
-    // how many candidates a probed cell holds, so list lengths differ
-    topk(twoLevel)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-      .join(topk(flat)
-          .select(col("q_id"), col("rank"), col("n_id").as("n_id_flat"),
-            col("cosine").as("cosine_flat")),
-        Seq("q_id", "rank"), "full")
-      .withColumn("agree",
-        coalesce(col("n_id") === col("n_id_flat"), lit(false)))
+  }
+
+  /** Score the assigned lists against the probe lists and keep each
+    * query's top-k (ties → lowest id). */
+  private def ivfSearchTopK(
+      assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+    val scored = assigned.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        qcosinePre(col("q_q"), col("n_q"), col("q_nrm"), col("n_nrm")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The BUILD policy over the two assignment plans — measure n, then:
+    * below `buildThreshold` the flat build (two extra tiny joins cost
+    * more than they save — TwoLevelCostProbe measured two-level NET
+    * SLOWER at 8k vectors); at or above it, the two-level build
+    * (3.7× faster at 200k vectors, widening with n). Cells and supers
+    * come from the corpus (√n and ∜n — [[adaptiveCells]] /
+    * [[adaptiveSupers]]); decision evidence rides on the output
+    * (`build_mode`, `n_corpus`, `cells`, `supers`).
+    *
+    * The registry key sets buildThreshold so BOTH branches execute
+    * under live gates: the sf corpora (≤500 vectors) take flat, the
+    * organic ×10 corpus (~8k) takes two-level — the scaled gate runs
+    * the two-level SQL re-derivation for real, not as dead code.
+    */
+  def ivfTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 2,
+      buildThreshold: Long = 100000L,
+      minCells: Int = 8,
+      minSupers: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val n = corpus.count()
+    val cells = adaptiveCells(n, minCells)
+    val supers = math.min(adaptiveSupers(n, minSupers), cells)
+    val twoLevel = n >= buildThreshold
+    val cent = ivfCent(corpus, cells)
+    val c = ivfCorpusVecs(corpus)
+    val assigned = if (twoLevel) ivfAssignTwoLevel(c, cent, supers)
+      else ivfAssignFlat(c, cent)
+    ivfSearchTopK(assigned, ivfProbe(queries, cent, probes), k)
+      .withColumn("build_mode", lit(if (twoLevel) "two_level" else "flat"))
+      .withColumn("n_corpus", lit(n))
+      .withColumn("cells", lit(cells))
+      .withColumn("supers", lit(supers))
   }
 }

@@ -88,6 +88,32 @@ class Queries9Spec extends SparkSpec {
     }
   }
 
+  test("IVF build policy: flat below the measured crossover, two-level above, same gate both ways") {
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 4)
+    // below threshold: flat build, and it IS ivfTopK's answer at the
+    // same adaptive cells
+    val n = e.count()
+    val cells = graft.ext.Similarity.adaptiveCells(n)
+    val flat = graft.ext.Similarity.ivfTopKAuto(e, q, k = 3, probes = 2,
+      buildThreshold = 1000000L)
+    assert(flat.select(col("build_mode")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("flat"))
+    val ref = graft.ext.Similarity.ivfTopK(e, q, k = 3, cells = cells, probes = 2)
+      .select(col("q_id"), col("rank"), col("n_id"))
+    val got = flat.select(col("q_id"), col("rank"), col("n_id"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0,
+      "the flat branch of the build policy must reproduce ivfTopK")
+    // at/above threshold: two-level build, same output shape, evidence
+    // pinned; with supers clamped to cells the result stays defined
+    val two = graft.ext.Similarity.ivfTopKAuto(e, q, k = 3, probes = 2,
+      buildThreshold = 1L)
+    val rows = two.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("build_mode") == "two_level"))
+    assert(rows.forall(r => r.getAs[Long]("n_corpus") == n))
+    assert(rows.forall(r => r.getAs[Int]("cells") == cells))
+  }
+
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
     val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
     val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
