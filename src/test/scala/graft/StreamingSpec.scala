@@ -437,6 +437,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("phash ingest re-bands its probe on a saturating index: the policy fires and twins still drop") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.ext.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_reband").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, Array[Byte])]
+    // bands = None → the round-9 adaptive default (per-batch decision
+    // measured on the persisted index)
+    val q = MediaIngest.phashIngest(in.toDS().toDF("doc_id", "payload"), out, idx, ckpt)
+    try {
+      // batch 1: 3000 low-entropy formula rasters. The in-batch
+      // collapse first thins them to a mutually-non-near survivor set
+      // (that is the point of the collapse), so the persisted index
+      // holds only survivors — the saturation threshold must be
+      // crossed by THAT set, which takes a few thousand seeds.
+      in.addData((0L until 3000L).map(id => id -> Multimodal.encodeBmp(id)))
+      q.processAllAvailable()
+      val g1 = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      // the decision input the NEXT batch will measure: the persisted
+      // index really is saturated, so the probe re-bands to 32-bit
+      val (bands, budget, n) = Multimodal.phashAutoBands(
+        spark.read.parquet(s"$idx/hashes"))
+      assert(bands == 2 && budget > 8L * n,
+        s"index must saturate the 16-bit budget (bands=$bands budget=$budget n=$n)")
+      // batch 2: twins of 10 INDEXED images (one-pixel edits — band-0
+      // footprint at either width); the RE-BANDED probe must catch
+      // every one against the persisted index
+      val twinSrc = g1.take(10).toSeq
+      in.addData(twinSrc.map(id =>
+        (id + 1000000L) -> Multimodal.perturbBmp(Multimodal.encodeBmp(id))))
+      q.processAllAvailable()
+      val gold = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      assert(gold.toSeq == g1.toSeq,
+        s"every twin must drop through the 32-bit probe (gold grew ${gold.length - g1.length})")
+    } finally q.stop()
+  }
+
   test("phash ingest survives kill-and-restart: file source + real checkpoint, exactly-once across the restart") {
     // the recovery claim, proven: a REAL file source (not MemoryStream),
     // a REAL checkpoint dir, the query killed between batches and a NEW
