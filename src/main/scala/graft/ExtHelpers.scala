@@ -139,6 +139,53 @@ private[graft] trait ExtHelpers {
     s"list_min([substr(md5('${seed / 6}|' || x), ${(seed % 6) * 5 + 1}, 5) FOR x IN sh])"
   protected def bandSql(firstSeed: Int) =
     (firstSeed until firstSeed + 3).map(mhSql).mkString(" || ")
+  /** The MinHash re-banding POLICY re-derivation (round 9), shared by
+    * every oracle whose pipeline routes through
+    * [[graft.ext.Dedup.minhashLshAuto]]: the 12-row signature family
+    * over `rel`'s (doc_id, text), the (4 bands × 3 rows) candidate
+    * budget measured in SQL exactly as the engine measures it, and
+    * `acand` generating candidates at the CHOSEN banding shape only
+    * (the UNION ALL arms are mutually exclusive on `decq.chosen`).
+    * Pipeline oracles verify `acand` with [[jaccardSql]]; the
+    * fixed-shape baseline key (`dedup_minhash_lsh`) keeps its own cand.
+    */
+  protected def minhashAutoCtes(rel: String): String =
+    s"""shq AS (SELECT doc_id,
+              [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $rel)),
+       mhq AS (SELECT doc_id, sh,
+              ${(0 until 12).map(i => s"${mhSql(i)} AS m$i").mkString(", ")}
+              FROM shq),
+       bq43 AS (SELECT sig, count(*) AS c FROM (
+                  SELECT CAST(t.b AS VARCHAR) ||
+                         CASE t.b WHEN 0 THEN m0 || m1 || m2
+                                  WHEN 1 THEN m3 || m4 || m5
+                                  WHEN 2 THEN m6 || m7 || m8
+                                  ELSE m9 || m10 || m11 END AS sig
+                  FROM mhq, range(4) t(b))
+                GROUP BY sig),
+       decq AS (SELECT CASE WHEN (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43)
+                                 > 8 * (SELECT count(*) FROM mhq)
+                            THEN CAST(6 AS INT) ELSE CAST(3 AS INT) END AS chosen),
+       acand AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+         FROM mhq a JOIN mhq b
+           ON a.doc_id < b.doc_id
+          AND (a.m0 || a.m1 || a.m2 = b.m0 || b.m1 || b.m2
+            OR a.m3 || a.m4 || a.m5 = b.m3 || b.m4 || b.m5
+            OR a.m6 || a.m7 || a.m8 = b.m6 || b.m7 || b.m8
+            OR a.m9 || a.m10 || a.m11 = b.m9 || b.m10 || b.m11)
+         WHERE (SELECT chosen FROM decq) = 3
+         UNION ALL
+         SELECT a.doc_id, b.doc_id, a.sh, b.sh
+         FROM mhq a JOIN mhq b
+           ON a.doc_id < b.doc_id
+          AND (a.m0 || a.m1 || a.m2 || a.m3 || a.m4 || a.m5
+               = b.m0 || b.m1 || b.m2 || b.m3 || b.m4 || b.m5
+            OR a.m6 || a.m7 || a.m8 || a.m9 || a.m10 || a.m11
+               = b.m6 || b.m7 || b.m8 || b.m9 || b.m10 || b.m11)
+         WHERE (SELECT chosen FROM decq) = 6)"""
+
   protected val jaccardSql = // over (ash, bsh)
     """CAST(len(list_distinct(ash)) + len(list_distinct(bsh))
             - len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)

@@ -946,21 +946,10 @@ object ExtQueries extends ExtHelpers {
              SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
              FROM gated)
            WHERE doc_id = keep_id),
-         sh AS (
-           SELECT doc_id,
-             [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ek)),
-         mh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
-         cand AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
-           FROM mh a JOIN mh b
-             ON a.doc_id < b.doc_id
-            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         ${minhashAutoCtes("ek")},
          losers AS (
            SELECT DISTINCT b_id AS doc_id FROM (
-             SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+             SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
            WHERE jaccard >= 0.5)
          SELECT e.doc_id, e.quality_score
          FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id

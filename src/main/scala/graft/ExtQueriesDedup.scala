@@ -38,7 +38,12 @@ object ExtQueriesDedup extends ExtHelpers {
     // equality-pinned against it in ExtSpec.
     "dedup_clusters" -> ((s, dir) => {
       val corpus = corpusWithNearCopies(s, dir)
-      Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)).orderBy("doc_id")
+      // round 9: the pipeline routes through the re-banding policy
+      // (minhashLshAuto) — the oracle re-derives the budget decision
+      Dedup.dupClustersStar(corpus,
+          Dedup.minhashLshAuto(corpus)
+            .select(col("a_id"), col("b_id"), col("jaccard")))
+        .orderBy("doc_id")
     }),
 
 
@@ -47,7 +52,9 @@ object ExtQueriesDedup extends ExtHelpers {
     "dedup_cluster_representatives" -> ((s, dir) => {
       val corpus = corpusWithNearCopies(s, dir)
       Dedup.clusterRepresentatives(corpus,
-          Dedup.dupClustersStar(corpus, Dedup.minhashLsh(corpus)))
+          Dedup.dupClustersStar(corpus,
+            Dedup.minhashLshAuto(corpus)
+              .select(col("a_id"), col("b_id"), col("jaccard"))))
         .orderBy("doc_id")
     }),
 
@@ -109,7 +116,9 @@ object ExtQueriesDedup extends ExtHelpers {
       val newBatch = d.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text"))
-      Dedup.minhashLshIncremental(d, newBatch).orderBy("old_id", "new_id")
+      // round 9: routed through the corpus-side re-banding policy —
+      // the oracle re-derives the budget decision on the corpus index
+      Dedup.minhashLshIncrementalAuto(d, newBatch).orderBy("old_id", "new_id")
     }),
 
 
@@ -178,7 +187,7 @@ object ExtQueriesDedup extends ExtHelpers {
     "near_dup_rate_by_slice" -> ((s, dir) => {
       val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val corpus = corpusWithNearCopies(s, dir)
-      val pairs = Dedup.minhashLsh(corpus)
+      val pairs = Dedup.minhashLshAuto(corpus)
       val dupDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
         // near-copies carry +1e6 ids; attribute them to the original doc
@@ -275,17 +284,9 @@ object ExtQueriesDedup extends ExtHelpers {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
-         sh AS ($shinglesSql),
-         mh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
-         cand AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
-           FROM mh a JOIN mh b
-             ON a.doc_id < b.doc_id
-            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         ${minhashAutoCtes("corpus")},
          pairs AS (
-           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
            WHERE jaccard >= 0.5),
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
@@ -300,17 +301,9 @@ object ExtQueriesDedup extends ExtHelpers {
 
     "dedup_cluster_representatives" ->
       s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
-         sh AS ($shinglesSql),
-         mh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
-         cand AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
-           FROM mh a JOIN mh b
-             ON a.doc_id < b.doc_id
-            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
+         ${minhashAutoCtes("corpus")},
          pairs AS (
-           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM cand)
+           SELECT a_id, b_id FROM (SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
            WHERE jaccard >= 0.5),
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
@@ -443,18 +436,44 @@ object ExtQueriesDedup extends ExtHelpers {
                   [array_to_string(w[i+1:i+3], ' ') FOR i IN range(0, greatest(len(w)-2, 0))] AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newb)),
          omh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM osh),
+                ${(0 until 12).map(i => s"${mhSql(i)} AS m$i").mkString(", ")}
+                FROM osh),
          nmh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM nsh),
+                ${(0 until 12).map(i => s"${mhSql(i)} AS m$i").mkString(", ")}
+                FROM nsh),
+         bq43 AS (SELECT sig, count(*) AS c FROM (
+                    SELECT CAST(t.b AS VARCHAR) ||
+                           CASE t.b WHEN 0 THEN m0 || m1 || m2
+                                    WHEN 1 THEN m3 || m4 || m5
+                                    WHEN 2 THEN m6 || m7 || m8
+                                    ELSE m9 || m10 || m11 END AS sig
+                    FROM omh, range(4) t(b))
+                  GROUP BY sig),
+         decq AS (SELECT CASE WHEN (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43)
+                                   > 8 * (SELECT count(*) FROM omh)
+                              THEN CAST(6 AS INT) ELSE CAST(3 AS INT) END AS chosen,
+                         (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43) AS b43,
+                         (SELECT CAST(count(*) AS BIGINT) FROM omh) AS nd),
          cand AS (
            SELECT o.doc_id AS old_id, n.doc_id AS new_id, o.sh AS ash, n.sh AS bsh
            FROM omh o JOIN nmh n
-             ON (o.s0 = n.s0 OR o.s1 = n.s1 OR o.s2 = n.s2 OR o.s3 = n.s3)),
+             ON (o.m0 || o.m1 || o.m2 = n.m0 || n.m1 || n.m2
+              OR o.m3 || o.m4 || o.m5 = n.m3 || n.m4 || n.m5
+              OR o.m6 || o.m7 || o.m8 = n.m6 || n.m7 || n.m8
+              OR o.m9 || o.m10 || o.m11 = n.m9 || n.m10 || n.m11)
+           WHERE (SELECT chosen FROM decq) = 3
+           UNION ALL
+           SELECT o.doc_id, n.doc_id, o.sh, n.sh
+           FROM omh o JOIN nmh n
+             ON (o.m0 || o.m1 || o.m2 || o.m3 || o.m4 || o.m5
+                 = n.m0 || n.m1 || n.m2 || n.m3 || n.m4 || n.m5
+              OR o.m6 || o.m7 || o.m8 || o.m9 || o.m10 || o.m11
+                 = n.m6 || n.m7 || n.m8 || n.m9 || n.m10 || n.m11)
+           WHERE (SELECT chosen FROM decq) = 6),
          scored AS (SELECT old_id, new_id, $jaccardSql AS jaccard FROM cand)
-         SELECT old_id, new_id, jaccard FROM scored
-         WHERE jaccard >= 0.5 ORDER BY old_id, new_id""",
+         SELECT s.old_id, s.new_id, s.jaccard, decq.chosen AS rows_per_band,
+                decq.b43 AS corpus_pair_budget_43, decq.nd AS n_corpus_docs
+         FROM scored s, decq WHERE s.jaccard >= 0.5 ORDER BY old_id, new_id""",
 
 
     "dedup_time_windowed" ->
@@ -510,16 +529,8 @@ object ExtQueriesDedup extends ExtHelpers {
 
     "near_dup_rate_by_slice" ->
       s"""WITH corpus AS ($nearCorpusSql),
-         sh AS ($shinglesSql),
-         mh AS (SELECT doc_id, sh,
-                ${bandSql(0)} AS s0, ${bandSql(3)} AS s1,
-                ${bandSql(6)} AS s2, ${bandSql(9)} AS s3 FROM sh),
-         cand AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
-           FROM mh a JOIN mh b
-             ON a.doc_id < b.doc_id
-            AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)),
-         pairs AS (SELECT a_id, b_id FROM cand WHERE $jaccardSql >= 0.5),
+         ${minhashAutoCtes("corpus")},
+         pairs AS (SELECT a_id, b_id FROM acand WHERE $jaccardSql >= 0.5),
          dup AS (
            SELECT DISTINCT doc_id % 1000000 AS doc_id
            FROM (SELECT a_id AS doc_id FROM pairs

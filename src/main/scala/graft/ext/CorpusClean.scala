@@ -66,8 +66,12 @@ object CorpusClean {
       .drop("text_hash", "keep_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup prune: drop the higher id of each verified LSH pair
-    val nearDupLosers = Dedup.minhashLsh(
+    // near-dup prune: drop the higher id of each verified LSH pair.
+    // Round 9: routed through the re-banding policy — the candidate
+    // budget is measured on the (4,3) index before any pair expands,
+    // and a saturating corpus regroups the same 12 minhash rows to
+    // (2,6) instead of paying the quadratic bucket join.
+    val nearDupLosers = Dedup.minhashLshAuto(
       exactKept.select("doc_id", "text"), threshold = jaccard)
       .select(col("b_id").as("doc_id")).distinct()
 

@@ -214,6 +214,132 @@ object Dedup {
     out
   }
 
+  /** The re-banding policy for the INCREMENTAL probe —
+    * [[graft.ext.Multimodal.phashIncrementalAuto]]'s counterpart on the
+    * minhash tier: the budget is measured on the CORPUS side only (the
+    * index is what saturates as ingest accumulates; the batch is small
+    * by construction), and the chosen shape keys BOTH sides' band
+    * signatures so the probe's equi-join stays aligned. Same fixed
+    * 12-row family and regroup direction as [[minhashLshAuto]].
+    */
+  def minhashLshIncrementalAuto(
+      corpus: DataFrame,
+      newBatch: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000,
+      budgetFactor: Long = 8L): DataFrame = {
+    val stats = minhashBandStats(corpus, k, 4, 3)
+      .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_docs")).as("n_docs"))
+      .collect().head
+    val budget = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val chosenRows = if (budget > budgetFactor * nDocs) 6 else 3
+    minhashLshIncremental(corpus, newBatch, k,
+      bands = 12 / chosenRows, rowsPerBand = chosenRows,
+      threshold = threshold, maxBucket = maxBucket)
+      .withColumn("rows_per_band", lit(chosenRows))
+      .withColumn("corpus_pair_budget_43", lit(budget))
+      .withColumn("n_corpus_docs", lit(nDocs))
+  }
+
+  /** Band-saturation monitor for the MinHash LSH index —
+    * [[simhashBandStats]]'s counterpart on the shingle side. Per band:
+    * document count, distinct buckets, the widest bucket, and the exact
+    * candidate-pair budget Σ c·(c−1)/2 the bucket join of
+    * [[minhashLsh]] at shape (`bands`, `rowsPerBand`) would expand.
+    * The round-6 organic finding applies verbatim here: a FIXED
+    * signature meeting a growing fixed-vocabulary corpus saturates its
+    * buckets, and in-cap candidate pairs grow ~quadratically. Run the
+    * monitor BEFORE the pair join at any new scale.
+    *
+    * Scale shape: one shuffle keyed by (band_id, sig) to bucket counts,
+    * then a `bands`-row aggregate — never expands a single pair.
+    */
+  def minhashBandStats(
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3): DataFrame = {
+    require(bands * rowsPerBand <= 12,
+      s"the md5 signature family carries 12 minhash rows; got $bands x $rowsPerBand")
+    val sh = Scale.widen(docs).select(col("doc_id"),
+      shingles(tokens(col("text")), k).as("sh"))
+      .withColumn("shh", shingleHashes(col("sh")))
+    bandStatsFromSigs(bandSigs(sh, bands, rowsPerBand))
+  }
+
+  /** (doc_id, band_id, sig) at a banding SHAPE of the fixed 12-hash
+    * family: band b = minhash rows [b·rowsPerBand, (b+1)·rowsPerBand).
+    */
+  private def bandSigs(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
+        .as(Seq("band_id", "sig")))
+
+  private def bandStatsFromSigs(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("band_id"), col("sig")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band_id"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pair_budget"))
+
+  /** The re-banding POLICY for MinHash LSH — [[simhashNearPairsAuto]]'s
+    * counterpart on the shingle index, completing the program: every
+    * LSH tier (simhash round 7, phash round 8, minhash here) measures
+    * its candidate budget before expanding a single pair.
+    *
+    * The signature family is FIXED at 12 minhash rows, computed once at
+    * ingest; saturation changes only the GROUPING: the healthy shape is
+    * 4 bands × 3 rows (per-band collision probability s³ — recall
+    * 1−(1−s³)⁴), and when the measured (4,3) budget is super-linear in
+    * the corpus (`pair_budget > budgetFactor · n_docs`) the SAME rows
+    * regroup to 2 bands × 6 (collision probability s⁶ — buckets narrow
+    * multiplicatively, the quadratic budget collapses). Because no new
+    * hash material is needed, the 100 TB switch is metadata-only: no
+    * corpus re-hash, just a re-keyed shuffle of the stored rows. The
+    * recall trade is the standard LSH one and is honest: exact
+    * duplicates (s=1) are recalled at ANY shape, mid-similarity pairs
+    * trade 1−(1−s³)⁴ → 1−(1−s⁶)² — measured, not assumed, in the spec.
+    *
+    * Returns the verified pair frame of the CHOSEN shape with the
+    * decision evidence attached (`rows_per_band`, the measured (4,3)
+    * `pair_budget_43`, `n_docs`). The losing shape's join never
+    * executes. The shingle material is eagerly truncated
+    * ([[Checkpoints.truncate]]) — no persisted frame outlives the call.
+    */
+  def minhashLshAuto(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000,
+      budgetFactor: Long = 8L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = Checkpoints.truncate(Scale.widen(docs).select(col("doc_id"),
+      shingles(tokens(col("text")), k).as("sh"))
+      .withColumn("shh", shingleHashes(col("sh"))))
+    val stats = bandStatsFromSigs(bandSigs(sh, 4, 3))
+      .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_docs")).as("n_docs"))
+      .collect().head
+    val budget = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val saturated = budget > budgetFactor * nDocs
+    val chosenRows = if (saturated) 6 else 3
+    val cand = pairsWithinBuckets(
+      bandSigs(sh, 12 / chosenRows, chosenRows), Seq("band_id", "sig"), maxBucket)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rows_per_band", lit(chosenRows))
+      .withColumn("pair_budget_43", lit(budget))
+      .withColumn("n_docs", lit(nDocs))
+  }
+
   /** The LSH candidate-generation core: group rows by `bucketCols`,
     * then expand id-ordered pairs WITHIN each bucket. One shuffle keyed
     * by the bucket; `maxBucket` caps any degenerate bucket's quadratic

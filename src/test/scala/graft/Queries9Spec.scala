@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, Scale}
+import graft.ext.{Dedup, Multimodal, Scale}
 
 /** Round-9: the re-banding policy ROUTED INTO the production phash
   * pipeline (round-8 shipped the policy; its consumers still called
@@ -112,6 +112,82 @@ class Queries9Spec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[String]("build_mode") == "two_level"))
     assert(rows.forall(r => r.getAs[Long]("n_corpus") == n))
     assert(rows.forall(r => r.getAs[Int]("cells") == cells))
+  }
+
+  test("minhash re-banding: a saturating low-entropy corpus regroups to (2,6) — budget collapses, exact-dup recall stays full") {
+    import spark.implicits._
+    // a fixed 4-word vocabulary: 64 possible shingles, so the (4,3)
+    // buckets saturate exactly the way the organic ×10 fixed-vocab
+    // corpus saturates the text tiers (BASELINE §Round 6)
+    val rnd = new scala.util.Random(9)
+    val vocab = Array("alpha", "beta", "gamma", "delta")
+    val base = (0L until 300L).map(i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(4))).mkString(" ")))
+    // planted EXACT duplicates at id+1e6: identical minhash rows, so
+    // they collide in every band at ANY shape — recall is guaranteed
+    // by construction, not probabilistically
+    val docs = (base ++ base.map { case (i, t) => (i + 1000000L, t) })
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashLshAuto(docs).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rows_per_band") == 6),
+      "a saturated (4,3) index must regroup to (2,6)")
+    val b43 = rows.head.getAs[Long]("pair_budget_43")
+    val n = rows.head.getAs[Long]("n_docs")
+    assert(b43 > 8L * n, s"decision evidence: budget43=$b43 vs n=$n")
+    // the regroup's measured payoff: the (2,6) budget the join actually
+    // paid is a small fraction of the (4,3) budget it avoided
+    val b26 = Dedup.minhashBandStats(docs, 3, 2, 6)
+      .agg(sum(col("pair_budget"))).collect().head.getLong(0)
+    assert(b26 * 2 < b43,
+      s"re-banding must collapse the candidate budget: b26=$b26 vs b43=$b43")
+    // zero lost exact duplicates
+    val found = rows.collect {
+      case r if r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 1000000L
+        && r.getAs[Double]("jaccard") == 1.0 => r.getAs[Long]("a_id")
+    }.toSet
+    assert((0L until 300L).forall(found.contains),
+      "an exact duplicate collides at every shape — none may be lost")
+  }
+
+  test("incremental minhash probe re-bands when the CORPUS index is saturated — exact copies in the batch all probe-hit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("alpha", "beta", "gamma", "delta")
+    val corpus = (0L until 300L).map(i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(4))).mkString(" "))).toDF("doc_id", "text")
+    // today's batch: exact copies of the corpus at +1e6 — identical
+    // minhash rows probe-hit at ANY shape, so recall is deterministic
+    val batch = corpus.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val rows = Dedup.minhashLshIncrementalAuto(corpus, batch).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rows_per_band") == 6),
+      "a saturated corpus index must regroup the probe to (2,6)")
+    val b43 = rows.head.getAs[Long]("corpus_pair_budget_43")
+    val n = rows.head.getAs[Long]("n_corpus_docs")
+    assert(b43 > 8L * n, s"decision evidence: budget43=$b43 vs n=$n")
+    val hit = rows.collect {
+      case r if r.getAs[Long]("new_id") == r.getAs[Long]("old_id") + 1000000L
+        && r.getAs[Double]("jaccard") == 1.0 => r.getAs[Long]("old_id")
+    }.toSet
+    assert((0L until 300L).forall(hit.contains),
+      "re-banding the probe must not lose a single exact duplicate")
+  }
+
+  test("minhash re-banding keeps (4,3) on a healthy corpus and reproduces minhashLsh exactly") {
+    val d = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val corpus = d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))).as("text")))
+    val auto = Dedup.minhashLshAuto(corpus)
+    assert(auto.select(col("rows_per_band")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(3),
+      "real text does not saturate the (4,3) index — the cheap shape must win")
+    // the healthy branch IS the fixed-shape operator, bit for bit
+    val got = auto.select(col("a_id"), col("b_id"), col("jaccard"))
+    val ref = Dedup.minhashLsh(corpus)
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0,
+      "the (4,3) branch of the policy must reproduce minhashLsh exactly")
   }
 
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
