@@ -214,6 +214,64 @@ object Dedup {
     out
   }
 
+  /** The 12-row minhash matrix as a COLUMN (one 5-hex-char string per
+    * row) — the re-bandable index layout: a persisted store of this
+    * matrix can be probed at ANY banding shape by re-concatenation
+    * ([[bandSigsFromMatrix]]), so a saturation-driven re-band never
+    * re-hashes the corpus. ~60 chars per doc, cheaper than the banded
+    * signatures it replaces.
+    */
+  def minhashMatrix(shhCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 12).map(i => TextPrimitives.minhashFromHashes(shhCol, i)): _*)
+
+  /** (doc_id, band_id, sig) derived from a stored [[minhashMatrix]]
+    * column `mh` at a banding shape — band b concatenates matrix rows
+    * [b·rowsPerBand, (b+1)·rowsPerBand), exactly [[minhashLsh]]'s band
+    * values at the same shape.
+    */
+  def bandSigsFromMatrix(df: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = 12 / rowsPerBand
+    df.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band_id", "sig")))
+  }
+
+  /** Verified near-dup pairs from PRECOMPUTED band signatures plus the
+    * shingle material that backs them: bucket-pair generation then the
+    * exact-Jaccard verify — [[minhashLsh]]'s tail, factored out so the
+    * streaming ingest's in-batch collapse can feed signatures derived
+    * from the stored matrix at whatever shape the policy chose.
+    * `sh` must carry (doc_id, sh); callers must have registered
+    * [[graft.functions.GraftFunctions]].
+    */
+  def pairsFromBandSigs(
+      sigs: DataFrame,
+      sh: DataFrame,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame =
+    pairsWithinBuckets(sigs, Seq("band_id", "sig"), maxBucket)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** The re-banding decision over a persisted [[minhashMatrix]] index:
+    * measure the (4,3) candidate budget the next probe would pay;
+    * super-linear in the index size → 6 rows per band. Returns
+    * (rowsPerBand, pair_budget_43, n_docs) — the streaming ingest's
+    * per-batch gate ([[graft.streaming.Sessionize.nearDupIngest]]).
+    */
+  def minhashAutoRows(indexMh: DataFrame, budgetFactor: Long = 8L): (Int, Long, Long) = {
+    val st = bandStatsFromSigs(bandSigsFromMatrix(indexMh, 3))
+      .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_docs")).as("n_docs"))
+      .collect().head
+    val budget = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val n = if (st.isNullAt(1)) 0L else st.getLong(1)
+    (if (budget > budgetFactor * n) 6 else 3, budget, n)
+  }
+
   /** The re-banding policy for the INCREMENTAL probe —
     * [[graft.ext.Multimodal.phashIncrementalAuto]]'s counterpart on the
     * minhash tier: the budget is measured on the CORPUS side only (the

@@ -125,16 +125,28 @@ object Sessionize {
     * verified pair), (2) probed against a PERSISTED signature index of
     * everything already ingested — one equi-join on (band_id, sig),
     * exact-Jaccard verify against the stored shingle sets — and
-    * (3) appended to the gold table, with the survivors' signatures
-    * and shingles appended to the index.
+    * (3) appended to the gold table, with the survivors' minhash
+    * matrices and shingles appended to the index.
     *
-    * The index is two parquet tables under `indexDir`: `sigs`
-    * (doc_id, band_id, sig) — the only thing the candidate probe
-    * reads — and `sh` (doc_id, sh), read column-pruned for the
-    * verified candidates only. Probe cost per batch scales with
-    * |batch| × bucket collisions, never |corpus|²; at warehouse scale
-    * `sigs` is a bucketed table on (band_id, sig) making the probe
-    * exchange-free ([[graft.ext.Scale.writeBucketed]]).
+    * The index is two parquet tables under `indexDir`: `mh`
+    * (doc_id, mh ARRAY<STRING>) — the RE-BANDABLE layout
+    * ([[graft.ext.Dedup.minhashMatrix]]): the 12 minhash rows are
+    * stored raw and band keys are derived AT PROBE TIME at the shape
+    * the per-batch policy chooses ([[graft.ext.Dedup.minhashAutoRows]]
+    * measured on the persisted index — the side that saturates as the
+    * library grows; the batch's own matrix decides before any index
+    * exists). A saturation-driven re-band therefore never re-hashes
+    * the corpus — the next probe simply concatenates the stored rows
+    * 6-wide instead of 3-wide. `sh` (doc_id, sh) is read column-pruned
+    * for the verified candidates only. Probe cost per batch scales
+    * with |batch| × bucket collisions, never |corpus|². At warehouse
+    * scale the derive-at-probe layout trades the exchange-free
+    * pre-bucketed (band_id, sig) table for re-band freedom: bucketing
+    * `mh` by doc_id keeps the anti-join cheap, and the probe's
+    * shuffle is |index| band keys — the price of never rewriting the
+    * index when the monitor trips. A fixed `rowsPerBand` pins the
+    * shape (the pre-policy behavior, kept for shape-sensitivity
+    * specs).
     *
     * Idempotence: foreachBatch is at-least-once, and this sink does
     * THREE non-atomic appends (gold, sh, sigs). Two mechanisms make a
@@ -149,40 +161,61 @@ object Sessionize {
     */
   def nearDupIngest(
       docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
-      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.5)(
+      k: Int = 3, rowsPerBand: Option[Int] = None, threshold: Double = 0.5)(
       implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ext.TextPrimitives._
+        // register on the MICRO-BATCH's session: foreachBatch hands a
+        // cloned session whose function registry does not inherit
+        // outer-session registrations
+        graft.functions.GraftFunctions.register(batch.sparkSession)
         graft.functions.GraftFunctions.register(spark)
-        val sigsDir = s"$indexDir/sigs"
+        val mhDir = s"$indexDir/mh"
         val shDir = s"$indexDir/sh"
-        val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
-        val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
         if (!fs.exists(marker)) {
-          // (1) in-batch collapse: lowest id of each verified pair wins
+          def readCommitted(dir: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val hasData = fs.exists(p) && fs.listStatus(p)
+              .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            if (hasData) Some(spark.read.parquet(dir)) else None
+          }
+          val sh0 = batch.toDF()
+            .select(col("doc_id"), col("text"), shingles(tokens(col("text")), k).as("sh"))
+            .withColumn("shh", shingleHashes(col("sh")))
+            .withColumn("mh", graft.ext.Dedup.minhashMatrix(col("shh")))
+            .persist()
+
+          // banding shape through the re-banding POLICY: the persisted
+          // index decides (it is what saturates); the batch's own
+          // matrix decides before any index exists
+          val persistedMh = readCommitted(mhDir)
+          val chosenRows = rowsPerBand.getOrElse(
+            graft.ext.Dedup.minhashAutoRows(
+              persistedMh.getOrElse(sh0.select(col("doc_id"), col("mh"))))._1)
+
+          // (1) in-batch collapse: lowest id of each verified pair
+          // wins, pairs generated at the chosen shape
           val inBatchDrop = graft.ext.Dedup
-            .minhashLsh(batch.toDF(), k, bands, rowsPerBand, threshold)
+            .pairsFromBandSigs(
+              graft.ext.Dedup.bandSigsFromMatrix(sh0, chosenRows), sh0, threshold)
             .select(col("b_id").as("doc_id")).distinct()
           val kept = batch.toDF().join(inBatchDrop, Seq("doc_id"), "left_anti")
+          val sh = sh0.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
 
-          val sh = kept.select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
-            .withColumn("shh", shingleHashes(col("sh")))
-            .persist()
-          def bandSigs(frame: DataFrame): DataFrame = frame.select(col("doc_id"),
-            posexplode(array((0 until bands).map(b =>
-              bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
-              .as(Seq("band_id", "sig")))
-
-          // (2) probe the corpus index: candidates by bucket, exact verify
-          val dupIds =
-            if (fs.exists(sigsPath)) {
-              val cand = spark.read.parquet(sigsDir)
+          // (2) probe the corpus index: band keys derived from the
+          // stored matrices at the chosen shape, exact-Jaccard verify
+          val dupIds = persistedMh match {
+            case Some(persisted) =>
+              val cand = graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows)
                 .withColumnRenamed("doc_id", "old_id")
-                .join(bandSigs(sh).withColumnRenamed("doc_id", "new_id"),
+                .join(graft.ext.Dedup.bandSigsFromMatrix(sh, chosenRows)
+                  .withColumnRenamed("doc_id", "new_id"),
                   Seq("band_id", "sig"))
                 .select(col("old_id"), col("new_id")).distinct()
               cand
@@ -192,7 +225,8 @@ object Sessionize {
                 .filter(graft.functions.GraftFunctions
                   .jaccardNative(col("a_sh"), col("b_sh")) >= threshold)
                 .select(col("new_id").as("doc_id")).distinct()
-            } else kept.select(col("doc_id")).limit(0)
+            case None => kept.select(col("doc_id")).limit(0)
+          }
 
           // (3) append survivors + their index material. Each append
           // anti-joins the ids already in its target so a replay of a
@@ -211,11 +245,11 @@ object Sessionize {
             .persist()
           notAlreadyIn(survSh.select("doc_id", "sh"), shDir)
             .write.mode("append").parquet(shDir)
-          notAlreadyIn(bandSigs(survSh), sigsDir)
-            .write.mode("append").parquet(sigsDir)
+          notAlreadyIn(survSh.select("doc_id", "mh"), mhDir)
+            .write.mode("append").parquet(mhDir)
           survSh.unpersist()
           surv.unpersist()
-          sh.unpersist()
+          sh0.unpersist()
           fs.mkdirs(marker)
         }
         ()

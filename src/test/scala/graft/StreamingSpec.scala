@@ -111,8 +111,8 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.read.parquet(out).select("doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(ids == Seq(1L, 2L, 12L, 13L))
-      // the index holds exactly the gold docs' signatures
-      val idxIds = spark.read.parquet(s"$idx/sigs").select("doc_id")
+      // the index holds exactly the gold docs' minhash matrices
+      val idxIds = spark.read.parquet(s"$idx/mh").select("doc_id")
         .distinct().collect().map(_.getLong(0)).sorted.toSeq
       assert(idxIds == Seq(1L, 2L, 12L, 13L))
 
@@ -133,14 +133,60 @@ class StreamingSpec extends SparkSpec {
       val idsAfter = spark.read.parquet(out).select("doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(idsAfter == Seq(1L, 2L, 12L, 13L), "replayed batch duplicated gold rows")
-      val sigCountAfter = spark.read.parquet(s"$idx/sigs").count()
+      val sigCountAfter = spark.read.parquet(s"$idx/mh").count()
       val shIdsAfter = spark.read.parquet(s"$idx/sh").select("doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(shIdsAfter == Seq(1L, 2L, 12L, 13L), "replayed batch duplicated shingle index rows")
       assert(new java.io.File(s"$idx/_committed").list().nonEmpty, "commit markers missing")
       assert(sigCountAfter ==
-        spark.read.parquet(s"$idx/sigs").select("doc_id", "band_id", "sig").distinct().count(),
-        "replayed batch duplicated signature index rows")
+        spark.read.parquet(s"$idx/mh").select("doc_id").distinct().count(),
+        "replayed batch duplicated matrix index rows")
+    } finally q.stop()
+  }
+
+  test("near-dup ingest re-bands its probe on a saturating index: stored matrices regroup, exact copies still drop") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_reband").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, String)]
+    // rowsPerBand = None → the adaptive default: the per-batch shape is
+    // measured on the PERSISTED matrix index
+    val q = Sessionize.nearDupIngest(in.toDS().toDF("doc_id", "text"), out, idx, ckpt)
+    try {
+      // batch 1: 600 fixed-4-word-vocabulary docs — the organic-scale
+      // failure shape (trigram domain of 64: minhash rows concentrate
+      // on the few globally-smallest shingles and (4,3) buckets go
+      // fat). The in-batch collapse first removes verified >= 0.5
+      // pairs; the SURVIVORS must still saturate the stored index.
+      val rnd = new scala.util.Random(13)
+      val vocab = Array("alpha", "beta", "gamma", "delta")
+      in.addData((0L until 600L).map(i =>
+        i -> Seq.fill(30)(vocab(rnd.nextInt(4))).mkString(" ")))
+      q.processAllAvailable()
+      val g1 = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      // the decision input the NEXT batch will measure: the persisted
+      // index really is saturated at (4,3), so the probe re-bands
+      val (rows, budget, n) = graft.ext.Dedup.minhashAutoRows(
+        spark.read.parquet(s"$idx/mh"))
+      assert(rows == 6 && budget > 8L * n,
+        s"index must saturate the (4,3) budget (rows=$rows budget=$budget n=$n)")
+      // batch 2: exact copies of 10 INDEXED docs — identical minhash
+      // rows collide at ANY shape, so the RE-BANDED (2,6) probe must
+      // drop every one against the persisted index
+      val goldTexts = spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("doc_id").isin(g1.take(10): _*))
+        .select("doc_id", "text").collect()
+      in.addData(goldTexts.map(r =>
+        (r.getLong(0) + 1000000L) -> r.getString(1)).toSeq)
+      q.processAllAvailable()
+      val gold = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(gold.toSeq == g1.toSeq,
+        s"every exact copy must drop through the (2,6) probe (gold grew ${gold.length - g1.length})")
     } finally q.stop()
   }
 
