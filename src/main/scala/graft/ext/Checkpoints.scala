@@ -36,4 +36,24 @@ object Checkpoints {
         df.localCheckpoint(eager = true)
     }
   }
+
+  /** [[truncate]] without the eager barrier: the frame materializes
+    * during the FIRST action that consumes it and is reused (lineage
+    * truncated, blocks reference-tracked) by every later one. Right
+    * for measure-then-act operators whose measuring aggregate IS the
+    * first action — the materialization rides the job the gate pays
+    * anyway instead of adding a sequential round-trip; an explicit
+    * unpersist is never needed.
+    */
+  def truncateLazy(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    ss.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        val sc = ss.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None =>
+        df.localCheckpoint(eager = false)
+    }
+  }
 }

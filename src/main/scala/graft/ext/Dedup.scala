@@ -231,9 +231,14 @@ object Dedup {
     */
   def bandSigsFromMatrix(df: DataFrame, rowsPerBand: Int): DataFrame = {
     val bands = 12 / rowsPerBand
+    // concat (null-propagating), NOT concat_ws: a shingle-less doc has
+    // null minhash rows and must keep a null band sig, exactly as the
+    // column-derived path ([[graft.ext.TextPrimitives.bandFromHashes]])
+    // and the DuckDB oracles (|| propagates NULL) produce
     df.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
-        concat_ws("", slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        concat((0 until rowsPerBand).map(i =>
+          element_at(col("mh"), b * rowsPerBand + i + 1)): _*)): _*))
         .as(Seq("band_id", "sig")))
   }
 
@@ -287,15 +292,40 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 10000,
       budgetFactor: Long = 8L): DataFrame = {
-    val stats = minhashBandStats(corpus, k, 4, 3)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // shared-material layout (see [[minhashLshAuto]]): one lazily
+    // truncated frame per side — the corpus side materializes during
+    // the monitor's aggregate, the batch side during the probe, and
+    // each side is md5-hashed exactly once for monitor + probe + verify
+    def prep(docs: DataFrame): DataFrame =
+      Checkpoints.truncateLazy(Scale.widen(docs).select(col("doc_id"),
+        shingles(tokens(col("text")), k).as("sh"))
+        .withColumn("shh", shingleHashes(col("sh"))))
+    val oldSh = prep(corpus)
+    val newSh = prep(newBatch)
+    val stats = bandStatsFromSigs(bandSigs(oldSh, 4, 3))
       .agg(sum(col("pair_budget")).as("pair_budget"), max(col("n_docs")).as("n_docs"))
       .collect().head
     val budget = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val chosenRows = if (budget > budgetFactor * nDocs) 6 else 3
-    minhashLshIncremental(corpus, newBatch, k,
-      bands = 12 / chosenRows, rowsPerBand = chosenRows,
-      threshold = threshold, maxBucket = maxBucket)
+    def capped(s: DataFrame): DataFrame =
+      s.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
+        .filter(col("_rn") <= maxBucket).drop("_rn")
+    val cand = capped(bandSigs(oldSh, 12 / chosenRows, chosenRows))
+      .select(col("band_id"), col("sig"), col("doc_id").as("old_id"))
+      .join(capped(bandSigs(newSh, 12 / chosenRows, chosenRows))
+        .select(col("band_id"), col("sig"), col("doc_id").as("new_id")),
+        Seq("band_id", "sig"))
+      .select(col("old_id"), col("new_id"))
+      .distinct()
+    cand
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("a_sh")), Seq("old_id"))
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("b_sh")), Seq("new_id"))
+      .select(col("old_id"), col("new_id"),
+        graft.functions.GraftFunctions.jaccardNative(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .withColumn("rows_per_band", lit(chosenRows))
       .withColumn("corpus_pair_budget_43", lit(budget))
       .withColumn("n_corpus_docs", lit(nDocs))
@@ -375,7 +405,12 @@ object Dedup {
       maxBucket: Int = 10000,
       budgetFactor: Long = 8L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = Checkpoints.truncate(Scale.widen(docs).select(col("doc_id"),
+    // ONE lazily-truncated (doc_id, sh, shh) frame: it materializes
+    // during the stats job (the gate's own action — no extra barrier),
+    // the md5 work runs exactly once, and the chosen-shape candidate
+    // join plus the verify join reuse the blocks. Reference-tracked —
+    // no persisted frame outlives its consumers.
+    val sh = Checkpoints.truncateLazy(Scale.widen(docs).select(col("doc_id"),
       shingles(tokens(col("text")), k).as("sh"))
       .withColumn("shh", shingleHashes(col("sh"))))
     val stats = bandStatsFromSigs(bandSigs(sh, 4, 3))
