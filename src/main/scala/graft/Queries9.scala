@@ -100,7 +100,37 @@ object Queries9 extends ExtHelpers {
     "dedup_minhash_lsh_auto" -> ((s, dir) =>
       Dedup.minhashLshAuto(corpusWithNearCopies(s, dir))
         .orderBy("a_id", "b_id")),
+
+    // NN-descent: the scale path to the kNN graph (the exact builder
+    // knn_graph_blocked is quadratic BY CONTRACT) — id-window init,
+    // two neighbor-of-neighbor refinement rounds, top-k by exact
+    // quantized cosine. Fully deterministic (pinned init + ties), so
+    // the oracle re-derives every round; convergence is measured in
+    // the spec against the exact graph, never assumed.
+    "knn_nn_descent" -> ((s, dir) =>
+      Similarity.nnDescent(t(s, dir, "embeddings"), k = 4, rounds = 2)
+        .orderBy("q_id", "rank")),
   )
+
+  /** One NN-descent refinement CTE pair: candidates from `g` (current ∪
+    * reverse ∪ neighbors-of-neighbors), then exact-cosine top-4.
+    */
+  private def nndCand(g: String): String =
+    s"""WITH u AS (SELECT src, dst FROM $g UNION SELECT dst, src FROM $g)
+        SELECT src, dst FROM u
+        UNION SELECT x.src, y.dst FROM u x JOIN u y
+              ON y.src = x.dst AND y.dst <> x.src"""
+
+  private def nndTopK(cand: String): String =
+    s"""SELECT src, dst, cosine, rank FROM (
+          SELECT src, dst, cosine,
+                 CAST(row_number() OVER (PARTITION BY src
+                   ORDER BY cosine DESC, dst) AS INT) AS rank
+          FROM (SELECT c.src, c.dst, ${qcosSql("a.q", "b.q")} AS cosine
+                FROM ($cand) c
+                JOIN q a ON a.vec_id = c.src
+                JOIN q b ON b.vec_id = c.dst))
+        WHERE rank <= 4"""
 
   val oracles: Map[String, String] = Map(
 
@@ -343,5 +373,21 @@ object Queries9 extends ExtHelpers {
          SELECT s.a_id, s.b_id, s.jaccard, dec.chosen AS rows_per_band,
                 dec.budget43 AS pair_budget_43, dec.nd AS n_docs
          FROM scored s, dec WHERE s.jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    // every NN-descent round re-derived: id-window init (symmetrized),
+    // two candidate-expansion + exact-cosine top-k rounds, identical
+    // (cosine DESC, id) tie rule
+    "knn_nn_descent" ->
+      s"""WITH q AS ($quantSql),
+         i0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM q a
+                JOIN range(4) t(o) ON TRUE
+                JOIN q b ON b.vec_id = a.vec_id + CAST(t.o + 1 AS BIGINT)),
+         c0 AS (SELECT src, dst FROM i0 UNION SELECT dst, src FROM i0),
+         g0 AS (${nndTopK("SELECT src, dst FROM c0")}),
+         g1 AS (${nndTopK(nndCand("g0"))}),
+         g2 AS (${nndTopK(nndCand("g1"))})
+         SELECT src AS q_id, rank, dst AS n_id, cosine
+         FROM g2 ORDER BY q_id, rank""",
   )
 }

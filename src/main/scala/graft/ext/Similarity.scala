@@ -124,6 +124,70 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** NN-descent — the SCALE path to the kNN graph
+    * [[knnGraphBlocked]] builds quadratically (reference for the
+    * pattern: Dong et al., "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures", WWW'11). Start
+    * from a deterministic cheap candidate set (each vector scores its
+    * k id-successors, symmetrized — no geometry assumed, one
+    * equi-join), then refine `rounds` times on the principle that a
+    * neighbor's neighbor is likely a neighbor: candidates(v) =
+    * G(v) ∪ G⁻¹(v) ∪ G(G(v)), exact quantized cosine on candidates
+    * only, keep top-k per vector by (cosine DESC, id).
+    *
+    * Scale shape: per round ONE self-join of the n·k edge frame keyed
+    * by the shared endpoint plus a top-k window — candidate volume is
+    * bounded by n·k(k+2), NEVER the n² cross join; the working state
+    * is lineage-truncated each round ([[Checkpoints.truncate]], the
+    * same executor-loss discipline as the CC/PageRank iterators).
+    * Ties and init are fully pinned, so the output is deterministic
+    * and DuckDB-re-derivable round by round; convergence is MEASURED
+    * (spec: recall vs the exact graph), never assumed.
+    */
+  def nnDescent(corpus: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got k=$k rounds=$rounds")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = Checkpoints.truncateLazy(Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q"))))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(q.select(col("vec_id").as("src"), col("q").as("a_q"), col("nrm").as("a_nrm")),
+        Seq("src"))
+      .join(q.select(col("vec_id").as("dst"), col("q").as("b_q"), col("nrm").as("b_nrm")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        qcosinePre(col("a_q"), col("b_q"), col("a_nrm"), col("b_nrm")).as("cosine"))
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    // init: id-successor window, symmetrized — deterministic and one
+    // equi-join (dst = src + off), the cheapest structure-free seeding
+    val init = q.select(col("vec_id").as("src"),
+        explode(array((1 to k).map(o => lit(o.toLong)): _*)).as("off"))
+      .select(col("src"), (col("src") + col("off")).as("dst"))
+      .join(q.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+    val c0 = init
+      .unionByName(init.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var g = Checkpoints.truncate(topK(score(c0)))
+    (1 to rounds).foreach { _ =>
+      // the FULL symmetric expansion (Dong et al. §2.2): u = G ∪ G⁻¹,
+      // candidates = u ∪ u∘u — both directions on both hops, the
+      // variant that still converges on weakly-structured data
+      val u = g.select(col("src"), col("dst"))
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nn = u.select(col("src"), col("dst").as("mid"))
+        .join(u.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val cand = u.unionByName(nn).distinct()
+      g = Checkpoints.truncate(topK(score(cand)))
+    }
+    g.select(col("src").as("q_id"), col("rank"), col("dst").as("n_id"), col("cosine"))
+  }
+
   /** Per-label centroid statistics over the quantized embedding space:
     * one row per (label, dimension) with the exact integer coordinate
     * sum, vector count, and the mean coordinate (one final double

@@ -190,6 +190,56 @@ class Queries9Spec extends SparkSpec {
       "the (4,3) branch of the policy must reproduce minhashLsh exactly")
   }
 
+  test("NN-descent: converges on clustered vectors, improves monotonically on weak-structure ones, deterministic") {
+    import spark.implicits._
+    val k = 4
+    def recallOf(e: org.apache.spark.sql.DataFrame, rounds: Int,
+        exact: Set[(Long, Long)]): Double = {
+      val got = graft.ext.Similarity.nnDescent(e, k, rounds)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // CLUSTERED corpus — the intended ANN deployment (BASELINE: the
+    // synthetic near-uniform embeddings are the documented
+    // weak-structure nemesis of every neighborhood method here):
+    // 16 well-separated centers x 30 CONTIGUOUS-id members with
+    // deterministic rational perturbations. The id-window init sees
+    // only ±k ids; the true top-4 may sit ~25 ids away inside the
+    // cluster, reachable only through the neighbor-of-neighbor
+    // doubling — a genuine descent test, not an init artifact.
+    val clustered = (0L until 480L).map { i =>
+      val c = (i / 30L).toInt; val m = (i % 30L).toInt
+      (i, (0 until 16).map(d =>
+        (if ((c * 5 + d * 3) % 16 < 8) 1.0f else -1.0f)
+          + ((m * 13 + d * 7) % 11 - 5) * 0.01f).toArray)
+    }.toDF("vec_id", "embedding")
+    val exactC = graft.ext.Similarity.knnGraphBlocked(clustered, k)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rc1 = recallOf(clustered, 1, exactC)
+    val rc = recallOf(clustered, 4, exactC)
+    info(s"clustered recall: 1 round=$rc1 4 rounds=$rc (exact edges=${exactC.size})")
+    assert(rc >= 0.9, s"4 rounds on clustered vectors must reach >= 0.9 recall, got $rc")
+    assert(rc > rc1, s"descent must keep converging ($rc1 -> $rc)")
+    // weak-structure corpus: no convergence promise (documented), but
+    // refinement must still help and the output must be deterministic
+    val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val exactE = graft.ext.Similarity.knnGraphBlocked(e, k)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = recallOf(e, 0, exactE); val r2 = recallOf(e, 2, exactE)
+    info(s"weak-structure recall: init=$r0 after-2-rounds=$r2")
+    assert(r2 > r0, s"refinement must improve on the id-window init ($r0 -> $r2)")
+    val a = graft.ext.Similarity.nnDescent(e, k, 2).collect().toSeq
+    val b = graft.ext.Similarity.nnDescent(e, k, 2).collect().toSeq
+    assert(a == b, "NN-descent must be deterministic")
+    a.foreach { r =>
+      assert(r.getAs[Int]("rank") <= k)
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+    }
+  }
+
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
     val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
     val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
