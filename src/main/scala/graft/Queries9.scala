@@ -110,6 +110,14 @@ object Queries9 extends ExtHelpers {
     "knn_nn_descent" -> ((s, dir) =>
       Similarity.nnDescent(t(s, dir, "embeddings"), k = 4, rounds = 2)
         .orderBy("q_id", "rank")),
+
+    // CCNet-style LM fluency filtering without a transcendental:
+    // corpus-trained bigram MLE, per-doc mean conditional probability
+    // in exact ppm (rank-equivalent to negated perplexity; log/exp
+    // would break cross-engine bit-exactness, floor division doesn't)
+    "text_bigram_lm_score" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+        .orderBy("doc_id")),
   )
 
   /** One NN-descent refinement CTE pair: candidates from `g` (current ∪
@@ -389,5 +397,26 @@ object Queries9 extends ExtHelpers {
          g2 AS (${nndTopK(nndCand("g1"))})
          SELECT src AS q_id, rank, dst AS n_id, cosine
          FROM g2 ORDER BY q_id, rank""",
+
+    // bigram MLE re-derived positionally: every consecutive pair
+    // counts each occurrence, c1 = non-final-position counts (tokens
+    // carry no spaces, so the space-joined bigram string is a faithful
+    // (w1,w2) key)
+    "text_bigram_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+                FROM w WHERE len(w) >= 2),
+         c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+         c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
+                FROM bg GROUP BY 1),
+         sc AS (SELECT g.doc_id, c12.c12 * 1000000 // c1.c1 AS p_ppm
+                FROM bg g
+                JOIN c12 ON c12.b = g.b
+                JOIN c1 ON c1.w1 = split_part(g.b, ' ', 1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
+                CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -455,6 +455,48 @@ object TextAnalysis {
     * aggregated and never cross documents; the left join back to the
     * doc list reinstates gram-less docs.
     */
+  /** Corpus-bigram language-model fluency score — the CCNet-style
+    * perplexity filter re-expressed in the engine's exact-integer
+    * convention: train the bigram MLE on the corpus itself (positional
+    * counts: c(w1,w2) over consecutive token pairs, c(w1) over
+    * non-final token positions), then score every document by its mean
+    * conditional bigram probability in ppm,
+    * p_ppm(w1,w2) = c(w1,w2)·10⁶ div c(w1) (floor — every scored
+    * bigram was counted, so MLE needs no smoothing). Boilerplate and
+    * templated text score HIGH (predictable continuations); rare
+    * garble scores LOW — rank-equivalent to negated perplexity without
+    * a single transcendental, so the oracle re-derives every value
+    * bit-exactly (log/exp differ across libm implementations; ppm
+    * floor division does not).
+    *
+    * Scale shape: one explode of consecutive pairs (positional — a
+    * document's repeated bigram counts every occurrence on BOTH the
+    * model and scoring sides), two count aggregates keyed by bigram /
+    * leading token, two broadcast-or-shuffle equi-joins back to the
+    * positions, one per-doc aggregate. No window, no quadratic step;
+    * the model is a count table, never driver state.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = Scale.widen(docs)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+             (t, i) -> struct(t AS w1, element_at(w, i + 2) AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), expr("c12 * 1000000 div c1").as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_ppm")).as("sum_p_ppm"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+  }
+
   def selfRepetition(docs: DataFrame, n: Int = 4): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(shingles(tokens(col("text")), n)).as("g"))

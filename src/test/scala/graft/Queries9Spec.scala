@@ -240,6 +240,39 @@ class Queries9Spec extends SparkSpec {
     }
   }
 
+  test("bigram LM score: templated text out-scores word-salad over the same vocabulary; counts are exact") {
+    import spark.implicits._
+    val vocab = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    // 20 copies of one fluent template vs 20 word-salad docs drawn from
+    // the SAME vocabulary: salad keeps the leading-token counts high
+    // (the denominators) while scattering the continuations (the
+    // numerators) — the separation the fluency filter exists for.
+    // (A corpus of globally-UNIQUE words scores a perfect 1e6 under
+    // MLE-on-self — c12 = c1 = 1 — which is why the discriminating
+    // control must share the vocabulary, not avoid it.)
+    val rnd = new scala.util.Random(17)
+    val template = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog"))
+    val salad = (100L until 120L).map(i =>
+      (i, Seq.fill(9)(vocab(rnd.nextInt(8))).mkString(" ")))
+    val docs = (template ++ salad).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("mean_p_ppm")).toMap
+    val tMin = (0L until 20L).map(got).min
+    val sMax = (100L until 120L).map(got).max
+    info(s"template mean_p_ppm=$tMin, worst salad=$sMax")
+    assert(tMin * 2 > 3 * sMax,
+      s"fluent text must clearly out-score same-vocab salad ($tMin vs $sMax)")
+    // exactness on an isolated corpus: template only — after "the" the
+    // continuation splits quick/lazy 20/40 each (500000 ppm), the other
+    // six bigrams are deterministic (1000000 ppm)
+    val alone = graft.ext.TextAnalysis.bigramLmScore(template.toDF("doc_id", "text"))
+      .filter(col("doc_id") === 0L).collect().head
+    assert(alone.getAs[Long]("n_bigrams") == 8L)
+    assert(alone.getAs[Long]("sum_p_ppm") == 7000000L)
+    assert(alone.getAs[Long]("mean_p_ppm") == 875000L)
+  }
+
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
     val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
     val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
