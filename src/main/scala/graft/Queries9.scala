@@ -118,6 +118,13 @@ object Queries9 extends ExtHelpers {
     "text_bigram_lm_score" -> ((s, dir) =>
       graft.ext.TextAnalysis.bigramLmScore(t(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // label-propagation communities over the co-purchase graph —
+    // synchronous, 3 fixed rounds, (count DESC, label ASC) ties:
+    // deterministic, so every round is DuckDB-re-derived
+    "graph_lpa_communities" -> ((s, dir) =>
+      graft.ext.GraphOps.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)
+        .orderBy("node")),
   )
 
   /** One NN-descent refinement CTE pair: candidates from `g` (current ∪
@@ -418,5 +425,40 @@ object Queries9 extends ExtHelpers {
                 CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
                 CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // three synchronous LPA rounds unrolled, mode-with-min-tie pinned
+    // by the (c DESC, label) row_number, over the same co-purchase
+    // edge derivation the pagerank oracle uses
+    "graph_lpa_communities" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         edges AS (
+           SELECT a.pk AS ea, b.pk AS eb
+           FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT ea AS src, eb AS dst FROM edges
+                 UNION ALL SELECT eb, ea FROM edges),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         n1 AS (SELECT sym.src, l0.label, count(*) AS c
+                FROM sym JOIN l0 ON l0.node = sym.dst GROUP BY 1, 2),
+         l1 AS (SELECT src AS node, label FROM (
+                  SELECT src, label,
+                         row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+                  FROM n1) WHERE rn = 1),
+         n2 AS (SELECT sym.src, l1.label, count(*) AS c
+                FROM sym JOIN l1 ON l1.node = sym.dst GROUP BY 1, 2),
+         l2 AS (SELECT src AS node, label FROM (
+                  SELECT src, label,
+                         row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+                  FROM n2) WHERE rn = 1),
+         n3 AS (SELECT sym.src, l2.label, count(*) AS c
+                FROM sym JOIN l2 ON l2.node = sym.dst GROUP BY 1, 2),
+         l3 AS (SELECT src AS node, label FROM (
+                  SELECT src, label,
+                         row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+                  FROM n3) WHERE rn = 1),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                FROM l3 GROUP BY 1)
+         SELECT l3.node, l3.label AS community, sz.community_size
+         FROM l3 JOIN sz ON sz.label = l3.label ORDER BY node""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over plain edge-list DataFrames — the
@@ -132,6 +133,50 @@ object GraphOps {
     * to the consumer: the SIGN and the exact components are the
     * engine-portable part.
     */
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * made deterministic): every node starts as its own label; each
+    * round it adopts the MOST FREQUENT label among its neighbors,
+    * ties broken to the smallest label, all nodes updating from the
+    * previous round's labels simultaneously. Communities are denser
+    * than connected components (a CC splits along sparse cuts because
+    * the mode, unlike reachability, respects edge multiplicity of
+    * labels).
+    *
+    * Scale shape per round: ONE equi-join of the symmetrized edge list
+    * with the n-row label frame, a (node, label) count aggregate, and
+    * a top-1 window — all keyed by node, O(|E|) rows moved, never a
+    * label broadcast or a driver loop over nodes. The label frame is
+    * lineage-truncated per round like the CC/PageRank iterators.
+    * Fixed `rounds` keeps it oracle-re-derivable; classic LPA's
+    * run-to-stability needs the same rounds-bounded discipline at
+    * cluster scale anyway (oscillation on bipartite-ish structure is
+    * the known failure of run-to-convergence).
+    *
+    * Input: (ea, eb) undirected edges. Output: (node, community,
+    * community_size).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = Checkpoints.truncate(
+      edges.select(col("ea").as("src"), col("eb").as("dst"))
+        .unionByName(edges.select(col("eb").as("src"), col("ea").as("dst")))
+        .distinct())
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to rounds).foreach { _ =>
+      val neigh = sym
+        .join(lab.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("label"))
+      lab = Checkpoints.truncate(neigh
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("src").as("node"), col("label")))
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val und = edges.select(col("ea").as("u"), col("eb").as("v"))
       .unionByName(edges.select(col("eb").as("u"), col("ea").as("v")))

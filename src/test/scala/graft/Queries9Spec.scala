@@ -273,6 +273,26 @@ class Queries9Spec extends SparkSpec {
     assert(alone.getAs[Long]("mean_p_ppm") == 875000L)
   }
 
+  test("LPA communities: disjoint cliques converge to their min label; deterministic reruns") {
+    import spark.implicits._
+    // two disjoint 4-cliques: round 1 sends every node to the min of
+    // its neighbors, round 2 to the clique minimum — hand-derivable
+    val clique = Seq(1L, 2L, 3L, 4L)
+    val clique2 = Seq(11L, 12L, 13L, 14L)
+    def edgesOf(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (edgesOf(clique) ++ edgesOf(clique2)).toDF("ea", "eb")
+    val got = graft.ext.GraphOps.labelPropagation(edges, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    clique.foreach(n => assert(got(n) == (1L, 4L), s"node $n: ${got(n)}"))
+    clique2.foreach(n => assert(got(n) == (11L, 4L), s"node $n: ${got(n)}"))
+    val rerun = graft.ext.GraphOps.labelPropagation(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rerun == got.toSeq.map { case (n, (c, s)) => (n, c, s) }.sorted,
+      "LPA must be deterministic")
+  }
+
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
     val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
     val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
