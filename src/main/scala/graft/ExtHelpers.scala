@@ -186,6 +186,37 @@ private[graft] trait ExtHelpers {
                = b.m6 || b.m7 || b.m8 || b.m9 || b.m10 || b.m11)
          WHERE (SELECT chosen FROM decq) = 6)"""
 
+  /** The cleaning-pipeline CTE chain (quality gate → exact dedup →
+    * policy-routed near-dup prune), shared by the corpus_clean_pipeline
+    * and train_assembly_pipeline oracles. Expects a `corpus` CTE with
+    * (doc_id, text); ends with `kept` (doc_id, text, quality_score).
+    */
+  protected def cleanCtes: String =
+    s"""q AS (
+           SELECT doc_id, text,
+             least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+               + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality_score
+           FROM corpus),
+         gated AS (SELECT * FROM q WHERE quality_score >= 0.3),
+         ek AS (
+           SELECT doc_id, text, quality_score FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+             FROM gated)
+           WHERE doc_id = keep_id),
+         ${minhashAutoCtes("ek")},
+         losers AS (
+           SELECT DISTINCT b_id AS doc_id FROM (
+             SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
+           WHERE jaccard >= 0.5),
+         kept AS (
+           SELECT e.doc_id, e.text, e.quality_score
+           FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
+           WHERE l.doc_id IS NULL)"""
+
   protected val jaccardSql = // over (ash, bsh)
     """CAST(len(list_distinct(ash)) + len(list_distinct(bsh))
             - len(list_distinct(list_concat(ash, bsh))) AS DOUBLE)

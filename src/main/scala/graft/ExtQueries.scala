@@ -931,30 +931,10 @@ object ExtQueries extends ExtHelpers {
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
            UNION ALL
            SELECT doc_id + 2000000, text FROM documents),
-         q AS (
-           SELECT doc_id, text,
-             least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
-               + least(CAST(len(list_filter(string_split(text, ' '),
-                   t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
-                 / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
-               + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality_score
-           FROM corpus),
-         gated AS (SELECT * FROM q WHERE quality_score >= 0.3),
-         ek AS (
-           SELECT doc_id, text, quality_score FROM (
-             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-             FROM gated)
-           WHERE doc_id = keep_id),
-         ${minhashAutoCtes("ek")},
-         losers AS (
-           SELECT DISTINCT b_id AS doc_id FROM (
-             SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
-           WHERE jaccard >= 0.5)
-         SELECT e.doc_id, e.quality_score
-         FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
-         WHERE l.doc_id IS NULL
-         ORDER BY e.doc_id""",
+         $cleanCtes
+         SELECT doc_id, quality_score
+         FROM kept
+         ORDER BY doc_id""",
   )
 
   /** The full extension-layer registry: relational/train-prep core keys

@@ -77,4 +77,57 @@ object CorpusClean {
 
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
+
+  /** End-to-end training-mix assembly — the capstone composition:
+    *
+    *   1. [[clean]]            — quality gate, exact dedup,
+    *                             policy-routed near-dup prune;
+    *   2. LM-fluency scoring   — [[TextAnalysis.bigramLmScore]] trained
+    *                             on the SURVIVORS (the mix should be
+    *                             scored against what ships, not against
+    *                             what was dropped);
+    *   3. fluency banding      — survivors cut into three bands at the
+    *                             exact n/3 and 2n/3 order statistics of
+    *                             (mean_p_ppm, doc_id). The two
+    *                             thresholds are a driver-side 1-row
+    *                             gate (the same measure-then-act class
+    *                             as the skew/re-banding policies), NOT
+    *                             a global-window ntile — no
+    *                             single-partition sort at scale;
+    *   4. deterministic shards — `portableHash("shard|" + doc_id)`
+    *                             (the dataset_shard_shuffle convention)
+    *                             % nShards, position = rank within the
+    *                             shard by (sort_key, doc_id).
+    *
+    * Every stage is scan/join/aggregate-shaped; the only total orders
+    * are per-shard (position) and the two order-statistic lookups
+    * (top-k limits, never a full sort collected).
+    */
+  def assemble(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val cleaned = Checkpoints.truncateLazy(clean(docs))
+    val lm = TextAnalysis.bigramLmScore(cleaned.select("doc_id", "text"))
+    val scored = cleaned
+      .join(lm.select(col("doc_id"), col("mean_p_ppm")), Seq("doc_id"), "left")
+      .withColumn("mean_p_ppm", coalesce(col("mean_p_ppm"), lit(0L)))
+    val n = scored.count()
+    def cutAt(k: Long): Long =
+      if (k < 1) Long.MinValue
+      else scored.select(col("mean_p_ppm"), col("doc_id"))
+        .orderBy(col("mean_p_ppm"), col("doc_id"))
+        .limit(k.toInt).agg(max(col("mean_p_ppm"))).collect().head.getLong(0)
+    val t1 = cutAt(n / 3)
+    val t2 = cutAt(2 * n / 3)
+    scored
+      .withColumn("fluency_band",
+        when(col("mean_p_ppm") <= t1, 1)
+          .when(col("mean_p_ppm") <= t2, 2).otherwise(3))
+      .withColumn("sort_key",
+        TrainPrep.portableHash(concat(lit("shard|"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+      .withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))))
+      .select(col("doc_id"), col("quality_score"), col("mean_p_ppm"),
+        col("fluency_band"), col("shard"), col("position").cast("long").as("position"))
+  }
 }

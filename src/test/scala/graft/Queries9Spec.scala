@@ -293,6 +293,31 @@ class Queries9Spec extends SparkSpec {
       "LPA must be deterministic")
   }
 
+  test("train assembly: tercile bands, dense in-shard positions, deterministic") {
+    val run = Queries9.all("train_assembly_pipeline")
+    val rows = run(spark, sf("sf0.001")).collect()
+    val n = rows.length
+    assert(n > 0)
+    // value-threshold bands: band 1 holds AT LEAST the first tercile
+    // (ties at the cut value stay in the lower band, both engines)
+    val byBand = rows.groupBy(_.getAs[Int]("fluency_band")).view.mapValues(_.length).toMap
+    assert(byBand.getOrElse(1, 0) >= n / 3, s"band sizes: $byBand (n=$n)")
+    assert(byBand.getOrElse(1, 0) + byBand.getOrElse(2, 0) >= 2 * n / 3)
+    assert(byBand.keySet.subsetOf(Set(1, 2, 3)))
+    // band values must be consistent with the thresholds they define
+    val maxB1 = rows.filter(_.getAs[Int]("fluency_band") == 1).map(_.getAs[Long]("mean_p_ppm")).max
+    val minB3 = rows.filter(_.getAs[Int]("fluency_band") == 3).map(_.getAs[Long]("mean_p_ppm")).min
+    assert(maxB1 < minB3, "bands must be value-ordered")
+    // every shard's positions are exactly 1..size
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      val pos = rs.map(_.getAs[Long]("position")).sorted.toSeq
+      assert(pos == (1L to rs.length.toLong), s"shard $s positions not dense: $pos")
+    }
+    // deterministic
+    val again = run(spark, sf("sf0.001")).collect().toSeq
+    assert(again == rows.toSeq, "assembly must be deterministic")
+  }
+
   test("two-level IVF: the flat side of the comparison IS ivfTopK's answer (shared probe/search tail)") {
     val e = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
     val cmp = graft.ext.Similarity.ivfTwoLevelCompare(
