@@ -69,7 +69,12 @@ class Queries6Spec extends SparkSpec {
     val allow = Set(
       "corpus_clean_pipeline", "customer_decile_transitions", "data_row_diff",
       "dedup_cluster_representatives", "dedup_clusters", "dedup_embedding_cosine",
-      "embedding_knn_dist_outliers", "graph_neighbor_jaccard", "knn_classify_majority",
+      // graph_lpa_communities (round 9): each LPA round joins the
+      // |E|-row symmetric edge list with the |V|-row label frame on
+      // dst, and the size attach joins two |V|-scale frames — both
+      // sides grow with the graph, SMJ is the right 100 TB plan
+      "embedding_knn_dist_outliers", "graph_lpa_communities",
+      "graph_neighbor_jaccard", "knn_classify_majority",
       "knn_graph_blocked", "merge_upsert", "multimodal_phash_clusters",
       "multimodal_phash_representatives", "multimodal_png_phash_clusters",
       "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share",
