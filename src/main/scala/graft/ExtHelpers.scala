@@ -163,9 +163,10 @@ private[graft] trait ExtHelpers {
                                   WHEN 2 THEN m6 || m7 || m8
                                   ELSE m9 || m10 || m11 END AS sig
                   FROM mhq, range(4) t(b))
+                WHERE sig IS NOT NULL
                 GROUP BY sig),
        decq AS (SELECT CASE WHEN (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43)
-                                 > 8 * (SELECT count(*) FROM mhq)
+                                 > 8 * (SELECT count(*) FROM mhq WHERE m0 IS NOT NULL)
                             THEN CAST(6 AS INT) ELSE CAST(3 AS INT) END AS chosen),
        acand AS (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh

@@ -448,12 +448,13 @@ object ExtQueriesDedup extends ExtHelpers {
                                     WHEN 2 THEN m6 || m7 || m8
                                     ELSE m9 || m10 || m11 END AS sig
                     FROM omh, range(4) t(b))
+                  WHERE sig IS NOT NULL
                   GROUP BY sig),
          decq AS (SELECT CASE WHEN (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43)
-                                   > 8 * (SELECT count(*) FROM omh)
+                                   > 8 * (SELECT count(*) FROM omh WHERE m0 IS NOT NULL)
                               THEN CAST(6 AS INT) ELSE CAST(3 AS INT) END AS chosen,
                          (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM bq43) AS b43,
-                         (SELECT CAST(count(*) AS BIGINT) FROM omh) AS nd),
+                         (SELECT CAST(count(*) AS BIGINT) FROM omh WHERE m0 IS NOT NULL) AS nd),
          cand AS (
            SELECT o.doc_id AS old_id, n.doc_id AS new_id, o.sh AS ash, n.sh AS bsh
            FROM omh o JOIN nmh n

@@ -259,7 +259,7 @@ object Queries9 extends ExtHelpers {
       s"""WITH q AS ($quantSql),
          par AS (SELECT CAST(count(*) AS BIGINT) AS n,
                         greatest(8, CAST(floor(sqrt(count(*))) AS INT)) AS cells,
-                        least(greatest(2, CAST(floor(pow(count(*), 0.25)) AS INT)),
+                        least(greatest(2, CAST(floor(sqrt(floor(sqrt(count(*))))) AS INT)),
                               greatest(8, CAST(floor(sqrt(count(*))) AS INT))) AS supers,
                         count(*) >= 1000 AS two_level
                  FROM embeddings),
@@ -341,14 +341,16 @@ object Queries9 extends ExtHelpers {
                          CAST(count(*) AS BIGINT) AS n_buckets,
                          CAST(max(c) AS BIGINT) AS max_bucket,
                          CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_budget
-                  FROM (SELECT band_id, sig, count(*) AS c FROM s43 GROUP BY 1, 2)
+                  FROM (SELECT band_id, sig, count(*) AS c FROM s43
+                        WHERE sig IS NOT NULL GROUP BY 1, 2)
                   GROUP BY band_id),
          st26 AS (SELECT CAST(6 AS INT) AS rows_per_band, band_id,
                          CAST(sum(c) AS BIGINT) AS n_docs,
                          CAST(count(*) AS BIGINT) AS n_buckets,
                          CAST(max(c) AS BIGINT) AS max_bucket,
                          CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_budget
-                  FROM (SELECT band_id, sig, count(*) AS c FROM s26 GROUP BY 1, 2)
+                  FROM (SELECT band_id, sig, count(*) AS c FROM s26
+                        WHERE sig IS NOT NULL GROUP BY 1, 2)
                   GROUP BY band_id),
          dec AS (SELECT CASE WHEN (SELECT sum(pair_budget) FROM st43)
                                   > 8 * (SELECT max(n_docs) FROM st43)
@@ -376,12 +378,13 @@ object Queries9 extends ExtHelpers {
                                    WHEN 2 THEN m6 || m7 || m8
                                    ELSE m9 || m10 || m11 END AS sig
                    FROM mh, range(4) t(b))
+                 WHERE sig IS NOT NULL
                  GROUP BY sig),
          dec AS (SELECT CASE WHEN (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM b43)
-                                  > 8 * (SELECT count(*) FROM corpus)
+                                  > 8 * (SELECT count(*) FROM mh WHERE m0 IS NOT NULL)
                              THEN CAST(6 AS INT) ELSE CAST(3 AS INT) END AS chosen,
                         (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM b43) AS budget43,
-                        (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS nd),
+                        (SELECT CAST(count(*) AS BIGINT) FROM mh WHERE m0 IS NOT NULL) AS nd),
          cand AS (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
            FROM mh a JOIN mh b

@@ -88,35 +88,53 @@ object CorpusClean {
     *                             what was dropped);
     *   3. fluency banding      — survivors cut into three bands at the
     *                             exact n/3 and 2n/3 order statistics of
-    *                             (mean_p_ppm, doc_id). The two
-    *                             thresholds are a driver-side 1-row
-    *                             gate (the same measure-then-act class
-    *                             as the skew/re-banding policies), NOT
-    *                             a global-window ntile — no
-    *                             single-partition sort at scale;
+    *                             mean_p_ppm, read off the VALUE
+    *                             HISTOGRAM: group the scores to
+    *                             |distinct ppm values| rows,
+    *                             distributed prefix sum
+    *                             ([[Scale.chunkedCumSum]]), rank-k
+    *                             value = min v with cum(v) ≥ k — a
+    *                             1-row driver gate (the same
+    *                             measure-then-act class as the skew /
+    *                             re-banding policies). The first
+    *                             formulation planned
+    *                             `orderBy().limit(k)` with k = n/3 — a
+    *                             TakeOrderedAndProject buffering a
+    *                             third of the surviving corpus through
+    *                             ONE task, with `k.toInt` overflowing
+    *                             past 2³¹ docs; nothing
+    *                             data-proportional reaches a single
+    *                             task now;
     *   4. deterministic shards — `portableHash("shard|" + doc_id)`
     *                             (the dataset_shard_shuffle convention)
     *                             % nShards, position = rank within the
     *                             shard by (sort_key, doc_id).
     *
-    * Every stage is scan/join/aggregate-shaped; the only total orders
-    * are per-shard (position) and the two order-statistic lookups
-    * (top-k limits, never a full sort collected).
+    * Every stage is scan/join/aggregate-shaped; the only total order is
+    * per-shard (position) — the order-statistic lookups are histogram
+    * aggregates, never a sort of document rows.
     */
   def assemble(docs: DataFrame, nShards: Int = 8): DataFrame = {
     val cleaned = Checkpoints.truncateLazy(clean(docs))
     val lm = TextAnalysis.bigramLmScore(cleaned.select("doc_id", "text"))
-    val scored = cleaned
+    // truncated: consumed by the threshold gate AND the final banding
+    // projection — without it the LM-score join re-runs per consumer
+    val scored = Checkpoints.truncateLazy(cleaned
       .join(lm.select(col("doc_id"), col("mean_p_ppm")), Seq("doc_id"), "left")
-      .withColumn("mean_p_ppm", coalesce(col("mean_p_ppm"), lit(0L)))
-    val n = scored.count()
-    def cutAt(k: Long): Long =
-      if (k < 1) Long.MinValue
-      else scored.select(col("mean_p_ppm"), col("doc_id"))
-        .orderBy(col("mean_p_ppm"), col("doc_id"))
-        .limit(k.toInt).agg(max(col("mean_p_ppm"))).collect().head.getLong(0)
-    val t1 = cutAt(n / 3)
-    val t2 = cutAt(2 * n / 3)
+      .withColumn("mean_p_ppm", coalesce(col("mean_p_ppm"), lit(0L))))
+    val hist = scored.groupBy(col("mean_p_ppm")).agg(count(lit(1)).as("c"))
+      .withColumn("_g", lit(1))
+    val gate = Scale.chunkedCumSum(hist, Seq("_g"), "mean_p_ppm", "c", "cum")
+      .agg(max(col("cum_total")).as("n"),
+        min(when(col("cum") >= expr("cum_total div 3"), col("mean_p_ppm"))).as("t1"),
+        min(when(col("cum") >= expr("2 * cum_total div 3"), col("mean_p_ppm"))).as("t2"))
+      .collect().head
+    val n = if (gate.isNullAt(0)) 0L else gate.getLong(0)
+    // rank k < 1 (fewer than 3 survivors, or an empty corpus) has no
+    // k-th order statistic: the band predicate must then be vacuous,
+    // exactly as the previous formulation's k<1 guard produced
+    val t1 = if (n / 3 < 1) Long.MinValue else gate.getLong(1)
+    val t2 = if (2 * n / 3 < 1) Long.MinValue else gate.getLong(2)
     scored
       .withColumn("fluency_band",
         when(col("mean_p_ppm") <= t1, 1)

@@ -366,8 +366,16 @@ object Dedup {
         bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
         .as(Seq("band_id", "sig")))
 
+  // NULL sigs (shingle-less docs — fewer than k tokens) occupy no
+  // bucket and can never equi-join a candidate, so they contribute
+  // NOTHING to the pair budget or the bucket stats. Counting them
+  // would also diverge from the SQL re-derivations: `||` concatenation
+  // NULL-propagates, so a VARCHAR-prefixed oracle sig merges all bands'
+  // NULL groups into one (C(4m,2) vs the engine's per-band 4·C(m,2)) —
+  // exclusion is the one convention both sides express identically.
   private def bandStatsFromSigs(sigs: DataFrame): DataFrame =
-    sigs.groupBy(col("band_id"), col("sig")).agg(count(lit(1)).as("c"))
+    sigs.filter(col("sig").isNotNull)
+      .groupBy(col("band_id"), col("sig")).agg(count(lit(1)).as("c"))
       .groupBy(col("band_id"))
       .agg(sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_buckets"),
@@ -451,7 +459,12 @@ object Dedup {
       df: DataFrame,
       bucketCols: Seq[String],
       maxBucket: Int): DataFrame =
-    df
+    // a NULL bucket key is "no signature" (shingle-less doc): an
+    // equi-join would never match it, so the groupBy formulation must
+    // not pair it either — at scale a NULL bucket is exactly the
+    // degenerate hot bucket (every empty doc lands in it) and every
+    // pair it expands is verify-time garbage
+    df.na.drop(bucketCols)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(bucketCols.map(col): _*).orderBy(col("doc_id"))))
       .filter(col("_rn") <= maxBucket)

@@ -185,8 +185,11 @@ object Scale {
       .agg(max(col("c")).as("max_n"), sum(col("c")).as("n_rows"),
         count(lit(1)).as("n_keys"))
       .collect().head
+    // empty input: max/sum aggregate to NULL (and n_rows=0 would divide
+    // by zero) — no skew exists, take the plain branch
     val skewXPpm =
-      (BigInt(m.getLong(0)) * m.getLong(2) * 1000000 / m.getLong(1)).toLong
+      if (m.isNullAt(0) || m.isNullAt(1) || m.getLong(1) == 0L) 0L
+      else (BigInt(m.getLong(0)) * m.getLong(2) * 1000000 / m.getLong(1)).toLong
     val skewed = skewXPpm > skewThresholdPpm
     val agged = if (skewed) saltedSumAgg(df, key, valueCol, salts)
       else df.groupBy(col(key))

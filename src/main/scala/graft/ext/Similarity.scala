@@ -1042,9 +1042,26 @@ object Similarity {
     * BOTH levels' scan at O(∜n) per vector — total assignment cost
     * O(n·∜n) distance evals instead of the flat O(n·√n), the build-side
     * cliff the round-8 verdict flagged beyond ~10⁸ vectors.
+    *
+    * Integer-exact: ⌊∜n⌋ = ⌊√⌊√n⌋⌋, computed with two correctly-rounded
+    * sqrts plus an integer fix-up. `pow(n, 0.25)` is NOT correctly
+    * rounded in IEEE 754, so at perfect fourth powers (4096, 65536, …)
+    * a 1-ulp libm difference could flip the floor and make engine and
+    * oracle pick different super counts — sqrt carries no such risk
+    * (the oracle mirrors the nested-sqrt form).
     */
-  def adaptiveSupers(n: Long, minSupers: Int = 2): Int =
-    math.max(minSupers, math.pow(n.toDouble, 0.25).toLong).toInt
+  def adaptiveSupers(n: Long, minSupers: Int = 2): Int = {
+    def isqrt(x: Long): Long = {
+      if (x <= 0) 0L
+      else {
+        var r = math.sqrt(x.toDouble).toLong
+        while (r > 0 && r * r > x) r -= 1
+        while ((r + 1) * (r + 1) <= x) r += 1
+        r
+      }
+    }
+    math.max(minSupers.toLong, isqrt(isqrt(n))).toInt
+  }
 
   /** TWO-LEVEL coarse assignment vs flat, compared through the same
     * probe/search tail — the forward-looking ANN build-cost path: each

@@ -63,9 +63,17 @@ object TextAnalysis {
     * grams (ties broken lexicographically). A steep curve = templated/
     * repetitive corpus (dedup will bite); a flat curve = diverse text.
     *
-    * Scale shape: one explode + (gram)-keyed count shuffle; the ranking
-    * window runs over |distinct grams| rows (never the corpus), and the
-    * output is |probe points| rows.
+    * Scale shape: one explode + (gram)-keyed count shuffle; the head is
+    * cut to max(probes) rows with orderBy+limit FIRST (a
+    * TakeOrderedAndProject — each partition contributes its local
+    * top-k, no global sort), and only those ≤max(probes) survivors pass
+    * through the rank/cum window. Cum over the survivors equals cum
+    * over the full histogram at every consumed rank, because rank r's
+    * running sum reads only the top-r rows. Ranking ALL distinct grams
+    * through an unpartitioned window — the first formulation — put a
+    * vocabulary that grows ~linearly with corpus tokens through one
+    * task (the exact trap [[graft.ext.TrainPrep.tokensToIds]]
+    * documents); the output is |probe points| rows either way.
     */
   def ngramCoverageCurve(
       docs: DataFrame,
@@ -79,6 +87,7 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("g"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val ranked = counts
+      .orderBy(col("n").desc, col("g")).limit(probes.max)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("g"))))
       .withColumn("cum", sum(col("n")).over(w))
@@ -478,13 +487,18 @@ object TextAnalysis {
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val pairs = Scale.widen(docs)
+    // lazily truncated: the exploded frame is consumed THREE times
+    // (c12 model counts, c1 leading-token counts, the scoring join) —
+    // without the truncation the corpus-wide tokenize+explode lineage
+    // re-runs per consumer; lazy (not eager) so the blocks materialize
+    // during the first consumer's own job, no extra barrier
+    val pairs = Checkpoints.truncateLazy(Scale.widen(docs)
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(slice(w, 1, size(w) - 1),
              (t, i) -> struct(t AS w1, element_at(w, i + 2) AS w2))""")).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2")))
     val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     pairs
