@@ -224,14 +224,14 @@ object Queries {
     * Vec<String> inequality exactly.
     */
   private def indexColumnsMismatch(s: SparkSession, dir: String): DataFrame = {
-    // persisted: both sides of the shifted self-join consume this
-    // aggregate — without it the shuffle+agg runs twice
-    val idx = t(s, dir, "lineitem")
+    // materialized (lazy checkpoint, reference-tracked blocks): both
+    // sides of the shifted self-join consume this aggregate — without
+    // it the shuffle+agg runs twice
+    val idx = graft.ext.Checkpoints.truncateLazy(t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(transform(
         sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
-        x => x.getField("l_partkey")).as("cols"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        x => x.getField("l_partkey")).as("cols")))
     idx.alias("a").join(idx.alias("b"), col("b.l_orderkey") === col("a.l_orderkey") + 1)
       .filter(col("a.cols") =!= col("b.cols")) // ordered comparison
       .select(col("a.l_orderkey").as("l_orderkey"),

@@ -509,7 +509,11 @@ object Queries3 {
     // shuffle keyed by order collects each order's part set; id-ordered
     // pairs explode in place (the self-join shuffles the same frame
     // twice for the same pairs — the pairsWithinBuckets pattern)
-    val edges = t(s, dir, "lineitem")
+    // the edge list feeds FOUR consumers (three legs of the triangle
+    // join + the edge count): lazy checkpoint so each consumer reads
+    // the materialized edges instead of re-running the collect_set +
+    // pair-expansion subtree (reference-tracked, no session leak)
+    val edges = graft.ext.Checkpoints.truncateLazy(t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("pks"))
@@ -521,11 +525,7 @@ object Queries3 {
       .groupBy(col("ea"), col("eb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-      .select(col("ea"), col("eb"))
-      // the edge list feeds FOUR consumers (three legs of the triangle
-      // join + the edge count) — without persist each consumer re-runs
-      // the collect_set + pair-expansion subtree
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("ea"), col("eb")))
     val tri = edges.alias("e1")
       .join(edges.alias("e2"), col("e1.eb") === col("e2.ea"))
       .join(edges.alias("e3"),
@@ -600,13 +600,13 @@ object Queries3 {
         .as("text")))
     graft.functions.GraftFunctions.register(s)
     // widened before the per-row shingling (narrow scan must not
-    // serialize it) and persisted: BOTH sides of the self-join read
-    // this frame — without persist the tokenize+shingle+distinct
-    // subtree runs twice (the Dedup.scala:66 convention)
-    val sh = graft.ext.Scale.widen(d).select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(graft.ext.TextPrimitives.shingles(
-        graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // serialize it) and lazily checkpointed: BOTH sides of the
+    // self-join read this frame — without materialization the
+    // tokenize+shingle+distinct subtree runs twice (Dedup.scala:66)
+    val sh = graft.ext.Checkpoints.truncateLazy(
+      graft.ext.Scale.widen(d).select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(graft.ext.TextPrimitives.shingles(
+          graft.ext.TextPrimitives.tokens(col("text")), 3)).as("sh")))
     sh.alias("a").join(sh.alias("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.doc_id") =!= col("b.doc_id") &&

@@ -47,13 +47,12 @@ object Queries4 {
     // per-customer frame persisted: it feeds the global-max probe,
     // three quartile histograms AND the final scoring pass — without
     // it the orders scan + aggregate re-runs five times
-    val per = t(s, dir, "orders")
+    val per = graft.ext.Checkpoints.truncateLazy(t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"), priceC.as("price_c"))
       .groupBy(col("o_custkey"))
       .agg(max(col("d")).as("last_d"),
         count(lit(1)).as("freq"),
-        sum(col("price_c")).as("mon_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sum(col("price_c")).as("mon_c")))
     val withRec = per
       .crossJoin(broadcast(per.agg(max(col("last_d")).as("gmax"))))
       .withColumn("rec", datediff(col("gmax"), col("last_d")).cast("long"))
@@ -371,11 +370,10 @@ object Queries4 {
     // first formulation joined the medians back onto the raw fact and
     // re-aggregated 6M dev rows; this one re-aggregates the ~600k-row
     // histogram.)
-    val h = t(s, dir, "lineitem")
+    val h = graft.ext.Checkpoints.truncateLazy(t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("v"))
-      .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c")))
 
     // plain window: each median is consumed once and the histogram is
     // persisted, so the fan-out cost of the chunked prefix sum (three
@@ -395,11 +393,11 @@ object Queries4 {
     // persisted like h: the deviation histogram feeds the MAD median
     // (which reads it three times through the chunked prefix sum) and
     // the final outlier rollup
-    val devH = h.join(broadcast(med), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"), col("med_c"),
-        abs(col("v") - col("med_c")).as("v"))
-      .agg(sum(col("c")).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val devH = graft.ext.Checkpoints.truncateLazy(
+      h.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("med_c"),
+          abs(col("v") - col("med_c")).as("v"))
+        .agg(sum(col("c")).as("c")))
     val mad = medianOfHist(devH, "mad_c")
     devH.join(broadcast(mad), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))

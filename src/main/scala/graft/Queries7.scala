@@ -69,8 +69,8 @@ object Queries7 {
     // CASE — re-derived independently by the DuckDB oracle.
     "dedup_simhash_rebanding" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val s16 = graft.ext.Dedup.simhashBandStats(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s16 = graft.ext.Checkpoints.truncateLazy(
+        graft.ext.Dedup.simhashBandStats(d))
       val s64 = graft.ext.Dedup.simhashBandStats64(d)
       val dec = s16
         .agg(sum(col("pair_budget")).as("b16"), max(col("n_docs")).as("nd"))

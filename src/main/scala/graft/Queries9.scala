@@ -111,6 +111,17 @@ object Queries9 extends ExtHelpers {
       Similarity.nnDescent(t(s, dir, "embeddings"), k = 4, rounds = 2)
         .orderBy("q_id", "rank")),
 
+    // the kNN-graph BUILD policy: n measured → exact blocked tile join
+    // below the crossover, NN-descent at/above it (knnClassify and
+    // knnDistOutliers route through the same gate). exactThreshold=1000
+    // puts the sf gate corpora (500 vectors) on the exact branch and
+    // the organic ×10 corpus on NN-descent, so the scaled gate executes
+    // the descent SQL re-derivation for real, not as dead code.
+    "knn_graph_build_auto" -> ((s, dir) =>
+      Similarity.knnGraphAuto(t(s, dir, "embeddings"), k = 4,
+          exactThreshold = 1000L)
+        .orderBy("q_id", "rank")),
+
     // CCNet-style LM fluency filtering without a transcendental:
     // corpus-trained bigram MLE, per-doc mean conditional probability
     // in exact ppm (rank-equivalent to negated perplexity; log/exp
@@ -423,6 +434,45 @@ object Queries9 extends ExtHelpers {
          g2 AS (${nndTopK(nndCand("g1"))})
          SELECT src AS q_id, rank, dst AS n_id, cosine
          FROM g2 ORDER BY q_id, rank""",
+
+    // both BUILD branches re-derived behind the same measured gate the
+    // engine uses. The exact arm's input is emptied by the gate BEFORE
+    // the quadratic self-join (exq is 0 rows when the corpus descends),
+    // so at organic scale only the descent chain does work — the arms
+    // are mutually exclusive on par.is_exact AND cost-exclusive.
+    "knn_graph_build_auto" ->
+      s"""WITH q AS ($quantSql),
+         par AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        count(*) < 1000 AS is_exact
+                 FROM embeddings),
+         exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
+         ex AS (
+           SELECT q_id, rank, n_id, cosine FROM (
+             SELECT q_id, n_id, cosine,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, n_id) AS INT) AS rank
+             FROM (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                          ${qcosSql("a.q", "b.q")} AS cosine
+                   FROM exq a JOIN exq b ON a.vec_id <> b.vec_id))
+           WHERE rank <= 4),
+         i0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM q a
+                JOIN range(4) t(o) ON TRUE
+                JOIN q b ON b.vec_id = a.vec_id + CAST(t.o + 1 AS BIGINT)),
+         c0 AS (SELECT src, dst FROM i0 UNION SELECT dst, src FROM i0),
+         g0 AS (${nndTopK("SELECT src, dst FROM c0")}),
+         g1 AS (${nndTopK(nndCand("g0"))}),
+         g2 AS (${nndTopK(nndCand("g1"))}),
+         res AS (
+           SELECT e.q_id, e.rank, e.n_id, e.cosine FROM ex e, par WHERE par.is_exact
+           UNION ALL
+           SELECT g2.src, g2.rank, g2.dst, g2.cosine
+           FROM g2, par WHERE NOT par.is_exact)
+         SELECT res.q_id, res.rank, res.n_id, res.cosine,
+                CASE WHEN par.is_exact THEN 'exact_blocked'
+                     ELSE 'nn_descent' END AS graph_mode,
+                par.n AS n_corpus
+         FROM res, par ORDER BY q_id, rank""",
 
     // bigram MLE re-derived positionally: every consecutive pair
     // counts each occurrence, c1 = non-final-position counts (tokens

@@ -58,13 +58,12 @@ object CorpusClean {
     // it feeds BOTH the LSH stage and the final anti-join — without it
     // the quality gate + dedup window re-run per branch (at cluster
     // scale this materialization is a storage checkpoint).
-    val exactKept = gated
+    val exactKept = Checkpoints.truncateLazy(gated
       .withColumn("text_hash", md5(col("text")))
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("keep_id"))
-      .drop("text_hash", "keep_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("text_hash", "keep_id"))
 
     // near-dup prune: drop the higher id of each verified LSH pair.
     // Round 9: routed through the re-banding policy — the candidate

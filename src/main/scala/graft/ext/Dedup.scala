@@ -63,19 +63,18 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // The shingle frame feeds three plan branches (signatures + both
-    // sides of the verify join); without persist each branch re-runs
-    // the md5-heavy shingling. At cluster scale this materialization
-    // would be a checkpoint to storage instead of memory. `shh` hashes
-    // each shingle ONCE — all band minhashes are substrings of it.
-    // widen: the md5 stage must run at cluster width even when the
-    // input scan plans few partitions (small file count). The persisted
-    // frame carries only (doc_id, sh, shh) — `text` is never used
-    // downstream, and at 64 hex chars per shingle `shh` already
-    // dominates the cache footprint.
-    val sh = Scale.widen(docs).select(col("doc_id"),
+    // sides of the verify join); without materialization each branch
+    // re-runs the md5-heavy shingling. `shh` hashes each shingle ONCE —
+    // all band minhashes are substrings of it. widen: the md5 stage
+    // must run at cluster width even when the input scan plans few
+    // partitions (small file count). The frame carries only (doc_id,
+    // sh, shh) — `text` is never used downstream. truncateLazy (not a
+    // bare persist): blocks are reference-tracked, so repeated
+    // invocations in one session don't accumulate cached shingle
+    // material in the block manager.
+    val sh = Checkpoints.truncateLazy(Scale.widen(docs).select(col("doc_id"),
       shingles(tokens(col("text")), k).as("sh"))
-      .withColumn("shh", shingleHashes(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("shh", shingleHashes(col("sh"))))
 
     // (doc, band_id, signature) — the only thing that shuffles.
     val sigs = sh.select(col("doc_id"),
@@ -123,14 +122,13 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = Scale.widen(docs).select(col("doc_id"),
+    val sh = Checkpoints.truncateLazy(Scale.widen(docs).select(col("doc_id"),
       shingles(tokens(col("text")), k).as("sh"))
       // top-32-bit halves: `h1 + i·h2` must stay inside a long under
       // ANSI mode (no wrap-around), and 32-bit minhash entropy is ample
       .withColumn("h1", transform(col("sh"), x => shiftrightunsigned(xxhash64(x), 32)))
       .withColumn("h2", transform(col("sh"),
-        x => shiftrightunsigned(xxhash64(x, lit(0x9e3779b9L)), 32)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        x => shiftrightunsigned(xxhash64(x, lit(0x9e3779b9L)), 32))))
     def minhash(i: Int) = coalesce(
       array_min(zip_with(col("h1"), col("h2"), (a, b) => a + lit(i.toLong) * b)),
       lit(Long.MinValue)) // shingle-less docs collapse into one capped bucket
@@ -185,9 +183,14 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           bandFromHashes(col("shh"), b * rowsPerBand, rowsPerBand)): _*))
           .as(Seq("band_id", "sig")))
+    // NULL sigs (shingle-less docs) drop BEFORE the window: they can
+    // never survive the equi-join, and at scale they would all land in
+    // one (band_id, NULL) window partition — a single-task sort over
+    // every empty doc in the corpus
     def capped(s: DataFrame): DataFrame =
-      s.withColumn("_rn", row_number().over(
-        Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
+      s.na.drop(Seq("sig"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
         .filter(col("_rn") <= maxBucket).drop("_rn")
     val oldSh = prep(corpus)
     val newSh = prep(newBatch)
@@ -309,9 +312,14 @@ object Dedup {
     val budget = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val nDocs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val chosenRows = if (budget > budgetFactor * nDocs) 6 else 3
+    // NULL sigs (shingle-less docs) drop BEFORE the window: they can
+    // never survive the equi-join, and at scale they would all land in
+    // one (band_id, NULL) window partition — a single-task sort over
+    // every empty doc in the corpus
     def capped(s: DataFrame): DataFrame =
-      s.withColumn("_rn", row_number().over(
-        Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
+      s.na.drop(Seq("sig"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band_id"), col("sig")).orderBy(col("doc_id"))))
         .filter(col("_rn") <= maxBucket).drop("_rn")
     val cand = capped(bandSigs(oldSh, 12 / chosenRows, chosenRows))
       .select(col("band_id"), col("sig"), col("doc_id").as("old_id"))
@@ -502,9 +510,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nSeg = maxHamming + 1
     val bounds = (0 to nSeg).map(i => i * 16 / nSeg)
-    val sig = Scale.widen(docs).select(col("doc_id"),
-      simhash16(tokens(col("text"))).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Checkpoints.truncateLazy(Scale.widen(docs).select(col("doc_id"),
+      simhash16(tokens(col("text"))).as("simhash")))
     val segs = sig.select(col("doc_id"),
       posexplode(array((0 until nSeg).map(i =>
         col("simhash").substr(bounds(i) + 1, bounds(i + 1) - bounds(i))): _*))
@@ -545,18 +552,17 @@ object Dedup {
       transform(tokens(col("text")), t =>
         concat(md5(t), md5(concat(lit("1|"), t)))).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = mat.select(col("doc_id"), concat_ws("",
+    val sig = Checkpoints.truncateLazy(mat.select(col("doc_id"), concat_ws("",
       (1 to 64).map(i =>
         when(aggregate(col("m"), lit(0),
           (acc, h) => acc + when(h.substr(i, 1) >= "8", 1).otherwise(-1)) >= 0, lit("1"))
-          .otherwise(lit("0"))): _*).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .otherwise(lit("0"))): _*).as("simhash")))
     // the token-hash material is only an input to `sig`: materialize the
     // signatures now and release it, so repeated calls in a long-lived
-    // session don't accumulate dead cache (`sig` itself stays cached for
-    // the segment explode + two verify joins below; it is the one cache
-    // the returned plan still needs — callers doing many dedup passes
-    // should clearCache between them)
+    // session don't accumulate dead cache (`sig` itself is a lazily
+    // materialized checkpoint serving the segment explode + two verify
+    // joins below; its blocks are reference-tracked and released when
+    // the frame is collected)
     sig.count()
     mat.unpersist()
     val segs = sig.select(col("doc_id"),

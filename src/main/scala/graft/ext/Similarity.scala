@@ -188,6 +188,41 @@ object Similarity {
     g.select(col("src").as("q_id"), col("rank"), col("dst").as("n_id"), col("cosine"))
   }
 
+  /** The kNN-GRAPH build policy over the two builders — the
+    * [[ivfTopKAuto]] pattern applied to the graph: measure n once,
+    * then below `exactThreshold` run the exact blocked tile join
+    * ([[knnGraphBlocked]] — quadratic by contract, and at small n the
+    * right choice: NN-descent's per-round join overhead exceeds the
+    * full tile scan), at or above it run [[nnDescent]] (candidate
+    * volume n·k(k+2) per round, never n² — measured 3.5× faster at
+    * 8k vectors and 55× at 50k, NnDescentCostProbe / BASELINE §R9,
+    * and the gap WIDENS with n). Decision evidence rides on the
+    * output (`graph_mode`, `n_corpus`), so a consumer — or an audit —
+    * sees which plan produced the edges.
+    *
+    * Exactness contract: below the threshold the graph is exact;
+    * above it the graph is the deterministic NN-descent approximation
+    * (pinned init + ties — DuckDB-re-derivable round by round).
+    * Consumers that need exactness at any n must call
+    * [[knnGraphBlocked]] directly and pay its contract.
+    */
+  def knnGraphAuto(
+      corpus: DataFrame,
+      k: Int,
+      exactThreshold: Long = 10000L,
+      blocks: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val exact = n < exactThreshold
+    val g =
+      if (exact)
+        knnGraphBlocked(corpus, k, blocks)
+          .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      else nnDescent(corpus, k, rounds)
+    g.withColumn("graph_mode", lit(if (exact) "exact_blocked" else "nn_descent"))
+      .withColumn("n_corpus", lit(n))
+  }
+
   /** Per-label centroid statistics over the quantized embedding space:
     * one row per (label, dimension) with the exact integer coordinate
     * sum, vector count, and the mean coordinate (one final double
@@ -208,15 +243,21 @@ object Similarity {
       .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
 
   /** k-NN majority-vote classification: every vector is labeled by the
-    * majority label among its `k` exact nearest neighbors (ties broken
-    * toward the smaller label, fully deterministic). Built on
-    * [[knnGraphBlocked]] — the classic "label the unlabeled pool from
-    * its neighborhood" step of semi-supervised data curation; swap the
-    * exact graph for [[lshTopK]] candidates at approximate scale.
+    * majority label among its `k` nearest neighbors (ties broken
+    * toward the smaller label, fully deterministic). Routed through
+    * the [[knnGraphAuto]] build policy — the classic "label the
+    * unlabeled pool from its neighborhood" step of semi-supervised
+    * data curation runs on the exact blocked graph below the measured
+    * crossover and on NN-descent above it, so the op stays scan-shaped
+    * at corpus scale instead of quadratic.
     */
-  def knnClassify(embeddings: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+  def knnClassify(
+      embeddings: DataFrame,
+      k: Int,
+      blocks: Int = 16,
+      exactThreshold: Long = 10000L): DataFrame = {
     val labels = embeddings.select(col("vec_id").as("n_id"), col("label"))
-    val votes = knnGraphBlocked(embeddings, k, blocks)
+    val votes = knnGraphAuto(embeddings, k, exactThreshold, blocks)
       .join(labels, Seq("n_id"))
       .groupBy(col("q_id"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
@@ -683,17 +724,21 @@ object Similarity {
     * percentile bar would need a second tiny aggregate over the
     * |V|-row result).
     *
-    * Built on [[knnGraphBlocked]] — exact and quadratic BY CONTRACT
-    * (the verifier/small-pool tool; the documented scale path swaps in
-    * [[lshTopK]]/[[ivfTopK]] candidates without touching this scoring
-    * tail).
+    * Routed through the [[knnGraphAuto]] build policy: below the
+    * measured crossover the k-th distance is exact (the blocked tile
+    * join); above it it is the NN-descent estimate — an UPPER bound
+    * on isolation (a missed true neighbor can only raise the apparent
+    * k-th distance), which is the conservative direction for outlier
+    * FLAGGING. Callers needing the exact distance at any n use
+    * [[knnGraphBlocked]] directly.
     */
   def knnDistOutliers(
       corpus: DataFrame,
       k: Int = 3,
       blocks: Int = 16,
-      threshold: Double = 0.29): DataFrame =
-    knnGraphBlocked(corpus, k, blocks)
+      threshold: Double = 0.29,
+      exactThreshold: Long = 10000L): DataFrame =
+    knnGraphAuto(corpus, k, exactThreshold, blocks)
       .filter(col("rank") === k)
       .select(col("q_id").as("vec_id"), col("cosine").as("kth_cosine"))
       .withColumn("is_isolated", col("kth_cosine") < threshold)
@@ -1054,9 +1099,12 @@ object Similarity {
     def isqrt(x: Long): Long = {
       if (x <= 0) 0L
       else {
+        // fix-up comparisons via division: r*r and (r+1)*(r+1) overflow
+        // Long for x >= ~9.22e18 (r near 3037000499), and the wrapped
+        // negative square would make the <= test spuriously true
         var r = math.sqrt(x.toDouble).toLong
-        while (r > 0 && r * r > x) r -= 1
-        while ((r + 1) * (r + 1) <= x) r += 1
+        while (r > 0 && x / r < r) r -= 1
+        while (x / (r + 1) >= r + 1) r += 1
         r
       }
     }
