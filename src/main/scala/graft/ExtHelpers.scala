@@ -229,5 +229,42 @@ private[graft] trait ExtHelpers {
         / (sqrt(CAST(list_sum([$a[i] * $a[i] FOR i IN range(1, len($a) + 1)]) AS DOUBLE))
            * sqrt(CAST(list_sum([$b[i] * $b[i] FOR i IN range(1, len($b) + 1)]) AS DOUBLE)))"""
 
+  /** One NN-descent refinement CTE pair: candidates from `g` (current ∪
+    * reverse ∪ neighbors-of-neighbors). Assumes a CTE `q` (vec_id, q).
+    */
+  protected def nndCandSql(g: String): String =
+    s"""WITH u AS (SELECT src, dst FROM $g UNION SELECT dst, src FROM $g)
+        SELECT src, dst FROM u
+        UNION SELECT x.src, y.dst FROM u x JOIN u y
+              ON y.src = x.dst AND y.dst <> x.src"""
+
+  protected def nndTopKSql(cand: String, k: Int): String =
+    s"""SELECT src, dst, cosine, rank FROM (
+          SELECT src, dst, cosine,
+                 CAST(row_number() OVER (PARTITION BY src
+                   ORDER BY cosine DESC, dst) AS INT) AS rank
+          FROM (SELECT c.src, c.dst, ${qcosSql("a.q", "b.q")} AS cosine
+                FROM ($cand) c
+                JOIN q a ON a.vec_id = c.src
+                JOIN q b ON b.vec_id = c.dst))
+        WHERE rank <= $k"""
+
+  /** The full 2-round NN-descent CTE chain at top-`k` — i0/c0/g0/g1/g2
+    * (id-successor init symmetrized, two candidate-expansion + exact
+    * cosine top-k rounds), mirroring [[graft.ext.Similarity.nnDescent]]
+    * with rounds = 2. Emits the CTE definitions only (no leading WITH,
+    * no trailing comma); the final graph is `g2` (src, dst, cosine,
+    * rank).
+    */
+  protected def nndChainSql(k: Int): String =
+    s"""i0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM q a
+              JOIN range($k) t(o) ON TRUE
+              JOIN q b ON b.vec_id = a.vec_id + CAST(t.o + 1 AS BIGINT)),
+       c0 AS (SELECT src, dst FROM i0 UNION SELECT dst, src FROM i0),
+       g0 AS (${nndTopKSql("SELECT src, dst FROM c0", k)}),
+       g1 AS (${nndTopKSql(nndCandSql("g0"), k)}),
+       g2 AS (${nndTopKSql(nndCandSql("g1"), k)})"""
+
   // ---------------------------------------------------------------------
 }

@@ -51,9 +51,21 @@ object ExtQueriesAnn extends ExtHelpers {
         .orderBy("q_id", "rank")),
 
 
-    // majority-vote 5-NN labeling over the exact graph
+    // majority-vote 5-NN labeling, routed through the kNN-graph BUILD
+    // policy (round 11): exact blocked graph below the gate, NN-descent
+    // at/above it. exactThreshold=1000 puts the sf corpora (500) on the
+    // exact branch and the organic ×10 corpus on descent — the scaled
+    // gate runs the descent-voting SQL live instead of timing out on
+    // the all-pairs oracle.
     "knn_classify_majority" -> ((s, dir) =>
-      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5).orderBy("vec_id")),
+      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5,
+        exactThreshold = 1000L).orderBy("vec_id")),
+
+    // data pruning: k-th-neighbor cosine + isolation flag per vector,
+    // routed through the same build policy (same gate rationale)
+    "embedding_knn_dist_outliers" -> ((s, dir) =>
+      Similarity.knnDistOutliers(t(s, dir, "embeddings"),
+        exactThreshold = 1000L).orderBy("vec_id")),
 
 
     // SemDeDup: cluster-then-prune semantic dedup — pairwise cosine
@@ -222,27 +234,60 @@ object ExtQueriesAnn extends ExtHelpers {
          WHERE rank <= 3 ORDER BY q_id, rank""",
 
 
+    // two-branch gate-following (round 11): the exact arm's input is
+    // emptied by the gate BEFORE its quadratic self-join; the descent
+    // arm is the shared 2-round NN-descent chain at k=5 — at organic
+    // scale only the linear chain does work, so the oracle runs LIVE
+    // where the old all-pairs formulation timed out by design
     "knn_classify_majority" ->
       s"""WITH q AS ($quantSql),
+         par AS (SELECT count(*) < 1000 AS is_exact FROM embeddings),
          lab AS (SELECT vec_id, label FROM embeddings),
+         exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
          scored AS (
            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                   ${qcosSql("a.q", "b.q")} AS cosine
-           FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+           FROM exq a JOIN exq b ON a.vec_id <> b.vec_id),
          ranked AS (
            SELECT q_id, n_id,
                   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
            FROM scored),
+         ${nndChainSql(5)},
+         cands AS (
+           SELECT r.q_id, r.n_id FROM ranked r, par WHERE r.rnk <= 5 AND par.is_exact
+           UNION ALL
+           SELECT g2.src, g2.dst FROM g2, par WHERE NOT par.is_exact),
          votes AS (
            SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes
-           FROM ranked JOIN lab ON ranked.n_id = lab.vec_id
-           WHERE rnk <= 5 GROUP BY 1, 2),
+           FROM cands JOIN lab ON cands.n_id = lab.vec_id
+           GROUP BY 1, 2),
          win AS (
            SELECT q_id, label, n_votes,
                   row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS r
            FROM votes)
          SELECT q_id AS vec_id, label AS predicted_label, n_votes
          FROM win WHERE r = 1 ORDER BY vec_id""",
+
+    // same two-branch shape at k=3; the k-th distance comes from
+    // whichever graph the measured gate selects
+    "embedding_knn_dist_outliers" ->
+      s"""WITH q AS ($quantSql),
+         par AS (SELECT count(*) < 1000 AS is_exact FROM embeddings),
+         exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
+         kx AS (SELECT qi AS vec_id, cosine AS kth_cosine FROM
+                (SELECT a.vec_id AS qi, b.vec_id AS ni,
+                        ${qcosSql("a.q", "b.q")} AS cosine,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${qcosSql("a.q", "b.q")} DESC, b.vec_id) AS r
+                 FROM exq a JOIN exq b ON a.vec_id <> b.vec_id) WHERE r = 3),
+         ${nndChainSql(3)},
+         kd AS (SELECT src AS vec_id, cosine AS kth_cosine FROM g2 WHERE rank = 3),
+         res AS (
+           SELECT kx.vec_id, kx.kth_cosine FROM kx, par WHERE par.is_exact
+           UNION ALL
+           SELECT kd.vec_id, kd.kth_cosine FROM kd, par WHERE NOT par.is_exact)
+         SELECT vec_id, kth_cosine, kth_cosine < 0.29 AS is_isolated
+         FROM res ORDER BY vec_id""",
 
 
     "semdedup_prune" ->

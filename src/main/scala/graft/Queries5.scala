@@ -237,9 +237,9 @@ object Queries5 {
     "text_self_repetition" -> ((s, dir) =>
       TextAnalysis.selfRepetition(t(s, dir, "documents")).orderBy("doc_id")),
 
-    // data pruning: k-th-neighbor cosine + isolation flag per vector
-    "embedding_knn_dist_outliers" -> ((s, dir) =>
-      Similarity.knnDistOutliers(t(s, dir, "embeddings")).orderBy("vec_id")),
+    // (embedding_knn_dist_outliers moved to ExtQueriesAnn in round 11:
+    // its oracle is now two-branch gate-following and shares the
+    // NN-descent CTE helpers that live on ExtHelpers)
 
     // Deequ-style constraint suite over the warehouse: PK/FK/domain/
     // null/freshness checks as one exact report frame
@@ -999,24 +999,6 @@ object Queries5 {
                           ELSE top.top_gram_n * 1000000 // pd.n_grams END AS BIGINT) AS top_gram_ppm
          FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN top USING (doc_id)
          ORDER BY doc_id""",
-
-    "embedding_knn_dist_outliers" -> {
-      val cos =
-        """CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, 65)]) AS DOUBLE)
-           / (sqrt(CAST(list_sum([a.q[i] * a.q[i] FOR i IN range(1, 65)]) AS DOUBLE))
-              * sqrt(CAST(list_sum([b.q[i] * b.q[i] FOR i IN range(1, 65)]) AS DOUBLE)))"""
-      s"""WITH q AS (SELECT vec_id,
-                            [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
-                     FROM embeddings),
-         sc AS (SELECT a.vec_id AS qi, b.vec_id AS ni, $cos AS cosine
-                FROM q a JOIN q b ON a.vec_id != b.vec_id),
-         k AS (SELECT qi AS vec_id, cosine AS kth_cosine FROM
-               (SELECT qi, ni, cosine,
-                       row_number() OVER (PARTITION BY qi ORDER BY cosine DESC, ni) AS r
-                FROM sc) WHERE r = 3)
-         SELECT vec_id, kth_cosine, kth_cosine < 0.29 AS is_isolated
-         FROM k ORDER BY vec_id"""
-    },
 
     "multimodal_phash_representatives" ->
       s"""WITH RECURSIVE $phashAutoCtes,

@@ -154,25 +154,11 @@ object Queries9 extends ExtHelpers {
     }),
   )
 
-  /** One NN-descent refinement CTE pair: candidates from `g` (current ∪
-    * reverse ∪ neighbors-of-neighbors), then exact-cosine top-4.
-    */
-  private def nndCand(g: String): String =
-    s"""WITH u AS (SELECT src, dst FROM $g UNION SELECT dst, src FROM $g)
-        SELECT src, dst FROM u
-        UNION SELECT x.src, y.dst FROM u x JOIN u y
-              ON y.src = x.dst AND y.dst <> x.src"""
-
-  private def nndTopK(cand: String): String =
-    s"""SELECT src, dst, cosine, rank FROM (
-          SELECT src, dst, cosine,
-                 CAST(row_number() OVER (PARTITION BY src
-                   ORDER BY cosine DESC, dst) AS INT) AS rank
-          FROM (SELECT c.src, c.dst, ${qcosSql("a.q", "b.q")} AS cosine
-                FROM ($cand) c
-                JOIN q a ON a.vec_id = c.src
-                JOIN q b ON b.vec_id = c.dst))
-        WHERE rank <= 4"""
+  // NN-descent oracle CTE helpers now live in ExtHelpers (shared with
+  // the policy-routed consumer oracles in ExtQueriesAnn); keep the
+  // round-9 local names as thin aliases at k = 4
+  private def nndCand(g: String): String = nndCandSql(g)
+  private def nndTopK(cand: String): String = nndTopKSql(cand, 4)
 
   val oracles: Map[String, String] = Map(
 

@@ -35,10 +35,14 @@ object CorpusClean {
   /** @param minQuality  quality_score cut (see TextAnalysis.qualityScore)
     * @param jaccard     near-dup verification threshold
     */
-  def clean(
-      docs: DataFrame,
-      minQuality: Double = 0.3,
-      jaccard: Double = 0.5): DataFrame = {
+  /** Stage 1 alone — quality-scored, gated survivors. Factored out so
+    * the streaming ingest twin
+    * ([[graft.streaming.AssembleIngest.assembleIngest]]) applies the
+    * IDENTICAL per-row derivation per micro-batch: batch-equals-
+    * streaming holds by construction for this stage (it is a pure
+    * projection+filter, order-independent).
+    */
+  private[graft] def qualityScored(docs: DataFrame, minQuality: Double): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and", "in", "to", "is")))
@@ -48,11 +52,17 @@ object CorpusClean {
         least(nStop.cast("double") / nTok.cast("double") * 5.0, lit(1.0)) * 0.4 +
         (lit(1.0) - least(nPunct.cast("double") / length(col("text")).cast("double") * 10.0,
           lit(1.0))) * 0.2
-
     // widen: everything downstream (quality regex, md5 dedup, LSH
     // shingling) is per-row CPU; a narrow scan must not serialize it.
-    val gated = Scale.widen(docs).withColumn("quality_score", quality)
+    Scale.widen(docs).withColumn("quality_score", quality)
       .filter(col("quality_score") >= minQuality)
+  }
+
+  def clean(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      jaccard: Double = 0.5): DataFrame = {
+    val gated = qualityScored(docs, minQuality)
 
     // exact dedup: survivor = min doc_id per content hash. Persisted:
     // it feeds BOTH the LSH stage and the final anti-join — without it
@@ -113,8 +123,18 @@ object CorpusClean {
     * per-shard (position) — the order-statistic lookups are histogram
     * aggregates, never a sort of document rows.
     */
-  def assemble(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val cleaned = Checkpoints.truncateLazy(clean(docs))
+  def assemble(docs: DataFrame, nShards: Int = 8): DataFrame =
+    finish(Checkpoints.truncateLazy(clean(docs)), nShards)
+
+  /** Stages 2–4 alone — the FINISHING pass over an already-clean
+    * survivor set (doc_id, text, ...): survivor-trained LM scoring,
+    * histogram-form tercile banding, deterministic shard/position
+    * assignment. Factored out of [[assemble]] so the streaming ingest
+    * twin finishes its incrementally-maintained gold table through the
+    * EXACT code path the batch capstone uses — batch-equals-streaming
+    * for the finishing pass is structural, not re-proved.
+    */
+  def finish(cleaned: DataFrame, nShards: Int = 8): DataFrame = {
     val lm = TextAnalysis.bigramLmScore(cleaned.select("doc_id", "text"))
     // truncated: consumed by the threshold gate AND the final banding
     // projection — without it the LM-score join re-runs per consumer

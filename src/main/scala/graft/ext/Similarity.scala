@@ -195,8 +195,9 @@ object Similarity {
     * right choice: NN-descent's per-round join overhead exceeds the
     * full tile scan), at or above it run [[nnDescent]] (candidate
     * volume n·k(k+2) per round, never n² — measured 3.5× faster at
-    * 8k vectors and 55× at 50k, NnDescentCostProbe / BASELINE §R9,
-    * and the gap WIDENS with n). Decision evidence rides on the
+    * 8k vectors and 55× at 50k, and the gap WIDENS with n;
+    * NnDescentCostProbe / BASELINE §R9+§R11). Decision evidence rides
+    * on the
     * output (`graph_mode`, `n_corpus`), so a consumer — or an audit —
     * sees which plan produced the edges.
     *
@@ -205,11 +206,17 @@ object Similarity {
     * (pinned init + ties — DuckDB-re-derivable round by round).
     * Consumers that need exactness at any n must call
     * [[knnGraphBlocked]] directly and pay its contract.
+    *
+    * Default threshold = the measured crossover (min-of-2, local[32],
+    * clustered 32-dim corpora, 100% descent recall at every point):
+    * n=500 exact 0.89 s vs descent 3.8 s; n=1000 1.8 vs 3.4;
+    * n=2000 5.7 vs 2.9; n=8000 13.6 vs 3.9 — crossover ≈ 1.4k,
+    * rounded to 1500 (BASELINE §R11).
     */
   def knnGraphAuto(
       corpus: DataFrame,
       k: Int,
-      exactThreshold: Long = 10000L,
+      exactThreshold: Long = 1500L,
       blocks: Int = 16,
       rounds: Int = 2): DataFrame = {
     val n = corpus.count()
@@ -255,7 +262,7 @@ object Similarity {
       embeddings: DataFrame,
       k: Int,
       blocks: Int = 16,
-      exactThreshold: Long = 10000L): DataFrame = {
+      exactThreshold: Long = 1500L): DataFrame = {
     val labels = embeddings.select(col("vec_id").as("n_id"), col("label"))
     val votes = knnGraphAuto(embeddings, k, exactThreshold, blocks)
       .join(labels, Seq("n_id"))
@@ -737,7 +744,7 @@ object Similarity {
       k: Int = 3,
       blocks: Int = 16,
       threshold: Double = 0.29,
-      exactThreshold: Long = 10000L): DataFrame =
+      exactThreshold: Long = 1500L): DataFrame =
     knnGraphAuto(corpus, k, exactThreshold, blocks)
       .filter(col("rank") === k)
       .select(col("q_id").as("vec_id"), col("cosine").as("kth_cosine"))

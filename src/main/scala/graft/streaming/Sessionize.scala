@@ -239,16 +239,23 @@ object Sessionize {
                 Seq("doc_id"), "left_anti")
             else frame
           }
-          val surv = kept.join(dupIds, Seq("doc_id"), "left_anti").persist()
+          // EAGER lineage truncation, not persist: the probe reads
+          // shDir/mhDir, and each append's refreshByPath RE-EXECUTES
+          // any cached plan reading the written path — a cached surv
+          // would be recomputed against the half-updated index between
+          // appends (value-safe here only because mh, the candidate
+          // source, is written last; truncation removes the fragility
+          // and the silent recompute — see AssembleIngest for the
+          // order where the recompute IS value-corrupting).
+          val surv = graft.ext.Checkpoints.truncate(
+            kept.join(dupIds, Seq("doc_id"), "left_anti"))
           notAlreadyIn(surv, outDir).write.mode("append").parquet(outDir)
-          val survSh = sh.join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
-            .persist()
+          val survSh = graft.ext.Checkpoints.truncate(
+            sh.join(surv.select("doc_id"), Seq("doc_id"), "left_semi"))
           notAlreadyIn(survSh.select("doc_id", "sh"), shDir)
             .write.mode("append").parquet(shDir)
           notAlreadyIn(survSh.select("doc_id", "mh"), mhDir)
             .write.mode("append").parquet(mhDir)
-          survSh.unpersist()
-          surv.unpersist()
           sh0.unpersist()
           fs.mkdirs(marker)
         }

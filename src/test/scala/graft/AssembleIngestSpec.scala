@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.CorpusClean
+import graft.streaming.AssembleIngest
+
+/** The incremental assembly twin: streaming ingest (quality gate →
+  * exact dedup vs the hash index → near-dup prune vs the re-bandable
+  * matrix index) + the batch capstone's own finishing pass must equal
+  * the one-shot batch `CorpusClean.assemble` over the concatenated
+  * input, and a replay (kill-and-restart with fresh checkpoint, plus a
+  * simulated partial commit) must change nothing.
+  */
+class AssembleIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stopword-rich lowercase sentences that pass the 0.3 quality gate
+  private val A = "the quick brown fox jumps over the lazy dog in a sunny field of grass"
+  private val B = "a model of the data is trained in the cloud and served to users at scale"
+  private val C = "the pipeline reads a table of documents and writes the clean rows to disk"
+  private val D = "an index of the corpus is kept in parquet and probed by the next batch"
+  private def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+
+  private def batch1 = Seq(
+    1L -> A,
+    2L -> A, // in-batch exact dup of 1
+    3L -> B)
+  private def batch2 = Seq(
+    11L -> dropLast(A), // near-copy of corpus doc 1
+    12L -> C,
+    13L -> B, // cross-batch exact dup of 3
+    14L -> "zz!!@@##") // quality-gate drop
+  private def batch3 = Seq(
+    21L -> dropLast(C), // near-copy of corpus doc 12
+    22L -> D,
+    23L -> dropLast(D), // in-batch near-dup pair with 24... and of 22!
+    24L -> dropLast(dropLast(D)))
+
+  // NOTE: 22/23/24 form a same-batch near-dup CLUSTER (all pairwise
+  // >= 0.5 on 3-shingles): in-batch collapse keeps only 22 — identical
+  // to the batch pipeline's pair-loser drops (23 and 24 both lose a
+  // pair against 22). No a~b~c-with-a≁c chain is present, so the two
+  // semantics coincide (the documented contract).
+
+  private def union = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text")
+
+  test("streaming ingest + batch finishing pass equals the one-shot batch capstone, and replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_assemble").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val in = MemoryStream[(Long, String)]
+    val q = AssembleIngest.assembleIngest(in.toDS().toDF("doc_id", "text"), out, idx, ckpt)
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      in.addData(batch3); q.processAllAvailable()
+    } finally q.stop()
+
+    // survivor set equals the batch pipeline's
+    val gold = spark.read.parquet(out)
+    val wantClean = CorpusClean.clean(union)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(wantClean == Seq(1L, 3L, 12L, 22L), s"batch ground truth moved: $wantClean")
+    assert(gold.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == wantClean)
+
+    // finishing the gold table through the capstone's own stages 2-4
+    // equals the one-shot batch assemble row for row
+    val got = AssembleIngest.finishAssembly(spark, out)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val want = CorpusClean.assemble(union)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want, s"streaming+finish != batch assemble:\n$got\n$want")
+
+    // kill-and-restart replay: fresh checkpoint restarts batchIds at 0
+    // over the same out/index dirs — fully-committed batches no-op on
+    // their markers
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = AssembleIngest.assembleIngest(
+      in2.toDS().toDF("doc_id", "text"), out, idx,
+      new java.io.File(dir, "ckpt2").getPath)
+    try {
+      in2.addData(batch1); q2.processAllAvailable()
+      in2.addData(batch2); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == wantClean,
+      "replayed batches duplicated gold rows")
+
+    // simulated PARTIAL commit: delete batch 0's marker (data already
+    // present) and replay it — the per-append anti-joins must self-heal
+    // to a no-op instead of duplicating gold/index rows
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/0"), false))
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = AssembleIngest.assembleIngest(
+      in3.toDS().toDF("doc_id", "text"), out, idx,
+      new java.io.File(dir, "ckpt3").getPath)
+    try { in3.addData(batch1); q3.processAllAvailable() } finally q3.stop()
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == wantClean,
+      "partial-commit replay duplicated gold rows")
+    Seq("mh", "sh", "xh").foreach { t =>
+      val ids = spark.read.parquet(s"$idx/$t").select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == wantClean, s"index $t diverged after partial-commit replay")
+    }
+  }
+}
