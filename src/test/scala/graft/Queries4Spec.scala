@@ -107,10 +107,14 @@ class Queries4Spec extends SparkSpec {
     val p = plan(q("robust_mad_outliers"))
     assert(p.contains("BroadcastHashJoin"), s"median joins must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
-    // the persisted histogram is the only consumer of the parquet scan;
-    // the deviation histogram re-aggregates it, never the fact
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"value histogram must be persisted (3 consumers):\n$p")
+    // the materialized histogram is the only consumer of the parquet
+    // scan; the deviation histogram re-aggregates it, never the fact.
+    // Round 11: materialization is a lazy lineage-truncating checkpoint
+    // (reference-tracked blocks, no session leak), which plans as a
+    // Scan ExistingRDD instead of an InMemoryTableScan
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation")
+        || p.contains("Scan ExistingRDD"),
+      s"value histogram must be materialized (3 consumers):\n$p")
   }
 
   test("profile stats: ONE scan, histogram-form rollup, no Expand") {
