@@ -219,6 +219,19 @@ object Similarity {
       exactThreshold: Long = 1500L,
       blocks: Int = 16,
       rounds: Int = 2): DataFrame = {
+    val (g, exact, n) = knnGraphRouted(corpus, k, exactThreshold, blocks, rounds)
+    g.withColumn("graph_mode", lit(if (exact) "exact_blocked" else "nn_descent"))
+      .withColumn("n_corpus", lit(n))
+  }
+
+  /** The shared measure-then-route step behind [[knnGraphAuto]] and
+    * [[knnGraphClusters]] — one count, one branch decision, the
+    * un-annotated graph plus the decision facts for the caller to
+    * attach as evidence columns.
+    */
+  private def knnGraphRouted(
+      corpus: DataFrame, k: Int, exactThreshold: Long,
+      blocks: Int, rounds: Int): (DataFrame, Boolean, Long) = {
     val n = corpus.count()
     val exact = n < exactThreshold
     val g =
@@ -226,8 +239,69 @@ object Similarity {
         knnGraphBlocked(corpus, k, blocks)
           .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
       else nnDescent(corpus, k, rounds)
-    g.withColumn("graph_mode", lit(if (exact) "exact_blocked" else "nn_descent"))
+    (g, exact, n)
+  }
+
+  /** Semantic micro-clusters from the policy-routed kNN graph — the
+    * composition a curation pipeline runs to group near-identical
+    * meanings at corpus scale: build the graph through the SAME
+    * measured exact↔NN-descent gate as [[knnGraphAuto]], keep edges
+    * with cosine ≥ `minCosine`, and label connected components with
+    * the O(log n) star-contraction CC ([[Dedup.dupClustersStar]] —
+    * component id = member minimum, singletons self-label). Decision
+    * evidence (`graph_mode`, `n_corpus`) rides on every row.
+    *
+    * Scale shape: the graph is n·k edges (never all-pairs above the
+    * gate), the threshold filter is map-side, and star contraction is
+    * a fixed logarithmic number of edge-frame self-joins — every stage
+    * scan/join-shaped. Exactness: below the gate the clusters are the
+    * true ≥-threshold mutual-reachability components of the exact
+    * graph; above it they are the components of the deterministic
+    * descent approximation (re-derivable — the oracle runs the same
+    * chain).
+    */
+  def knnGraphClusters(
+      corpus: DataFrame,
+      k: Int = 4,
+      minCosine: Double = 0.3,
+      exactThreshold: Long = 1500L,
+      blocks: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    val (g, exact, n) = knnGraphRouted(corpus, k, exactThreshold, blocks, rounds)
+    val pairs = g.filter(col("cosine") >= minCosine)
+      .select(least(col("q_id"), col("n_id")).as("a_id"),
+        greatest(col("q_id"), col("n_id")).as("b_id"))
+      .distinct()
+    Dedup.dupClustersStar(corpus.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+      .withColumn("graph_mode", lit(if (exact) "exact_blocked" else "nn_descent"))
       .withColumn("n_corpus", lit(n))
+  }
+
+  /** Per-dimension centroid drift between two corpus snapshots — the
+    * "did my embedding distribution move between ingest batches" QC a
+    * long-lived index runs before trusting new data: exact integer
+    * coordinate sums and counts per side (the [[labelCentroids]]
+    * convention), means and their difference as the one final double
+    * step (IEEE-identical across engines given exact integer inputs —
+    * integer division is avoided entirely because coordinate sums go
+    * negative, where floor/truncate semantics diverge across engines).
+    *
+    * Scale shape: each snapshot is one posexplode fan-out + ONE
+    * partial-aggregated shuffle keyed by dim; the join meets |dims|
+    * rows regardless of corpus size.
+    */
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def perDim(df: DataFrame, pfx: String) = Scale.widen(df)
+      .select(posexplode(quantized(col("embedding"))).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as(s"n_$pfx"), sum(col("qv")).as(s"sum_$pfx"))
+    perDim(oldSnap, "old").join(perDim(newSnap, "new"), Seq("dim"))
+      .withColumn("mean_old",
+        col("sum_old").cast("double") / col("n_old").cast("double"))
+      .withColumn("mean_new",
+        col("sum_new").cast("double") / col("n_new").cast("double"))
+      .withColumn("shift", col("mean_new") - col("mean_old"))
   }
 
   /** Per-label centroid statistics over the quantized embedding space:

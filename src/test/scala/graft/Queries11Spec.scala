@@ -79,6 +79,52 @@ class Queries11Spec extends SparkSpec {
       s"exact-isolated ${exFlag.size} must be within descent-isolated ${deFlag.size}")
   }
 
+  test("knnGraphClusters never crosses planted clusters through EITHER graph branch") {
+    // 10 well-separated sign-pattern clusters of 30 contiguous ids:
+    // same-cluster cosine ~0.99, cross-cluster ~0. At minCosine 0.9,
+    // each branch may SPLIT a planted cluster into sub-components
+    // (both graphs keep only k=4 edges per node, and the exact top-4
+    // favors identical mod-11 twins while descent's id-window init
+    // favors contiguous connectors — the branches legitimately
+    // partition differently, the documented approximation contract),
+    // but neither may ever MERGE across planted clusters, and both
+    // must do substantial in-cluster merging.
+    val d = 16
+    val e = spark.range(300).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${d - 1}), i -> cast(" +
+        "(case when pmod(hash(cast(id / 30 as int), i), 2) = 0 " +
+        "then 1.0 else -1.0 end) " +
+        "+ (pmod(id * 13 + i * 7, 11) - 5) * 0.01 as float))").as("embedding"))
+    for ((thr, mode) <- Seq(100000L -> "exact_blocked", 1L -> "nn_descent")) {
+      val rows = Similarity
+        .knnGraphClusters(e, k = 4, minCosine = 0.9, exactThreshold = thr)
+        .orderBy("vec_id").collect()
+      assert(rows.length == 300)
+      assert(rows.forall(_.getAs[String]("graph_mode") == mode))
+      val labels = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id")))
+      assert(labels.forall { case (v, c) => c / 30 == v / 30 },
+        s"$mode components crossed planted clusters: ${labels.take(40).mkString(",")}")
+      assert(labels.map(_._2).distinct.length < 150,
+        s"$mode: expected substantial in-cluster merging, got near-singletons")
+    }
+  }
+
+  test("embeddingDrift reports an exactly-quantized constant shift in the offset dimension only") {
+    val base = spark.range(100).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), i -> cast(pmod(id * 7 + i * 3, 13) * 0.01 as float))")
+        .as("embedding"))
+    val shifted = base.select(col("vec_id"),
+      expr("transform(embedding, (v, i) -> cast(if(i = 0, v + 0.5, v) as float))")
+        .as("embedding"))
+    val r = Similarity.embeddingDrift(base, shifted).orderBy("dim").collect()
+    assert(r.length == 8)
+    assert(r.head.getAs[Int]("dim") == 0 &&
+      r.head.getAs[Double]("shift") == 500000.0,
+      s"dim-0 shift must be exactly 0.5 on the 1e-6 grid: ${r.head}")
+    assert(r.tail.forall(_.getAs[Double]("shift") == 0.0), r.mkString("\n"))
+    assert(r.forall(x => x.getAs[Long]("n_old") == 100L && x.getAs[Long]("n_new") == 100L))
+  }
+
   test("isqrt fix-up is overflow-proof at the top of the Long range") {
     // r*r for r near floor(sqrt(Long.MaxValue)) = 3037000499 overflows
     // Long; the division-form comparisons must not spin or mis-round.

@@ -81,6 +81,11 @@ class Queries6Spec extends SparkSpec {
       // self-joins are corpus-scale by construction — SMJ is right in
       // both branches
       "knn_graph_blocked", "knn_graph_build_auto",
+      // knn_graph_clusters_auto (round 11): the policy-routed graph
+      // (audited above) plus star-contraction CC, whose edge-frame
+      // self-joins are corpus-scale by construction — same class as
+      // dedup_clusters
+      "knn_graph_clusters_auto",
       "merge_upsert", "multimodal_phash_clusters",
       "multimodal_phash_representatives", "multimodal_png_phash_clusters",
       "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share",
