@@ -33,6 +33,15 @@ object Queries11 extends ExtHelpers {
           minCosine = 0.3, exactThreshold = 1000L)
         .orderBy("vec_id")),
 
+    // eval set = the 8 lowest-id vectors (the query-set convention):
+    // those 8 corpus rows ARE the leak (cosine 1.0 to themselves),
+    // everything else reports its honest max eval similarity
+    "decontamination_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(e, e.filter(col("vec_id") < 8))
+        .orderBy("vec_id")
+    }),
+
     // snapshots = even/odd vec_ids (two interleaved ingest batches of
     // the same corpus — drift should be near zero, which the oracle
     // pins exactly rather than assumes)
@@ -84,6 +93,20 @@ object Queries11 extends ExtHelpers {
                      ELSE 'nn_descent' END AS graph_mode,
                 par.n AS n_corpus
          FROM clusters c, par ORDER BY c.vec_id""",
+
+    "decontamination_semantic" ->
+      s"""WITH q AS ($quantSql),
+         ev AS (SELECT vec_id AS eval_id, q AS e_q FROM q WHERE vec_id < 8),
+         sc AS (SELECT c.vec_id, ev.eval_id,
+                       ${qcosSql("c.q", "ev.e_q")} AS cosine
+                FROM q c CROSS JOIN ev),
+         r AS (SELECT vec_id, eval_id, cosine,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cosine DESC, eval_id) AS rn
+               FROM sc)
+         SELECT vec_id, cosine AS max_eval_cosine, eval_id AS closest_eval_id,
+                cosine >= 0.95 AS is_contaminated
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
 
     "embedding_snapshot_drift" ->
       """WITH q AS (

@@ -278,6 +278,38 @@ object Similarity {
       .withColumn("n_corpus", lit(n))
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram [[graft.ext.TrainPrep]] decontamination: flag every train
+    * vector whose cosine to ANY eval-set vector reaches `threshold`
+    * (an eval answer paraphrased into the training mix carries no
+    * shared n-grams but nearly-identical embeddings). Emits each
+    * train vector's max eval cosine, the closest eval id (ties →
+    * lowest id — the registry argmax convention), and the flag.
+    *
+    * Scale shape: the eval set is SMALL by definition (benchmarks are
+    * thousands of rows, the corpus is billions) — it broadcasts, the
+    * corpus is scanned once map-side, and the per-vector aggregate is
+    * a partial max: no shuffle of corpus embeddings, ever.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+    val ev = evalSet
+      .select(col("vec_id").as("eval_id"), quantized(col("embedding")).as("e_q"))
+      .withColumn("e_nrm", qnorm(col("e_q")))
+    val cos = qcosinePre(col("q"), col("e_q"), col("nrm"), col("e_nrm"))
+    c.join(broadcast(ev))
+      .groupBy(col("vec_id"))
+      .agg(max(cos).as("max_eval_cosine"),
+        max_by(col("eval_id"), struct(cos, -col("eval_id"))).as("closest_eval_id"))
+      .withColumn("is_contaminated", col("max_eval_cosine") >= threshold)
+  }
+
   /** Per-dimension centroid drift between two corpus snapshots — the
     * "did my embedding distribution move between ingest batches" QC a
     * long-lived index runs before trusting new data: exact integer

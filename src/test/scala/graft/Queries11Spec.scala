@@ -109,6 +109,29 @@ class Queries11Spec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate flags the planted paraphrase and broadcasts the eval side") {
+    // corpus vec 50 is eval vec 900 plus per-dim noise of 0.01 — no
+    // shared tokens needed, the embedding-space leak the n-gram
+    // decontaminator cannot see
+    val base = spark.range(100).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), i -> cast((pmod(hash(id, i), 2001) - 1000) * 0.001 as float))")
+        .as("embedding"))
+    val ev = base.filter(col("vec_id") === 42)
+      .select((col("vec_id") + 858).as("vec_id"),
+        expr("transform(embedding, v -> cast(v + 0.01 as float))").as("embedding"))
+    val r = Similarity.semanticDecontaminate(base, ev, threshold = 0.999)
+    val rows = r.orderBy("vec_id").collect()
+    assert(rows.length == 100)
+    val flagged = rows.filter(_.getAs[Boolean]("is_contaminated")).map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq == Seq(42L), s"flagged: ${flagged.mkString(",")}")
+    assert(rows.forall(_.getAs[Long]("closest_eval_id") == 900L))
+    // scale claim: the eval side broadcasts; the corpus never shuffles
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"eval set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("embeddingDrift reports an exactly-quantized constant shift in the offset dimension only") {
     val base = spark.range(100).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 7), i -> cast(pmod(id * 7 + i * 3, 13) * 0.01 as float))")
