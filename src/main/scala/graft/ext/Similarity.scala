@@ -323,18 +323,31 @@ object Similarity {
     * partial-aggregated shuffle keyed by dim; the join meets |dims|
     * rows regardless of corpus size.
     */
-  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    def perDim(df: DataFrame, pfx: String) = Scale.widen(df)
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    driftFromPerDim(perDimStats(oldSnap, "old"), perDimStats(newSnap, "new"))
+
+  /** Per-dim exact integer (count, coordinate-sum) — the mergeable
+    * sufficient statistic behind [[embeddingDrift]] and the streaming
+    * [[graft.streaming.EmbeddingDriftMonitor]] (partial sums merge by
+    * addition, the same reason map-side combine works).
+    */
+  private[graft] def perDimStats(df: DataFrame, pfx: String): DataFrame =
+    Scale.widen(df)
       .select(posexplode(quantized(col("embedding"))).as(Seq("dim", "qv")))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as(s"n_$pfx"), sum(col("qv")).as(s"sum_$pfx"))
-    perDim(oldSnap, "old").join(perDim(newSnap, "new"), Seq("dim"))
+
+  /** The finishing join + double step shared by the batch operator and
+    * the streaming monitor — identical expressions, so batch and
+    * streaming reports are bit-identical given equal integer stats.
+    */
+  private[graft] def driftFromPerDim(o: DataFrame, n: DataFrame): DataFrame =
+    o.join(n, Seq("dim"))
       .withColumn("mean_old",
         col("sum_old").cast("double") / col("n_old").cast("double"))
       .withColumn("mean_new",
         col("sum_new").cast("double") / col("n_new").cast("double"))
       .withColumn("shift", col("mean_new") - col("mean_old"))
-  }
 
   /** Per-label centroid statistics over the quantized embedding space:
     * one row per (label, dimension) with the exact integer coordinate

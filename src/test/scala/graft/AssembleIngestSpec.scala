@@ -110,4 +110,43 @@ class AssembleIngestSpec extends SparkSpec {
       assert(ids.sorted.toSeq == wantClean, s"index $t diverged after partial-commit replay")
     }
   }
+
+  test("streaming embedding-drift monitor: merged state report equals the one-shot batch drift after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def vecs(ids: Range, off: Double) = ids.map(i => (i.toLong,
+      (0 until 6).map(d => (((i * 7 + d * 3) % 13) * 0.01 + off).toFloat).toArray))
+    val baseline = vecs(0 until 50, 0.0).toDF("vec_id", "embedding")
+    val b1 = vecs(100 until 140, 0.25)
+    val b2 = vecs(140 until 170, 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val report = new java.io.File(dir, "report").getPath
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingDriftMonitor.watch(
+      in.toDS().toDF("vec_id", "embedding"), baseline, state, report,
+      new java.io.File(dir, "ckpt").getPath)
+    def assertReportEquals(seen: Seq[(Long, Array[Float])]): Unit = {
+      val got = spark.read.parquet(report).orderBy("dim").collect().map(_.toString).toSeq
+      val want = graft.ext.Similarity.embeddingDrift(
+          baseline, seen.toDF("vec_id", "embedding"))
+        .orderBy("dim").collect().map(_.toString).toSeq
+      assert(got == want, s"monitor report diverged from one-shot drift:\n$got\n$want")
+    }
+    try {
+      in.addData(b1); q.processAllAvailable(); assertReportEquals(b1)
+      in.addData(b2); q.processAllAvailable(); assertReportEquals(b1 ++ b2)
+    } finally q.stop()
+    // replay with a fresh checkpoint: committed batchIds no-op on their
+    // markers — a re-merge would double-count the running sums
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EmbeddingDriftMonitor.watch(
+      in2.toDS().toDF("vec_id", "embedding"), baseline, state, report,
+      new java.io.File(dir, "ckpt2").getPath)
+    try {
+      in2.addData(b1); q2.processAllAvailable()
+    } finally q2.stop()
+    assertReportEquals(b1 ++ b2)
+  }
 }
