@@ -19,6 +19,19 @@ private[graft] trait ExtHelpers {
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** The ONE exact↔NN-descent routing point for every
+    * knnGraphAuto-routed REGISTRY key: passed to the four Scala
+    * call-sites AND interpolated into their four two-branch
+    * gate-following oracles, so engine and oracle cannot drift at the
+    * routing boundary. 1000 puts the sf gate corpora (500 vectors) on
+    * the exact branch and the organic ×10 corpus on NN-descent — a
+    * GATE-PLACEMENT choice for the correctness suites, deliberately
+    * distinct from the measured performance crossover
+    * ([[graft.ext.Similarity.measuredKnnCrossover]] = 1500) that
+    * library callers get by default.
+    */
+  protected final val knnGateN: Long = 1000L
+
   /** Interval-containment oracle, shared by the manual binning key
     * (`range_join_binned`) and the optimizer-rule twin
     * (`range_join_rule_auto`) — one independent re-derivation both

@@ -59,13 +59,13 @@ object ExtQueriesAnn extends ExtHelpers {
     // the all-pairs oracle.
     "knn_classify_majority" -> ((s, dir) =>
       Similarity.knnClassify(t(s, dir, "embeddings"), k = 5,
-        exactThreshold = 1000L).orderBy("vec_id")),
+        exactThreshold = knnGateN).orderBy("vec_id")),
 
     // data pruning: k-th-neighbor cosine + isolation flag per vector,
     // routed through the same build policy (same gate rationale)
     "embedding_knn_dist_outliers" -> ((s, dir) =>
       Similarity.knnDistOutliers(t(s, dir, "embeddings"),
-        exactThreshold = 1000L).orderBy("vec_id")),
+        exactThreshold = knnGateN).orderBy("vec_id")),
 
 
     // SemDeDup: cluster-then-prune semantic dedup — pairwise cosine
@@ -241,7 +241,7 @@ object ExtQueriesAnn extends ExtHelpers {
     // where the old all-pairs formulation timed out by design
     "knn_classify_majority" ->
       s"""WITH q AS ($quantSql),
-         par AS (SELECT count(*) < 1000 AS is_exact FROM embeddings),
+         par AS (SELECT count(*) < $knnGateN AS is_exact FROM embeddings),
          lab AS (SELECT vec_id, label FROM embeddings),
          exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
          scored AS (
@@ -272,7 +272,7 @@ object ExtQueriesAnn extends ExtHelpers {
     // whichever graph the measured gate selects
     "embedding_knn_dist_outliers" ->
       s"""WITH q AS ($quantSql),
-         par AS (SELECT count(*) < 1000 AS is_exact FROM embeddings),
+         par AS (SELECT count(*) < $knnGateN AS is_exact FROM embeddings),
          exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
          kx AS (SELECT qi AS vec_id, cosine AS kth_cosine FROM
                 (SELECT a.vec_id AS qi, b.vec_id AS ni,

@@ -30,7 +30,7 @@ object Queries11 extends ExtHelpers {
     // chain + recursive CC live in DuckDB
     "knn_graph_clusters_auto" -> ((s, dir) =>
       Similarity.knnGraphClusters(t(s, dir, "embeddings"), k = 4,
-          minCosine = 0.3, exactThreshold = 1000L)
+          minCosine = 0.3, exactThreshold = knnGateN)
         .orderBy("vec_id")),
 
     // eval set = the 8 lowest-id vectors (the query-set convention):
@@ -62,7 +62,7 @@ object Queries11 extends ExtHelpers {
     "knn_graph_clusters_auto" ->
       s"""WITH RECURSIVE q AS ($quantSql),
          par AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                        count(*) < 1000 AS is_exact
+                        count(*) < $knnGateN AS is_exact
                  FROM embeddings),
          exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
          ex AS (

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Round-12 registry keys.
+  *
+  * 1. `embedding_dim_covariance` — the feature-decorrelation audit:
+  *    top-32 most-covarying dimension pairs via the native mergeable
+  *    Gram accumulator ([[graft.functions.GramMatrix]] — ONE corpus
+  *    scan, one buffer shuffled, driver-local BigInt finish). The
+  *    oracle pays the compositional price on purpose: explode to
+  *    (vec, i, j) rows and hash-aggregate — n·d²/2 intermediate rows
+  *    re-deriving the same exact integers.
+  * 2. `dedup_cross_doc_spans` — span-level exact dedup (Lee et al.
+  *    2021): w-token spans keyed by the portable hash; a key in ≥2
+  *    distinct docs is duplicated text; per-doc duplicated-span ppm +
+  *    contamination flag. Runs on the planted-near-copy corpus so the
+  *    flag column is organically non-constant.
+  * 3. `multimodal_gif_decode` — the LZW entropy coding at the image
+  *    decode seam (BMP=raw, PNG=DEFLATE, JPEG=DCT; GIF completes the
+  *    set): explicit-palette GIF encode is lossless on the ≤128-color
+  *    seeded rasters, so the key pins to the SAME pixel-stats oracle
+  *    as BMP/PNG — the pixel contract is format-independent.
+  */
+object Queries12 extends ExtHelpers {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "embedding_dim_covariance" -> ((s, dir) =>
+      Similarity.dimCovariance(t(s, dir, "embeddings"), topK = 32)
+        .orderBy("rank")),
+
+    "dedup_cross_doc_spans" -> ((s, dir) =>
+      Dedup.crossDocSpans(corpusWithNearCopies(s, dir), w = 5)
+        .orderBy("doc_id")),
+
+    "multimodal_gif_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeImageBatch(
+          Multimodal.gifFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // quadratic-in-d compositional re-derivation of the one-pass Gram
+    // fold: explode dims, self-join within vec_id, aggregate — same
+    // exact integers, independently arrived at. HUGEINT intermediates
+    // (the finish multiplies three BIGINT-scale sums).
+    "embedding_dim_covariance" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  [CAST(round(CAST(v AS DOUBLE) * 1e3) AS BIGINT) FOR v IN embedding] AS q
+           FROM embeddings),
+         x AS (
+           SELECT vec_id,
+                  CAST(s['d'] AS INT) AS d,
+                  CAST(s['v'] AS BIGINT) AS v
+           FROM (SELECT vec_id,
+                        unnest([struct_pack(d := i, v := q[i + 1])
+                                FOR i IN range(0, len(q))]) AS s
+                 FROM q)),
+         p AS (
+           SELECT a.d AS dim_i, b.d AS dim_j,
+                  CAST(sum(a.v * b.v) AS HUGEINT) AS sxy
+           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d < b.d
+           GROUP BY 1, 2),
+         s AS (SELECT d, CAST(sum(v) AS HUGEINT) AS sx FROM x GROUP BY d),
+         n AS (SELECT CAST(count(*) AS HUGEINT) AS n_rows FROM embeddings),
+         c AS (
+           SELECT p.dim_i, p.dim_j,
+                  CAST(n.n_rows * p.sxy - si.sx * sj.sx AS BIGINT) AS cov_num,
+                  CAST(n.n_rows AS BIGINT) AS n_rows
+           FROM p
+           JOIN s si ON si.d = p.dim_i
+           JOIN s sj ON sj.d = p.dim_j
+           CROSS JOIN n),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+                    ORDER BY abs(cov_num) DESC, dim_i, dim_j) AS INT) AS rank
+           FROM c)
+         SELECT rank, dim_i, dim_j, cov_num, n_rows
+         FROM r WHERE rank <= 32 ORDER BY rank""",
+
+    // spans re-keyed by the portable-hash twin (md5-hex fold); the
+    // duplicated-key set and per-doc ratios re-derived relationally
+    "dedup_cross_doc_spans" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         g AS (
+           SELECT DISTINCT doc_id,
+                  list_reduce(
+                    [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                      regexp_extract_all(md5(gram), '.')],
+                    (a, b) -> (a * 31 + b) % 1000000007) AS h
+           FROM (SELECT doc_id,
+                        unnest([array_to_string(w[i + 1:i + 5], ' ')
+                                FOR i IN range(0, greatest(len(w) - 4, 0))]) AS gram
+                 FROM w)),
+         d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+                FROM g GROUP BY doc_id),
+         dd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+                FROM g JOIN d USING (h) GROUP BY g.doc_id)
+         SELECT c.doc_id,
+                coalesce(pd.n_spans, 0) AS n_spans,
+                coalesce(dd.n_dup_spans, 0) AS n_dup_spans,
+                CASE WHEN coalesce(pd.n_spans, 0) > 0
+                     THEN CAST(coalesce(dd.n_dup_spans, 0) * 1000000
+                               // pd.n_spans AS BIGINT)
+                     ELSE 0 END AS dup_ppm,
+                CASE WHEN coalesce(pd.n_spans, 0) > 0
+                     THEN CAST(coalesce(dd.n_dup_spans, 0) * 1000000
+                               // pd.n_spans AS BIGINT)
+                     ELSE 0 END >= 300000 AS is_contaminated
+         FROM corpus c
+         LEFT JOIN pd ON pd.doc_id = c.doc_id
+         LEFT JOIN dd ON dd.doc_id = c.doc_id
+         ORDER BY c.doc_id""",
+
+    // GIF is lossless under the explicit exact palette -> identical
+    // pixel-stats oracle as the BMP/PNG tiers
+    "multimodal_gif_decode" -> ExtQueriesMedia.oracles("multimodal_bmp_decode"),
+  )
+}

@@ -119,7 +119,7 @@ object Queries9 extends ExtHelpers {
     // the descent SQL re-derivation for real, not as dead code.
     "knn_graph_build_auto" -> ((s, dir) =>
       Similarity.knnGraphAuto(t(s, dir, "embeddings"), k = 4,
-          exactThreshold = 1000L)
+          exactThreshold = knnGateN)
         .orderBy("q_id", "rank")),
 
     // CCNet-style LM fluency filtering without a transcendental:
@@ -429,7 +429,7 @@ object Queries9 extends ExtHelpers {
     "knn_graph_build_auto" ->
       s"""WITH q AS ($quantSql),
          par AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                        count(*) < 1000 AS is_exact
+                        count(*) < $knnGateN AS is_exact
                  FROM embeddings),
          exq AS (SELECT q.vec_id, q.q FROM q, par WHERE par.is_exact),
          ex AS (

@@ -463,6 +463,31 @@ object Dedup {
     * rows into any aggregation buffer instead of materializing the full
     * membership array first.
     */
+  /** Probe-side twin of [[pairsWithinBuckets]]'s skew guard, for the
+    * streaming ingests' index-probe equi-joins: keep only the
+    * `maxBucket` lowest-`idCol` rows per bucket on EACH side before
+    * the join. A hot bucket in a PERSISTED index grows with the
+    * corpus (an empty-doc signature hit by every boilerplate page),
+    * so an uncapped probe's candidate volume is unbounded at scale;
+    * the cap bounds any bucket's contribution at maxBucket² pairs —
+    * the same accepted approximation every batch-tier candidate
+    * generator applies. NULL bucket keys are dropped (the equi-join
+    * never matches them anyway; shuffling the NULL hot bucket is
+    * pure waste). The window's hash partitioning on the bucket key is
+    * the same the sort-merge join needs, so the cap rides the join's
+    * own shuffle.
+    */
+  private[graft] def capBuckets(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      maxBucket: Int = 10000): DataFrame =
+    df.na.drop(bucketCols)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+
   private[graft] def pairsWithinBuckets(
       df: DataFrame,
       bucketCols: Seq[String],
@@ -941,5 +966,53 @@ object Dedup {
     clusters.select(col("doc_id"), col("cluster_id"))
       .join(toks, Seq("doc_id"))
       .withColumn("is_representative", row_number().over(w) === 1)
+  }
+
+  /** Cross-document duplicated-SPAN detection — the span-level exact
+    * dedup audit of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better"): document-level dedup misses the
+    * boilerplate paragraph pasted into thousands of otherwise-distinct
+    * pages, so every `w`-token span is keyed and a key appearing in
+    * ≥2 DISTINCT documents is duplicated text. Per document: its
+    * distinct-span count, how many of those spans are cross-doc
+    * duplicated, the duplicated share in exact ppm, and a
+    * contamination flag at `flagPpm` (docs shorter than `w` tokens
+    * have zero spans and report zeros — present, never dropped).
+    *
+    * Scale shape: span TEXT never leaves the map side — the shuffle
+    * key is the 8-byte engine-portable hash
+    * ([[graft.ext.TrainPrep.portableHash]]), not the ~40-byte gram;
+    * (doc, key) pairs are distinct-ed once, the duplicated-key set is
+    * one map-side-partial aggregation by key, and the per-doc stats
+    * are one aggregation by doc_id plus a semi-join that reuses the
+    * key-hash partitioning. No quadratics anywhere: cost is linear in
+    * total span count, the same class as exact document dedup.
+    *
+    * The 30-bit hash domain (1e9+7) makes unrelated-span collisions
+    * possible at billions of distinct spans (birthday); the oracle
+    * applies the IDENTICAL hash so results stay bit-exact, and a
+    * production run widens the key to 128-bit md5 — layout unchanged.
+    */
+  def crossDocSpans(
+      docs: DataFrame, w: Int = 5, flagPpm: Long = 300000L): DataFrame = {
+    import graft.ext.TextPrimitives.{shingles, tokens}
+    val spans = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), w)).as("g"))
+      .select(col("doc_id"), TrainPrep.portableHash(col("g")).as("h"))
+      .distinct()
+    val dupKeys = spans.groupBy("h")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dupKeys, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans"))
+      .withColumn("dup_ppm",
+        when(col("n_spans") > 0,
+          expr("n_dup_spans * 1000000 div n_spans")).otherwise(lit(0L)))
+      .withColumn("is_contaminated", col("dup_ppm") >= flagPpm)
   }
 }

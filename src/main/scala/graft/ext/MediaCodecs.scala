@@ -327,6 +327,51 @@ trait MediaCodecs {
     bos.toByteArray
   }
 
+  /** Encode the seeded image as a real GIF (LZW over palette indices)
+    * via the in-JDK ImageIO writer — the third entropy coding at the
+    * image-decode seam (DEFLATE=PNG, DCT+Huffman=JPEG, LZW=GIF). GIF
+    * is palette-coded: a seeded raster holds at most
+    * `bmpWidth·bmpHeight ≤ 128` distinct colors, so building an
+    * EXPLICIT IndexColorModel from exactly the colors present makes
+    * the encode LOSSLESS — handing the writer a TYPE_INT_RGB image
+    * would invoke its own quantizer instead (lossy even under 256
+    * colors) — and the decode pins to the same pixel oracle as
+    * BMP/PNG. Palette construction is itself part of the codec seam:
+    * a real pipeline ingesting screenshots/diagrams does exactly this.
+    */
+  def encodeGif(docId: Long): Array[Byte] = {
+    val w = bmpWidth(docId); val h = bmpHeight(docId)
+    val colors = (0 until w * h).map(i =>
+      (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
+        bmpChannel(docId, i, 0)).distinct
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(
+      math.max(colors.length - 1, 1)))
+    val cmap = colors.toArray.padTo(1 << bits, 0)
+    val icm = new java.awt.image.IndexColorModel(
+      bits, cmap.length, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        // exact palette entry -> the indexed lookup is exact, not a
+        // nearest-color approximation
+        img.setRGB(x, y,
+          (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
+            bmpChannel(docId, i, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "gif", bos),
+      "no GIF writer on this JVM")
+    bos.toByteArray
+  }
+
   /** dHash over a library-decoded raster: the same 9×8 BT.709 luma
     * grid comparison as [[dhashFromBytes]], so a losslessly-coded
     * image hashes identically to its BMP rendering and the PNG phash

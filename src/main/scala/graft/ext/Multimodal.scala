@@ -565,6 +565,13 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
       .mapPartitions(_.map(id => BmpRecord(id, encodeJpeg(id))))
   }
 
+  /** documents → real GIF payloads (map-only; payload never shuffles). */
+  def gifFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BmpRecord(id, encodeGif(id))))
+  }
+
   /** documents → PNG originals ∪ one-pixel-perturbed PNG twins at
     * doc_id+1e6 — the PNG twin of [[bmpWithPerturbedTwins]].
     */

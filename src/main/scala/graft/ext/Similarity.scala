@@ -20,6 +20,16 @@ import TextPrimitives._
   */
 object Similarity {
 
+  /** The measured exact↔NN-descent performance crossover (≈1.4k
+    * vectors, rounded up; probe data in [[knnGraphAuto]]'s scaladoc
+    * and BASELINE §R11). This is [[knnGraphAuto]]'s default routing
+    * point — and ONLY its: the consumers ([[knnClassify]],
+    * [[knnDistOutliers]]) stay exact at any n unless a caller opts
+    * into routing explicitly, so approximation is never a silent
+    * default-parameter semantics change.
+    */
+  val measuredKnnCrossover: Long = 1500L
+
   /** Exact top-k neighbors for each query vector, brute force.
     * Query set must be small (it is broadcast); ties broken by vec_id
     * for full determinism.
@@ -207,16 +217,16 @@ object Similarity {
     * Consumers that need exactness at any n must call
     * [[knnGraphBlocked]] directly and pay its contract.
     *
-    * Default threshold = the measured crossover (min-of-2, local[32],
-    * clustered 32-dim corpora, 100% descent recall at every point):
-    * n=500 exact 0.89 s vs descent 3.8 s; n=1000 1.8 vs 3.4;
-    * n=2000 5.7 vs 2.9; n=8000 13.6 vs 3.9 — crossover ≈ 1.4k,
-    * rounded to 1500 (BASELINE §R11).
+    * Default threshold = [[measuredKnnCrossover]], the measured
+    * crossover (min-of-2, local[32], clustered 32-dim corpora, 100%
+    * descent recall at every point): n=500 exact 0.89 s vs descent
+    * 3.8 s; n=1000 1.8 vs 3.4; n=2000 5.7 vs 2.9; n=8000 13.6 vs 3.9
+    * — crossover ≈ 1.4k, rounded to 1500 (BASELINE §R11).
     */
   def knnGraphAuto(
       corpus: DataFrame,
       k: Int,
-      exactThreshold: Long = 1500L,
+      exactThreshold: Long = measuredKnnCrossover,
       blocks: Int = 16,
       rounds: Int = 2): DataFrame = {
     val (g, exact, n) = knnGraphRouted(corpus, k, exactThreshold, blocks, rounds)
@@ -264,7 +274,7 @@ object Similarity {
       corpus: DataFrame,
       k: Int = 4,
       minCosine: Double = 0.3,
-      exactThreshold: Long = 1500L,
+      exactThreshold: Long = measuredKnnCrossover,
       blocks: Int = 16,
       rounds: Int = 2): DataFrame = {
     val (g, exact, n) = knnGraphRouted(corpus, k, exactThreshold, blocks, rounds)
@@ -326,6 +336,60 @@ object Similarity {
   def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     driftFromPerDim(perDimStats(oldSnap, "old"), perDimStats(newSnap, "new"))
 
+  /** Feature-decorrelation audit: the top-`topK` most-covarying
+    * embedding dimension PAIRS, exact. Redundant (strongly covarying)
+    * dimensions are wasted model capacity and the standard precursor
+    * to whitening / PCA truncation decisions — this reports which
+    * pairs, ranked, with the exact integer covariance numerator
+    * `n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` on the 1e-3 quantization grid as evidence.
+    *
+    * Dataflow (the 100 TB shape): ONE corpus scan — the native
+    * mergeable Gram accumulator ([[graft.functions.GramMatrix]]) folds
+    * every vector into a single `1 + d + d(d+1)/2`-long buffer,
+    * partials merge map-side, and the job ships ONE buffer to the
+    * driver. The finish (numerators, |·| ranking, top-k over
+    * d(d−1)/2 pairs) is driver-local BigInt arithmetic on k·d² model
+    * state — the [[sphericalKMeans]] centroid pattern; the corpus
+    * never shuffles and no n·d² intermediate rows exist (the
+    * compositional explode-and-hash-aggregate alternative pays
+    * exactly that — spec-pinned equal, measured in the spec).
+    *
+    * Exactness: the 1e-3 grid (not the similarity tier's 1e-6) keeps
+    * buffer entries inside int64 to n·max|q|² < 2⁶³ (≈5×10⁶ rows at
+    * this corpus's |q|≤530; production at larger n re-grids — the
+    * buffer layout is grid-agnostic); the BigInt finish cannot
+    * overflow and `longValueExact` fails loudly if an OUTPUT numerator
+    * ever exceeds int64 rather than wrapping. Ties rank by
+    * (dim_i, dim_j) — fully deterministic, DuckDB-re-derivable.
+    */
+  def dimCovariance(corpus: DataFrame, topK: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val packed: Seq[Long] = Scale.widen(corpus)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e3).cast("long")).as("q"))
+      .agg(org.apache.spark.sql.functions
+        .call_function("graft_gram", col("q")).as("g"))
+      .head().getSeq[Long](0)
+    if (packed.isEmpty)
+      return Seq.empty[(Int, Int, Int, Long, Long)]
+        .toDF("rank", "dim_i", "dim_j", "cov_num", "n_rows")
+    val d = Iterator.from(1).find(k => 1 + k + k * (k + 1) / 2 == packed.length)
+      .getOrElse(sys.error(s"malformed gram buffer of length ${packed.length}"))
+    val n = packed(0)
+    def sum(i: Int): Long = packed(1 + i)
+    def prod(i: Int, j: Int): Long = // upper triangle, row-major
+      packed(1 + d + i * d - i * (i - 1) / 2 + (j - i))
+    val pairs = for { i <- 0 until d; j <- i + 1 until d } yield
+      (i, j, BigInt(n) * BigInt(prod(i, j)) - BigInt(sum(i)) * BigInt(sum(j)))
+    pairs.sortBy { case (i, j, num) => (-num.abs, i, j) }
+      .take(topK).zipWithIndex
+      .map { case ((i, j, num), r) =>
+        (r + 1, i, j, num.bigInteger.longValueExact(), n) }
+      .toDF("rank", "dim_i", "dim_j", "cov_num", "n_rows")
+  }
+
   /** Per-dim exact integer (count, coordinate-sum) — the mergeable
     * sufficient statistic behind [[embeddingDrift]] and the streaming
     * [[graft.streaming.EmbeddingDriftMonitor]] (partial sums merge by
@@ -376,12 +440,17 @@ object Similarity {
     * data curation runs on the exact blocked graph below the measured
     * crossover and on NN-descent above it, so the op stays scan-shaped
     * at corpus scale instead of quadratic.
+    *
+    * `exactThreshold` defaults to `Long.MaxValue` — EXACT at any n
+    * unless the caller routes explicitly (the registry passes the
+    * shared gate constant): approximation is an opt-in, never a
+    * default-parameter surprise.
     */
   def knnClassify(
       embeddings: DataFrame,
       k: Int,
       blocks: Int = 16,
-      exactThreshold: Long = 1500L): DataFrame = {
+      exactThreshold: Long = Long.MaxValue): DataFrame = {
     val labels = embeddings.select(col("vec_id").as("n_id"), col("label"))
     val votes = knnGraphAuto(embeddings, k, exactThreshold, blocks)
       .join(labels, Seq("n_id"))
@@ -857,13 +926,17 @@ object Similarity {
     * k-th distance), which is the conservative direction for outlier
     * FLAGGING. Callers needing the exact distance at any n use
     * [[knnGraphBlocked]] directly.
+    *
+    * `exactThreshold` defaults to `Long.MaxValue` — EXACT at any n
+    * unless the caller routes explicitly (same opt-in contract as
+    * [[knnClassify]]).
     */
   def knnDistOutliers(
       corpus: DataFrame,
       k: Int = 3,
       blocks: Int = 16,
       threshold: Double = 0.29,
-      exactThreshold: Long = 1500L): DataFrame =
+      exactThreshold: Long = Long.MaxValue): DataFrame =
     knnGraphAuto(corpus, k, exactThreshold, blocks)
       .filter(col("rank") === k)
       .select(col("q_id").as("vec_id"), col("cosine").as("kth_cosine"))

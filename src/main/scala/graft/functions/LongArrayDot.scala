@@ -85,6 +85,7 @@ object GraftFunctions {
     "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry into an AggregateExpression, same as the built-ins
+    "graft_gram" -> (args => GramMatrix(args.head)),
     "graft_hll_distinct" -> (args => HllDistinct(args.head)),
     "graft_hll_sketch" -> (args => HllSketch(args.head)),
     "graft_hll_merge_estimate" -> (args => HllMergeEstimate(args.head)))

@@ -120,9 +120,16 @@ object AssembleIngest {
           val kept = sh0.join(inBatchDrop, Seq("doc_id"), "left_anti")
           val dupIds = persistedMh match {
             case Some(persisted) =>
-              val cand = graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows)
+              // both sides bucket-capped (the pairsWithinBuckets skew
+              // guard): the persisted side grows with the corpus, so an
+              // uncapped hot band bucket would expand unboundedly here
+              val cand = graft.ext.Dedup.capBuckets(
+                  graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows),
+                  Seq("band_id", "sig"), "doc_id")
                 .withColumnRenamed("doc_id", "old_id")
-                .join(graft.ext.Dedup.bandSigsFromMatrix(kept, chosenRows)
+                .join(graft.ext.Dedup.capBuckets(
+                    graft.ext.Dedup.bandSigsFromMatrix(kept, chosenRows),
+                    Seq("band_id", "sig"), "doc_id")
                   .withColumnRenamed("doc_id", "new_id"),
                   Seq("band_id", "sig"))
                 .select(col("old_id"), col("new_id")).distinct()

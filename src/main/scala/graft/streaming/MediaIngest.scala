@@ -90,9 +90,16 @@ object MediaIngest {
           // (2) probe the persisted index: band equi-join, Hamming verify
           val fresh = persistedIdx match {
             case Some(persisted) =>
-              val idx = Multimodal.bandedHashes(persisted, chosenBands)
+              // index side bucket-capped (the pairsWithinBuckets skew
+              // guard): the persisted side grows with the corpus, so an
+              // uncapped hot band bucket would expand unboundedly here
+              val idx = graft.ext.Dedup.capBuckets(
+                  Multimodal.bandedHashes(persisted, chosenBands),
+                  Seq("band_idx", "band"), "id")
                 .select(col("band_idx"), col("band"), col("hash").as("i_hash"))
-              val hit = Multimodal.bandedHashes(kept, chosenBands)
+              val hit = graft.ext.Dedup.capBuckets(
+                  Multimodal.bandedHashes(kept, chosenBands),
+                  Seq("band_idx", "band"), "id")
                 .join(idx, Seq("band_idx", "band"))
                 .filter(expr(s"bit_count(hash ^ i_hash) <= $maxHamming"))
                 .select(col("id")).distinct()

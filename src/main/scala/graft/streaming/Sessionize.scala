@@ -212,9 +212,16 @@ object Sessionize {
           // stored matrices at the chosen shape, exact-Jaccard verify
           val dupIds = persistedMh match {
             case Some(persisted) =>
-              val cand = graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows)
+              // both sides bucket-capped (the pairsWithinBuckets skew
+              // guard): the persisted side grows with the corpus, so an
+              // uncapped hot band bucket would expand unboundedly here
+              val cand = graft.ext.Dedup.capBuckets(
+                  graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows),
+                  Seq("band_id", "sig"), "doc_id")
                 .withColumnRenamed("doc_id", "old_id")
-                .join(graft.ext.Dedup.bandSigsFromMatrix(sh, chosenRows)
+                .join(graft.ext.Dedup.capBuckets(
+                    graft.ext.Dedup.bandSigsFromMatrix(sh, chosenRows),
+                    Seq("band_id", "sig"), "doc_id")
                   .withColumnRenamed("doc_id", "new_id"),
                   Seq("band_id", "sig"))
                 .select(col("old_id"), col("new_id")).distinct()

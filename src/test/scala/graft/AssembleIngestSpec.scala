@@ -149,4 +149,48 @@ class AssembleIngestSpec extends SparkSpec {
     } finally q2.stop()
     assertReportEquals(b1 ++ b2)
   }
+
+  test("drift monitor crash recovery: an unmarked (crashed) state version is ignored — rebuild from the last committed version") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    def vecs(ids: Range, off: Double) = ids.map(i => (i.toLong,
+      (0 until 6).map(d => (((i * 7 + d * 3) % 13) * 0.01 + off).toFloat).toArray))
+    val baseline = vecs(0 until 50, 0.0).toDF("vec_id", "embedding")
+    val b1 = vecs(100 until 140, 0.25)
+    val b2 = vecs(140 until 170, 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift_crash").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val report = new java.io.File(dir, "report").getPath
+    // run 1: b1 only -> batch 0 fully committed (marker present)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingDriftMonitor.watch(
+      in.toDS().toDF("vec_id", "embedding"), baseline, state, report,
+      new java.io.File(dir, "ckpt").getPath)
+    try { in.addData(b1); q.processAllAvailable() } finally q.stop()
+    // simulate batch 1 crashing BETWEEN its state write and its
+    // marker: a fully-written but UNCOMMITTED v/1 — poisoned here, so
+    // any code path that reads it is loudly detectable
+    Seq((0, 999999999L, 999999999L)).toDF("dim", "n_new", "sum_new")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/v/1")
+    // restart with a fresh checkpoint: batch 0 (b1) no-ops on its
+    // marker; batch 1 (b2) must rebuild from committed v/0 — with the
+    // old in-place design it would re-merge the live (already-merged)
+    // state and double-count
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EmbeddingDriftMonitor.watch(
+      in2.toDS().toDF("vec_id", "embedding"), baseline, state, report,
+      new java.io.File(dir, "ckpt2").getPath)
+    try {
+      in2.addData(b1); q2.processAllAvailable()
+      in2.addData(b2); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(report).orderBy("dim").collect().map(_.toString).toSeq
+    val want = graft.ext.Similarity.embeddingDrift(
+        baseline, (b1 ++ b2).toDF("vec_id", "embedding"))
+      .orderBy("dim").collect().map(_.toString).toSeq
+    assert(got == want, s"crash replay diverged from one-shot drift:\n$got\n$want")
+    // the commit GC keeps exactly the newest committed version
+    val vdirs = new java.io.File(s"$state/v").listFiles().map(_.getName).sorted.toSeq
+    assert(vdirs == Seq("1"), s"expected only the newest committed version, got $vdirs")
+  }
 }
