@@ -979,14 +979,18 @@ object Dedup {
     * contamination flag at `flagPpm` (docs shorter than `w` tokens
     * have zero spans and report zeros — present, never dropped).
     *
-    * Scale shape: span TEXT never leaves the map side — the shuffle
-    * key is the 8-byte engine-portable hash
-    * ([[graft.ext.TrainPrep.portableHash]]), not the ~40-byte gram;
-    * (doc, key) pairs are distinct-ed once, the duplicated-key set is
-    * one map-side-partial aggregation by key, and the per-doc stats
-    * are one aggregation by doc_id plus a semi-join that reuses the
-    * key-hash partitioning. No quadratics anywhere: cost is linear in
-    * total span count, the same class as exact document dedup.
+    * Scale shape: ONE pass over the corpus, ONE lineage — span TEXT
+    * never leaves the map side (the shuffle key is the 8-byte
+    * engine-portable hash [[graft.ext.TrainPrep.portableHash]], not
+    * the ~40-byte gram); (doc, key) pairs are distinct-ed, each span's
+    * cross-doc multiplicity is a count window over the key (one
+    * shuffle by key — a bare count, so no bucket cap needed), and the
+    * per-doc stats are one aggregation by doc_id. The naive
+    * three-branch formulation (duplicated-key set + two joins back)
+    * re-explodes the corpus once PER BRANCH — Spark does not reuse
+    * the exchange across them — so the window form does a third of
+    * the work. No quadratics anywhere: cost is linear in total span
+    * count, the same class as exact document dedup.
     *
     * The 30-bit hash domain (1e9+7) makes unrelated-span collisions
     * possible at billions of distinct spans (birthday); the oracle
@@ -1001,14 +1005,13 @@ object Dedup {
         explode(shingles(tokens(col("text")), w)).as("g"))
       .select(col("doc_id"), TrainPrep.portableHash(col("g")).as("h"))
       .distinct()
-    val dupKeys = spans.groupBy("h")
-      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
-    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = spans.join(dupKeys, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val perDoc = spans
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
-      .join(dupPerDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_spans", "n_dup_spans"))
       .withColumn("dup_ppm",
         when(col("n_spans") > 0,

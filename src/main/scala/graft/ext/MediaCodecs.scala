@@ -352,23 +352,39 @@ trait MediaCodecs {
       java.awt.image.DataBuffer.TYPE_BYTE)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    // write palette INDICES straight into the raster: setRGB would
+    // route through IndexColorModel's inverse color map, which
+    // quantizes to 5 bits/channel — palette entries nearer than 8
+    // levels collide there and snap to the wrong index (observed:
+    // +0x10 per channel on colliding rasters); the index write is
+    // exact by construction
+    val index = colors.zipWithIndex.toMap
+    val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        // exact palette entry -> the indexed lookup is exact, not a
-        // nearest-color approximation
-        img.setRGB(x, y,
+        raster.setSample(x, y, 0, index(
           (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
-            bmpChannel(docId, i, 0))
+            bmpChannel(docId, i, 0)))
         x += 1
       }
       y += 1
     }
+    // write NON-interlaced explicitly: the JDK writer's default can
+    // interlace, and on rasters shorter than the 8-row pass stride the
+    // encode/decode pair scrambles rows (observed: h=4 images came
+    // back in pass order with the last pass dropped)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "gif", bos),
-      "no GIF writer on this JVM")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
 

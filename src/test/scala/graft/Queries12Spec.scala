@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Round-12: the native mergeable Gram accumulator + the covariance
+  * audit built on it, cross-doc span-level dedup, and the lossless
+  * explicit-palette GIF seam.
+  */
+class Queries12Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ── GramMatrix / dimCovariance ────────────────────────────────────
+
+  private val tinyVecs = Seq(
+    (0L, Array(1.0f, 2.0f, -1.0f)),
+    (1L, Array(2.0f, 0.0f, 1.0f)),
+    (2L, Array(0.0f, 1.0f, 3.0f)),
+    (3L, Array(-1.0f, 1.0f, 0.0f)))
+
+  test("GramMatrix: one-pass native buffer equals the compositional explode formulation, under any partitioning") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = tinyVecs.toDF("vec_id", "embedding")
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e3).cast("long")).as("q"))
+    def packed(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+      frame.agg(call_function("graft_gram", col("q"))).head().getSeq[Long](0)
+    val g = packed(df)
+    // partitioning/merge-order invariance: same multiset, any split
+    assert(packed(df.repartition(7)) == g, "gram buffer not partition-invariant")
+    assert(packed(df.repartition(1)) == g, "gram buffer not partition-invariant")
+    // compositional re-derivation: explode to (dim, value), self-join
+    val x = tinyVecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), posexplode(
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e3).cast("long"))).as(Seq("d", "v")))
+    val d = 3
+    val n = x.groupBy().agg(countDistinct("vec_id")).head().getLong(0)
+    assert(g(0) == n)
+    val sums = x.groupBy("d").agg(sum("v").as("s")).orderBy("d")
+      .collect().map(_.getLong(1))
+    assert(g.slice(1, 1 + d) == sums.toSeq, "per-dim sums diverge")
+    val prods = x.as("a").join(x.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("i"), col("b.d").as("j"))
+      .agg(sum(col("a.v") * col("b.v")).as("p"))
+      .orderBy("i", "j").collect().map(_.getLong(2))
+    assert(g.drop(1 + d) == prods.toSeq, "product triangle diverges")
+  }
+
+  test("dimCovariance: exact integer numerators on a hand corpus; empty corpus yields an empty frame") {
+    val r = Similarity.dimCovariance(tinyVecs.toDF("vec_id", "embedding"), topK = 3)
+      .orderBy("rank").collect()
+    // hand math on the 1e3 grid: q0=(1000,2000,-1000), q1=(2000,0,1000),
+    // q2=(0,1000,3000), q3=(-1000,1000,0); n=4
+    // cov(0,1) = 4*Σx0x1 - Σx0Σx1 = 4*(2e6+0+0-1e6) - 2e3*4e3 = 4e6-8e6 = -4e6
+    // cov(0,2) = 4*(-1e6+2e6+0+0) - 2e3*3e3 = 4e6-6e6 = -2e6
+    // cov(1,2) = 4*(-2e6+0+3e6+0) - 4e3*3e3 = 4e6-12e6 = -8e6
+    val byPair = r.map(x => ((x.getInt(1), x.getInt(2)), x.getLong(3))).toMap
+    assert(byPair == Map((0, 1) -> -4000000L, (0, 2) -> -2000000L, (1, 2) -> -8000000L))
+    // rank = |cov| desc: (1,2) then (0,1) then (0,2)
+    assert(r.map(x => (x.getInt(1), x.getInt(2))).toSeq ==
+      Seq((1, 2), (0, 1), (0, 2)))
+    assert(r.forall(_.getLong(4) == 4L), "n_rows evidence wrong")
+    val empty = Similarity.dimCovariance(
+      tinyVecs.toDF("vec_id", "embedding").limit(0), topK = 3)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("rank", "dim_i", "dim_j", "cov_num", "n_rows"))
+  }
+
+  // ── crossDocSpans ─────────────────────────────────────────────────
+
+  test("crossDocSpans: shared w-token spans across docs are flagged; short docs report zeros, never drop") {
+    val docs = Seq(
+      // 6 tokens -> 2 spans; shares span "a b c d e" with doc 2
+      (1L, "a b c d e f"),
+      // 5 tokens -> 1 span, duplicated -> ppm 1e6, contaminated
+      (2L, "a b c d e"),
+      // 6 tokens -> 2 spans, none shared
+      (3L, "p q r s t u"),
+      // 3 tokens -> zero spans
+      (4L, "x y z")).toDF("doc_id", "text")
+    val r = Dedup.crossDocSpans(docs, w = 5, flagPpm = 300000L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 500000L, true),   // 1 of 2 spans duplicated
+      (2L, 1L, 1L, 1000000L, true),  // its only span is the shared one
+      (3L, 2L, 0L, 0L, false),
+      (4L, 0L, 0L, 0L, false)))      // < w tokens: present with zeros
+  }
+
+  test("crossDocSpans: within-doc repetition alone is NOT cross-doc duplication") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"), // repeats its own span; no other doc has it
+      (2L, "k l m n o p")).toDF("doc_id", "text")
+    val r = Dedup.crossDocSpans(docs, w = 5).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(0L, 0L),
+      "self-repetition must not count as cross-doc duplication")
+  }
+
+  // ── GIF seam ──────────────────────────────────────────────────────
+
+  test("GIF encode is lossless: decoded stats equal the BMP tier's for every raster shape, including sub-8-row heights") {
+    // ids 0..44 cover all (width, height) residue combinations; the
+    // h=4 rows (id % 5 == 0) are the non-interlace regression class
+    for (id <- 0L until 45L) {
+      val viaGif = Multimodal.decodeImage(id, Multimodal.encodeGif(id))
+      val viaBmp = Multimodal.decodeBmp(id, Multimodal.encodeBmp(id))
+      assert(viaGif == viaBmp, s"GIF decode diverged from BMP stats at id=$id")
+    }
+  }
+}
