@@ -31,10 +31,17 @@ object TrainPrep {
     * [0, 1e9+7): polynomial fold (base 31) of the md5 hex characters.
     * Identical in any engine with md5 + a list fold (init-0 fold equals
     * first-element-init fold for `acc*31 + x`).
+    *
+    * Evaluated by the fused native expression
+    * ([[graft.functions.PortableHash]] — value-identical, spec-pinned
+    * against the compositional `aggregate(transform(split(md5)))`
+    * form, which allocated 32 single-char strings per input); wrapped
+    * directly via the Bridge so no session registration is needed.
     */
   def portableHash(c: Column): Column =
-    aggregate(transform(split(md5(c), ""), ch => ascii(ch).cast("long")),
-      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PortableHash(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
 
   /** Deterministic train/val/test split: bucket = hash(seed|id) % 100,
     * train = [0, trainPct), val = [trainPct, trainPct+valPct), test =

@@ -83,6 +83,7 @@ object GraftFunctions {
     "graft_jaccard" -> (args => ArrayJaccard(args(0), args(1))),
     "graft_containment" -> (args => ArrayContainment(args(0), args(1))),
     "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))),
+    "graft_portable_hash" -> (args => PortableHash(args.head)),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry into an AggregateExpression, same as the built-ins
     "graft_gram" -> (args => GramMatrix(args.head)),

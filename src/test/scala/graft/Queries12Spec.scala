@@ -101,6 +101,24 @@ class Queries12Spec extends SparkSpec {
       "self-repetition must not count as cross-doc duplication")
   }
 
+  // ── PortableHash native expression ────────────────────────────────
+
+  test("PortableHash native expression equals the compositional md5-fold, including empty/unicode/null") {
+    val strs: Seq[String] = Seq("", "a", "hello world", "üñïçødé ✓✗",
+      "a b c d e", "\t\n", "0" * 500) ++
+      (0 until 200).map(i => s"doc-$i-${"x" * (i % 17)}")
+    val df = (strs :+ null).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val compositional = aggregate(
+      transform(split(md5(col("s")), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
+    val bad = df.select(col("id"),
+        graft.ext.TrainPrep.portableHash(col("s")).as("native"),
+        compositional.as("comp"))
+      .filter(!(col("native") <=> col("comp"))).collect()
+    assert(bad.isEmpty, s"native/compositional divergence: ${bad.mkString(",")}")
+  }
+
   // ── GIF seam ──────────────────────────────────────────────────────
 
   test("GIF encode is lossless: decoded stats equal the BMP tier's for every raster shape, including sub-8-row heights") {
