@@ -362,16 +362,35 @@ object Similarity {
     * ever exceeds int64 rather than wrapping. Ties rank by
     * (dim_i, dim_j) — fully deterministic, DuckDB-re-derivable.
     */
-  def dimCovariance(corpus: DataFrame, topK: Int = 32): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val packed: Seq[Long] = Scale.widen(corpus)
+  def dimCovariance(corpus: DataFrame, topK: Int = 32): DataFrame =
+    covFromGram(corpus.sparkSession, gramPacked(corpus), topK)
+
+  /** The corpus-side half of [[dimCovariance]]: fold the (1e-3 grid)
+    * quantized corpus into one packed Gram buffer — n, per-dim sums,
+    * upper-triangle products ([[graft.functions.GramMatrix]] layout).
+    * Buffers MERGE BY ELEMENT-WISE ADDITION, which is what makes the
+    * streaming twin ([[graft.streaming.CovarianceMonitor]]) exact.
+    */
+  private[graft] def gramPacked(corpus: DataFrame): Seq[Long] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    Scale.widen(corpus)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1e3).cast("long")).as("q"))
       .agg(org.apache.spark.sql.functions
         .call_function("graft_gram", col("q")).as("g"))
       .head().getSeq[Long](0)
+  }
+
+  /** The finishing half of [[dimCovariance]]: exact BigInt covariance
+    * numerators + |·|-ranked top-k from a packed Gram buffer — shared
+    * verbatim by the batch operator and the streaming monitor, so the
+    * two reports are bit-identical given equal buffers.
+    */
+  private[graft] def covFromGram(
+      spark: org.apache.spark.sql.SparkSession,
+      packed: Seq[Long],
+      topK: Int): DataFrame = {
+    import spark.implicits._
     if (packed.isEmpty)
       return Seq.empty[(Int, Int, Int, Long, Long)]
         .toDF("rank", "dim_i", "dim_j", "cov_num", "n_rows")

@@ -28,25 +28,11 @@ import graft.ext.Similarity
   *
   * Idempotence + crash atomicity: foreachBatch is at-least-once and a
   * MERGE is not self-healing (a re-merge double-counts, unlike the
-  * append sinks' anti-joins), so state is committed like a version
-  * log, never updated in place:
-  *
-  *   - batch `b` writes its merged state to the fresh per-batch path
-  *     `stateDir/v/<b>` (its own staging — overwrite there can only
-  *     clobber a crashed attempt of the SAME uncommitted batch);
-  *   - the marker `stateDir/_committed/<b>` is created AFTER the
-  *     state and report writes — the single atomic commit point;
-  *   - a replay of a marked batch is a no-op; a replay of an UNMARKED
-  *     batch rebuilds from the LAST COMMITTED version, never from a
-  *     possibly-already-merged uncommitted write — the double-count
-  *     window of the in-place design is structurally gone, as is its
-  *     lose-everything window (`mode(overwrite)` on the live state
-  *     deleted the accumulated sums before rewriting them);
-  *   - superseded version dirs are GC'd only after the new marker
-  *     lands, so the newest marker's state dir always exists (a crash
-  *     between marker and GC just leaves one extra tiny dir for the
-  *     next commit to collect). Markers are kept forever — they are
-  *     the replay no-op record.
+  * append sinks' anti-joins), so state goes through the
+  * [[VersionedModelState]] commit protocol — per-batch version paths,
+  * marker as the atomic commit point, replays of unmarked batches
+  * rebuild from the last COMMITTED version (see its scaladoc for the
+  * full crash analysis).
   *
   * The report rewrite stays an in-place overwrite: it is derived
   * purely from committed state, so a torn report (crash mid-write) is
@@ -69,38 +55,25 @@ object EmbeddingDriftMonitor {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val committedDir = new org.apache.hadoop.fs.Path(s"$stateDir/_committed")
-        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$batchId")
-        if (!fs.exists(marker)) {
+        if (!VersionedModelState.isCommitted(spark, stateDir, batchId)) {
           val part = Similarity.perDimStats(batch.toDF(), "new")
             .as[(Int, Long, Long)].collect()
-          // last COMMITTED version only — an unmarked v/<id> dir is a
-          // crashed attempt (possibly fully merged) and must be ignored
-          val committed: Seq[Long] =
-            if (fs.exists(committedDir))
-              fs.listStatus(committedDir).toSeq.map(_.getPath.getName.toLong)
-            else Seq.empty
-          val prev: Seq[(Int, Long, Long)] = committed.sorted.lastOption match {
-            case Some(v) => spark.read.parquet(s"$stateDir/v/$v")
-              .as[(Int, Long, Long)].collect().toSeq
-            case None => Seq.empty
-          }
+          val prev: Seq[(Int, Long, Long)] =
+            VersionedModelState.lastCommitted(spark, stateDir)
+              .map(_.as[(Int, Long, Long)].collect().toSeq)
+              .getOrElse(Seq.empty)
           val merged = (prev ++ part).groupBy(_._1).toSeq
             .map { case (d, xs) => (d, xs.map(_._2).sum, xs.map(_._3).sum) }
             .sortBy(_._1)
           // lineage-free local frames -> the writes cannot collide
           // with any plan reading these paths
-          merged.toDF("dim", "n_new", "sum_new")
-            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v/$batchId")
-          Similarity.driftFromPerDim(
-              base.toDF("dim", "n_old", "sum_old"),
-              merged.toDF("dim", "n_new", "sum_new"))
-            .coalesce(1).write.mode("overwrite").parquet(reportDir)
-          fs.mkdirs(marker) // the atomic commit point
-          committed.foreach(v => // GC superseded versions, markers stay
-            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v/$v"), true))
+          VersionedModelState.commit(spark, stateDir, batchId,
+            merged.toDF("dim", "n_new", "sum_new")) {
+            Similarity.driftFromPerDim(
+                base.toDF("dim", "n_old", "sum_old"),
+                merged.toDF("dim", "n_new", "sum_new"))
+              .coalesce(1).write.mode("overwrite").parquet(reportDir)
+          }
         }
         ()
       }

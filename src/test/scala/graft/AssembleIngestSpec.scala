@@ -150,6 +150,42 @@ class AssembleIngestSpec extends SparkSpec {
     assertReportEquals(b1 ++ b2)
   }
 
+  test("streaming covariance monitor: merged Gram report equals the one-shot batch covariance after every batch, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    def vecs(ids: Range, off: Double) = ids.map(i => (i.toLong,
+      (0 until 6).map(d => (((i * 11 + d * 5) % 17) * 0.02 + off).toFloat).toArray))
+    val b1 = vecs(0 until 40, 0.1)
+    val b2 = vecs(40 until 75, -0.2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_covmon").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val report = new java.io.File(dir, "report").getPath
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.CovarianceMonitor.watch(
+      in.toDS().toDF("vec_id", "embedding"), state, report,
+      new java.io.File(dir, "ckpt").getPath, topK = 10)
+    def assertReportEquals(seen: Seq[(Long, Array[Float])]): Unit = {
+      val got = spark.read.parquet(report).orderBy("rank")
+        .collect().map(_.toString).toSeq
+      val want = graft.ext.Similarity.dimCovariance(
+          seen.toDF("vec_id", "embedding"), topK = 10)
+        .orderBy("rank").collect().map(_.toString).toSeq
+      assert(got == want, s"monitor report diverged from one-shot covariance:\n$got\n$want")
+    }
+    try {
+      in.addData(b1); q.processAllAvailable(); assertReportEquals(b1)
+      in.addData(b2); q.processAllAvailable(); assertReportEquals(b1 ++ b2)
+    } finally q.stop()
+    // kill-and-restart with a fresh checkpoint: committed batches no-op
+    // on their markers — a re-merge would double-count the Gram sums
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.CovarianceMonitor.watch(
+      in2.toDS().toDF("vec_id", "embedding"), state, report,
+      new java.io.File(dir, "ckpt2").getPath, topK = 10)
+    try { in2.addData(b1); q2.processAllAvailable() } finally q2.stop()
+    assertReportEquals(b1 ++ b2)
+  }
+
   test("drift monitor crash recovery: an unmarked (crashed) state version is ignored — rebuild from the last committed version") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
