@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TrainPrep}
 
 /** Round-12 registry keys.
   *
@@ -44,6 +44,13 @@ object Queries12 extends ExtHelpers {
         .toDF()
         .orderBy("doc_id")
     }),
+
+    // curriculum assembly: rarity-dominant integer difficulty,
+    // histogram-order-statistic quartile phases (the capstone tercile
+    // convention), per-phase deterministic ordering
+    "curriculum_phases" -> ((s, dir) =>
+      TrainPrep.curriculumPhases(t(s, dir, "documents"), phases = 4)
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,5 +133,52 @@ object Queries12 extends ExtHelpers {
     // GIF is lossless under the explicit exact palette -> identical
     // pixel-stats oracle as the BMP/PNG tiers
     "multimodal_gif_decode" -> ExtQueriesMedia.oracles("multimodal_bmp_decode"),
+
+    // quartile thresholds re-derived as RANKED order statistics
+    // (rn = k·n//4) — the independent formulation of the engine's
+    // histogram-cum-sum gate; absent ranks (k·n//4 = 0) leave the
+    // threshold NULL and the band predicate vacuous, mirroring the
+    // engine's MIN_LONG guard
+    "curriculum_phases" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+                  FROM tok GROUP BY tok),
+         r AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN n_occ < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+           FROM tok JOIN freq USING (tok) GROUP BY doc_id),
+         s AS (
+           SELECT d.doc_id,
+                  coalesce(r.n_tokens, 0) AS n_tokens,
+                  CASE WHEN coalesce(r.n_tokens, 0) > 0
+                       THEN CAST(coalesce(r.n_rare, 0) * 1000000 // r.n_tokens AS BIGINT)
+                       ELSE 0 END AS rare_ppm
+           FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id),
+         sc AS (
+           SELECT doc_id, n_tokens, rare_ppm,
+                  CAST(rare_ppm * 4096 + least(n_tokens, 4095) AS BIGINT) AS difficulty
+           FROM s),
+         rk AS (
+           SELECT sc.*, row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+           FROM sc),
+         t AS (
+           SELECT max(CASE WHEN rn = 1 * n // 4 THEN difficulty END) AS t1,
+                  max(CASE WHEN rn = 2 * n // 4 THEN difficulty END) AS t2,
+                  max(CASE WHEN rn = 3 * n // 4 THEN difficulty END) AS t3
+           FROM rk),
+         p AS (
+           SELECT rk.doc_id, rk.n_tokens, rk.rare_ppm, rk.difficulty,
+                  CASE WHEN t.t1 IS NOT NULL AND rk.difficulty <= t.t1 THEN 1
+                       WHEN t.t2 IS NOT NULL AND rk.difficulty <= t.t2 THEN 2
+                       WHEN t.t3 IS NOT NULL AND rk.difficulty <= t.t3 THEN 3
+                       ELSE 4 END AS phase
+           FROM rk, t)
+         SELECT doc_id, n_tokens, rare_ppm, difficulty, phase,
+                CAST(row_number() OVER (PARTITION BY phase
+                  ORDER BY difficulty, doc_id) AS BIGINT) AS position
+         FROM p ORDER BY doc_id""",
   )
 }

@@ -301,4 +301,60 @@ object TrainPrep {
         first(col("accept_ppm")).as("accept_ppm"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** Curriculum assembly: band the corpus easy→hard into `phases`
+    * training phases by a deterministic integer difficulty score, and
+    * order each phase — the "train on clean/common text first, feed
+    * the rare tail later" schedule of curriculum-learning data prep.
+    *
+    * Difficulty is an exact composite: `rare_ppm · 4096 +
+    * min(n_tokens, 4095)` — rarity dominates (documents made of
+    * low-frequency tokens are the hard tail), length breaks ties
+    * inside a rarity level, and the packing keeps the composite inside
+    * int64 with zero overlap between the two fields. Swapping in a
+    * model-scored difficulty (loss percentile, LM score) changes
+    * nothing structural — [[graft.ext.CorpusClean.finish]] does
+    * exactly that with its fluency bands.
+    *
+    * Scale shape: rarity is one token-keyed shuffle + one doc-keyed
+    * aggregation ([[graft.ext.TextAnalysis.rareTokenRatio]]); the
+    * phase thresholds are k·n/phases order statistics read from a
+    * difficulty HISTOGRAM cumulative sum (the capstone's tercile
+    * convention — never a global sort of document rows); `position`
+    * is the only per-row ordering and it is per-phase, the same
+    * class as shard-local ordering every shard writer needs anyway.
+    * Docs shorter than the tokenizer's floor (zero tokens) band into
+    * phase 1 with zeros — present, never dropped.
+    */
+  def curriculumPhases(docs: DataFrame, phases: Int = 4): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    val rare = TextAnalysis.rareTokenRatio(docs.select("doc_id", "text"))
+    val scored = Checkpoints.truncateLazy(docs.select("doc_id")
+      .join(rare.select("doc_id", "n_tokens", "rare_ppm"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "rare_ppm"))
+      .withColumn("difficulty",
+        expr("rare_ppm * 4096 + least(n_tokens, 4095)")))
+    val hist = scored.groupBy(col("difficulty")).agg(count(lit(1)).as("c"))
+      .withColumn("_g", lit(1))
+    val aggs = max(col("cum_total")).as("n") +:
+      (1 until phases).map(k =>
+        min(when(col("cum") >= expr(s"$k * cum_total div $phases"),
+          col("difficulty"))).as(s"t$k"))
+    val gate = Scale.chunkedCumSum(hist, Seq("_g"), "difficulty", "c", "cum")
+      .agg(aggs.head, aggs.tail: _*).collect().head
+    val n = if (gate.isNullAt(0)) 0L else gate.getLong(0)
+    // rank k·n/phases < 1 has no order statistic: the band predicate
+    // must be vacuous (the CorpusClean.finish absent-rank convention)
+    val ts = (1 until phases).map(k =>
+      if (k * n / phases < 1) Long.MinValue else gate.getLong(k))
+    val phase = ts.zipWithIndex.foldRight(lit(phases)) {
+      case ((t, i), rest) => when(col("difficulty") <= t, i + 1).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("phase"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    scored.withColumn("phase", phase)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("rare_ppm"),
+        col("difficulty"), col("phase"), col("position"))
+  }
 }

@@ -101,6 +101,44 @@ class Queries12Spec extends SparkSpec {
       "self-repetition must not count as cross-doc duplication")
   }
 
+  // ── curriculumPhases ──────────────────────────────────────────────
+
+  test("curriculumPhases: phases are monotone in difficulty, cover every doc, and order deterministically within a phase") {
+    // 8 docs: ids 0-3 all-common tokens (rare_ppm 0, difficulty =
+    // length), ids 4-7 increasingly rare-token-heavy
+    val docs = Seq(
+      (0L, "a a a"), (1L, "a a a a"), (2L, "a a a a a"), (3L, "a a a a a a"),
+      (4L, "a a a z4"), (5L, "a a z5a z5b"), (6L, "a z6a z6b z6c"),
+      (7L, "z7a z7b z7c z7d")).toDF("doc_id", "text")
+    val r = graft.ext.TrainPrep.curriculumPhases(docs, phases = 4)
+      .orderBy("doc_id").collect()
+    assert(r.length == 8, "every doc must band somewhere")
+    // difficulty ordering implies phase ordering (monotone banding)
+    val byDifficulty = r.sortBy(x => (x.getLong(3), x.getLong(0)))
+    assert(byDifficulty.map(_.getInt(4)).toSeq == byDifficulty.map(_.getInt(4)).sorted.toSeq,
+      "phase must be monotone in difficulty")
+    // n=8, quartiles at ranks 2/4/6: exactly 2 docs per phase
+    assert(r.groupBy(_.getInt(4)).view.mapValues(_.length).toMap ==
+      Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2))
+    // positions are 1..2 within each phase, ordered by (difficulty, id)
+    r.groupBy(_.getInt(4)).foreach { case (_, rows) =>
+      assert(rows.sortBy(x => (x.getLong(3), x.getLong(0)))
+        .map(_.getLong(5)).toSeq == Seq(1L, 2L))
+    }
+    // the all-common docs are the easy phase; the all-rare doc is hardest
+    assert(r.find(_.getLong(0) == 0L).get.getInt(4) == 1)
+    assert(r.find(_.getLong(0) == 7L).get.getInt(4) == 4)
+  }
+
+  test("curriculumPhases: corpora smaller than the phase count band vacuously (absent order statistics)") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = graft.ext.TrainPrep.curriculumPhases(docs, phases = 4)
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    // n=2: rank 2·2/4=1 exists, ranks 0 vacuous -> both docs still band
+    assert(r.forall(x => x.getInt(4) >= 1 && x.getInt(4) <= 4))
+  }
+
   // ── PortableHash native expression ────────────────────────────────
 
   test("PortableHash native expression equals the compositional md5-fold, including empty/unicode/null") {
