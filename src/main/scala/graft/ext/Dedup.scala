@@ -999,23 +999,38 @@ object Dedup {
     */
   def crossDocSpans(
       docs: DataFrame, w: Int = 5, flagPpm: Long = 300000L): DataFrame = {
-    import graft.ext.TextPrimitives.{shingles, tokens}
-    val spans = docs
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), w)).as("g"))
-      .select(col("doc_id"), TrainPrep.portableHash(col("g")).as("h"))
-      .distinct()
+    val spans = spanKeys(docs, w)
     val perDoc = spans
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-    docs.select("doc_id")
+    spanReport(docs.select("doc_id"), perDoc, flagPpm)
+  }
+
+  /** The distinct (doc_id, span-key) set at width `w` — shared by the
+    * batch auditor [[crossDocSpans]] and the streaming ingest
+    * ([[graft.streaming.SpanIngest]]), so both key spans identically.
+    */
+  private[graft] def spanKeys(docs: DataFrame, w: Int): DataFrame = {
+    import graft.ext.TextPrimitives.{shingles, tokens}
+    docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), w)).as("g"))
+      .select(col("doc_id"), TrainPrep.portableHash(col("g")).as("h"))
+      .distinct()
+  }
+
+  /** Shared finishing projection: per-doc span stats → ppm + flag,
+    * with every id present (zero spans reported, never dropped).
+    */
+  private[graft] def spanReport(
+      ids: DataFrame, perDoc: DataFrame, flagPpm: Long): DataFrame =
+    ids
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_spans", "n_dup_spans"))
       .withColumn("dup_ppm",
         when(col("n_spans") > 0,
           expr("n_dup_spans * 1000000 div n_spans")).otherwise(lit(0L)))
       .withColumn("is_contaminated", col("dup_ppm") >= flagPpm)
-  }
 }

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming twin of [[graft.ext.Dedup.crossDocSpans]] — span-level
+  * exact dedup (Lee et al. 2021) maintained ONLINE: each arriving
+  * document is scored against every span ever ingested, which is how a
+  * live training-data intake actually runs the check (the batch
+  * auditor re-scans the corpus; the ingest pays only |batch| work per
+  * batch against a persisted span-key index).
+  *
+  * Per micro-batch:
+  *
+  *   1. span keys — the batch's distinct (doc_id, key) set via the
+  *      SAME derivation the batch auditor uses
+  *      ([[graft.ext.Dedup.spanKeys]]: w-token shingles → portable
+  *      hash);
+  *   2. duplication verdict per span — in-batch cross-doc multiplicity
+  *      (count window over the key) OR a hit in the persisted span
+  *      index from a DIFFERENT doc (the `!=doc_id` guard makes a
+  *      replay that already indexed this doc's own spans not count
+  *      them against it); the predicate is monotone in what has been
+  *      seen, which is what makes replays idempotent;
+  *   3. per-doc report (n_spans, n_dup_spans, dup_ppm, flag — the
+  *      batch auditor's own finishing projection) appended to gold;
+  *   4. the batch's span keys appended to the index. Gold stays
+  *      FIRST (the nearDupIngest ordering argument: a doc may be
+  *      indexed only after its report is durable).
+  *
+  * Prefix-semantics contract (spec-pinned): a doc arriving in batch i
+  * gets EXACTLY the row `crossDocSpans(batches 0..i)` would give it —
+  * in-batch sharing counts both directions, earlier corpus counts via
+  * the index. The two semantics then diverge only in the documented
+  * direction every ingest shares (AssembleIngest's note): an EARLIER
+  * doc's gold row is not retro-flagged when a later duplicate arrives
+  * — the batch auditor is the retrospective view, the ingest is the
+  * admission-time view.
+  *
+  * Idempotence: a fully-committed batch leaves
+  * `indexDir/_committed/<batchId>` and replays as a no-op; a partial
+  * commit self-heals because both appends anti-join the doc_ids
+  * already in their targets and the duplication predicate is monotone
+  * (step 2's guard covers the half-indexed-self case).
+  *
+  * Scale shape: probe cost per batch is |batch spans| × index hits on
+  * the key-hash equi-join — never |corpus|; the index is an 8-byte-key
+  * table a warehouse would bucket by key hash.
+  */
+object SpanIngest {
+
+  def spanIngest(
+      docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
+      w: Int = 5, flagPpm: Long = 300000L)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        graft.functions.GraftFunctions.register(spark)
+        val spansDir = s"$indexDir/spans"
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
+        if (!fs.exists(marker)) {
+          def readCommitted(dir: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val hasData = fs.exists(p) && fs.listStatus(p)
+              .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            if (hasData) Some(spark.read.parquet(dir)) else None
+          }
+          // EAGER lineage truncation (the AssembleIngest refreshByPath
+          // note): the stats plan reads spansDir, and the span append
+          // below would re-execute a cached plan reading that path
+          val spans = graft.ext.Checkpoints.truncate(
+            graft.ext.Dedup.spanKeys(batch.toDF(), w))
+
+          // (2) monotone duplication verdict: in-batch window ∪ probe
+          val inBatch = spans
+            .withColumn("nb", count(lit(1)).over(Window.partitionBy("h")))
+          val hits = readCommitted(spansDir) match {
+            case Some(idx) => spans.as("s")
+              .join(idx.as("i"),
+                col("s.h") === col("i.h") && col("s.doc_id") =!= col("i.doc_id"),
+                "left_semi")
+              .select(col("doc_id"), col("h"), lit(1L).as("hit"))
+            case None => spans.select(col("doc_id"), col("h"), lit(1L).as("hit")).limit(0)
+          }
+          val perDoc = inBatch
+            .join(hits, Seq("doc_id", "h"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_spans"),
+              sum(when(col("nb") >= 2 || col("hit").isNotNull, 1L)
+                .otherwise(0L)).as("n_dup_spans"))
+          val report = graft.ext.Checkpoints.truncate(graft.ext.Dedup
+            .spanReport(batch.toDF().select("doc_id"), perDoc, flagPpm))
+
+          // (3)+(4) idempotent appends — gold first. Gold heals at doc
+          // granularity (one row per doc); the span index heals at
+          // (doc_id, h) granularity so even a torn multi-row doc
+          // append resumes exactly at the missing suffix
+          def notAlreadyIn(frame: DataFrame, dir: String, keys: Seq[String]): DataFrame =
+            readCommitted(dir) match {
+              case Some(existing) => frame.join(
+                existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              case None => frame
+            }
+          notAlreadyIn(report, outDir, Seq("doc_id"))
+            .write.mode("append").parquet(outDir)
+          notAlreadyIn(spans, spansDir, Seq("doc_id", "h"))
+            .write.mode("append").parquet(spansDir)
+          fs.mkdirs(marker)
+        }
+        ()
+      }
+      .start()
+}

@@ -150,6 +150,69 @@ class AssembleIngestSpec extends SparkSpec {
     assertReportEquals(b1 ++ b2)
   }
 
+  test("span ingest: every arriving doc gets exactly the batch auditor's row over the prefix corpus; replay and torn index appends self-heal") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.streaming.SpanIngest
+    val sb1 = Seq(
+      1L -> "a b c d e f g",       // spans shared with 2 (in-batch) and 11 (later)
+      2L -> "a b c d e zz yy",     // shares "a b c d e" with 1
+      3L -> "p q r s t u v")       // unique
+    val sb2 = Seq(
+      11L -> "x1 a b c d e f x2",  // hits 1 and 2 via the index
+      12L -> "m n o p q r",        // no 5-span overlap with 3's spans? "p q r s t" vs... none
+      13L -> "zz")                 // < w tokens -> zeros
+    val dir = java.nio.file.Files.createTempDirectory("graft_spaningest").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "idx").getPath
+    def goldRows(ids: Seq[Long]) = spark.read.parquet(out)
+      .filter(col("doc_id").isin(ids: _*)).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    def auditorRows(prefix: Seq[(Long, String)], ids: Seq[Long]) =
+      graft.ext.Dedup.crossDocSpans(prefix.toDF("doc_id", "text"), w = 5)
+        .filter(col("doc_id").isin(ids: _*)).orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = SpanIngest.spanIngest(in.toDS().toDF("doc_id", "text"), out, idx,
+      new java.io.File(dir, "ckpt").getPath)
+    try {
+      in.addData(sb1); q.processAllAvailable()
+      assert(goldRows(sb1.map(_._1)) == auditorRows(sb1, sb1.map(_._1)),
+        "batch-1 rows diverge from the prefix auditor")
+      in.addData(sb2); q.processAllAvailable()
+      assert(goldRows(sb2.map(_._1)) == auditorRows(sb1 ++ sb2, sb2.map(_._1)),
+        "batch-2 rows diverge from the prefix auditor")
+      // admission-time view: batch-1 rows did NOT get retro-flagged
+      assert(goldRows(sb1.map(_._1)) == auditorRows(sb1, sb1.map(_._1)),
+        "earlier gold rows must stay at their admission-time values")
+    } finally q.stop()
+    // torn span-index append: drop half of doc 11's span rows and
+    // delete batch 1's marker -> the replay must re-land exactly the
+    // missing suffix and leave gold untouched
+    val allSpans = spark.read.parquet(s"$idx/spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val torn = allSpans.filter { case (d, h) => d != 11L || h % 2 == 0 }
+    val fsys = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$idx/spans"), true)
+    torn.toSeq.toDF("doc_id", "h").write.parquet(s"$idx/spans")
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/1"), true)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = SpanIngest.spanIngest(in2.toDS().toDF("doc_id", "text"), out, idx,
+      new java.io.File(dir, "ckpt2").getPath)
+    try {
+      in2.addData(sb1); q2.processAllAvailable() // batch 0: marker no-op
+      in2.addData(sb2); q2.processAllAvailable() // batch 1: heals the tear
+    } finally q2.stop()
+    val healed = spark.read.parquet(s"$idx/spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(healed == allSpans.sorted.toSeq, "torn span append did not heal to the exact original set")
+    assert(goldRows(sb2.map(_._1)) == auditorRows(sb1 ++ sb2, sb2.map(_._1)),
+      "gold diverged after the healing replay")
+    assert(spark.read.parquet(out).count() == (sb1 ++ sb2).length,
+      "replay duplicated gold rows")
+  }
+
   test("streaming covariance monitor: merged Gram report equals the one-shot batch covariance after every batch, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
