@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TrainPrep}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
 /** Round-12 registry keys.
   *
@@ -51,9 +51,96 @@ object Queries12 extends ExtHelpers {
     "curriculum_phases" -> ((s, dir) =>
       TrainPrep.curriculumPhases(t(s, dir, "documents"), phases = 4)
         .orderBy("doc_id")),
+
+    // BPE merge-rule training (Sennrich et al. 2016): 4 rounds of
+    // count-pairs -> merge-argmax over the word-frequency table —
+    // every round re-derived in DuckDB including the greedy
+    // left-to-right merge fold
+    "bpe_train_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), rounds = 4)
+        .orderBy("round")),
+
+    // the trained tokenizer's vocabulary view: top symbols by weighted
+    // occurrence AFTER the 4 learned merges are applied corpus-wide
+    "bpe_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.bpeVocabTopK(t(s, dir, "documents"), rounds = 4, k = 16)
+        .orderBy("rank")),
   )
 
+  /** One BPE round as CTE text: pair counts over `prev`, the argmax
+    * merge, and the fold-applied next symbol table. The fold is the
+    * same greedy left-to-right pass the engine runs (append `mb`
+    * separator-less when the accumulator's last space-bounded symbol
+    * is exactly `ma`).
+    */
+  private def bpeRound(i: Int, prev: String): String =
+    s"""p$i AS (
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT freq,
+                      unnest([ss[j] || ' ' || ss[j + 1] FOR j IN range(1, len(ss))]) AS pair
+               FROM (SELECT freq, string_split(s, ' ') AS ss FROM $prev))
+         GROUP BY pair),
+       m$i AS (
+         SELECT ma, mb, c FROM (
+           SELECT string_split(pair, ' ')[1] AS ma,
+                  string_split(pair, ' ')[2] AS mb, c
+           FROM p$i)
+         ORDER BY c DESC, ma, mb LIMIT 1),
+       s$i AS (
+         SELECT t.freq,
+                list_reduce(string_split(t.s, ' '),
+                  (acc, x) -> CASE WHEN x = m.mb AND
+                                        (acc = m.ma OR ends_with(acc, ' ' || m.ma))
+                                   THEN acc || x
+                                   ELSE acc || ' ' || x END) AS s
+         FROM $prev t, m$i m)"""
+
   val oracles: Map[String, String] = Map(
+
+    // word-frequency table once, then 4 unrolled rounds of
+    // count/argmax/fold — the tie rule (c DESC, ma, mb) matches the
+    // engine's (n_pairs DESC, a, b)
+    "bpe_train_merges" ->
+      s"""WITH w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         s0 AS (
+           SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+           FROM w0),
+         ${bpeRound(1, "s0")},
+         ${bpeRound(2, "s1")},
+         ${bpeRound(3, "s2")},
+         ${bpeRound(4, "s3")}
+         SELECT * FROM (
+           SELECT 1 AS round, ma AS sym_a, mb AS sym_b,
+                  ma || mb AS merged, c AS pair_count FROM m1
+           UNION ALL SELECT 2, ma, mb, ma || mb, c FROM m2
+           UNION ALL SELECT 3, ma, mb, ma || mb, c FROM m3
+           UNION ALL SELECT 4, ma, mb, ma || mb, c FROM m4)
+         ORDER BY round""",
+
+    // same unrolled training chain, finished over s4 (the post-merge
+    // symbol table) instead of the merge rows
+    "bpe_vocab_topk" ->
+      s"""WITH w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         s0 AS (
+           SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+           FROM w0),
+         ${bpeRound(1, "s0")},
+         ${bpeRound(2, "s1")},
+         ${bpeRound(3, "s2")},
+         ${bpeRound(4, "s3")}
+         SELECT rank, symbol, n_occ FROM (
+           SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occ,
+                  CAST(row_number() OVER (
+                    ORDER BY sum(freq) DESC, symbol) AS INT) AS rank
+           FROM (SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM s4)
+           GROUP BY symbol)
+         WHERE rank <= 16 ORDER BY rank""",
 
     // quadratic-in-d compositional re-derivation of the one-pass Gram
     // fold: explode dims, self-join within vec_id, aggregate — same

@@ -580,4 +580,103 @@ object TextAnalysis {
       .withColumn("ttr_ppm", expr("types_cum * 1000000 div tokens_cum"))
       .select("slice", "n_tokens", "new_types", "tokens_cum", "types_cum", "ttr_ppm")
   }
+
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016) — the iterative
+    * loop [[bpePairCounts]] is one round of: `rounds` times, count
+    * adjacent symbol pairs over the corpus, merge the most frequent
+    * pair everywhere, repeat. Emits the learned merge table — the
+    * tokenizer model — as (round, sym_a, sym_b, merged, pair_count),
+    * fully deterministic (ties → lexicographically smallest pair; the
+    * round-1 row equals [[bpePairCounts]]' top row by construction —
+    * spec-pinned).
+    *
+    * Scale shape (the standard trick): the corpus collapses ONCE to
+    * the word-frequency table (one token-keyed shuffle; Zipf keeps the
+    * vocab orders of magnitude below the token count) and every round
+    * then works at VOCAB grain — one pair explode + partial-aggregated
+    * count (pair-keyed shuffle of vocab-sized data), one 1-row argmax
+    * to the driver (the model state), one map-side fold applying the
+    * merge. Nothing per-round ever rescans documents.
+    *
+    * Merge application is the standard greedy left-to-right
+    * non-overlapping pass, expressed as a fold over the symbol string:
+    * append `b` directly (no separator) when the accumulator ends with
+    * symbol `a` — the boundary space disappears, which IS the merge;
+    * 'a a a' under (a,a) correctly yields 'aa a'. The identical fold
+    * runs in DuckDB (`list_reduce`), so every round is re-derivable.
+    *
+    * A degenerate corpus can run out of pairs (all words fused to one
+    * symbol) before `rounds` — training then stops early and emits
+    * the merges that exist.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, rounds)._1
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** The learned VOCABULARY after [[bpeTrainMerges]]' `rounds` merges:
+    * top-`k` final symbols by weighted corpus occurrence — the
+    * tokenizer-fertility view (how much of the token stream the
+    * learned units cover) a pipeline reads before committing to a
+    * vocab size. Same training pass; one extra vocab-grain explode +
+    * pair-keyed count on top.
+    */
+  def bpeVocabTopK(docs: DataFrame, rounds: Int = 4, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = bpeTrain(docs, rounds)._2
+    val w = Window.orderBy(col("n_occ").desc, col("symbol"))
+    vocab.select(col("freq"), explode(split(col("syms"), " ")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("freq")).as("n_occ"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("symbol"), col("n_occ"))
+  }
+
+  /** Shared trainer core: the merge table plus the final folded
+    * word-frequency symbol table (`freq`, `syms`).
+    */
+  private def bpeTrain(
+      docs: DataFrame, rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    var vocab = Checkpoints.truncateLazy(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", concat_ws(" ", split(col("w"), ""))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(col("freq"), split(col("syms"), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(0, size(s) - 2),
+               i -> struct(element_at(s, i + 1) AS a, element_at(s, i + 2) AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, a, b, a + b, n))
+        // greedy left-to-right merge: append b separator-less when the
+        // accumulator's LAST symbol is exactly a (space-bounded check)
+        vocab = Checkpoints.truncateLazy(vocab.withColumn("syms",
+          aggregate(split(col("syms"), " "), lit(""), (acc, x) =>
+            when(acc === lit(""), x)
+              .when(x === lit(b) &&
+                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                concat(acc, x))
+              .otherwise(concat(acc, lit(" "), x)))))
+        r += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
 }

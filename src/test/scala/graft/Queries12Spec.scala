@@ -101,6 +101,41 @@ class Queries12Spec extends SparkSpec {
       "self-repetition must not count as cross-doc duplication")
   }
 
+  // ── bpeTrainMerges ────────────────────────────────────────────────
+
+  test("bpeTrainMerges: hand-traced merge sequence, word-frequency weighting, and early stop when pairs run out") {
+    // "aaab"x3 + "ab"x2: r1 (a,a)=6 -> r2 (a,b)=5 -> r3 (aa,ab)=3 -> dry
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.bpeTrainMerges(docs, rounds = 4)
+      .orderBy("round").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)),
+      s"merge sequence diverged: ${r.mkString(",")}")
+  }
+
+  test("bpeTrainMerges: merge application is greedy left-to-right non-overlapping") {
+    // 'a a a a' under (a,a) must become 'aa aa' (2 merges), not 3
+    // overlapping counts — so round 2 learns (aa,aa)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.bpeTrainMerges(docs, rounds = 4)
+      .orderBy("round").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(4)))
+    assert(r.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)),
+      s"greedy merge contract violated: ${r.mkString(",")}")
+  }
+
+  test("bpeTrainMerges round 1 equals bpePairCounts' top row (the one-round operator is the trainer's first step)") {
+    val docs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val first = graft.ext.TextAnalysis.bpeTrainMerges(docs, rounds = 1).collect().head
+    val top = graft.ext.TextAnalysis.bpePairCounts(docs, k = 1).collect().head
+    assert((first.getString(1), first.getString(2), first.getLong(4)) ==
+      (top.getString(1), top.getString(2), top.getLong(3)),
+      "trainer round 1 diverged from the pair-count operator's argmax")
+  }
+
   // ── curriculumPhases ──────────────────────────────────────────────
 
   test("curriculumPhases: phases are monotone in difficulty, cover every doc, and order deterministically within a phase") {
