@@ -90,7 +90,9 @@ case class GramMatrix(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  // clone: the buffer is mutable aggregation state (the HllSketch.eval
+  // convention) — handing the live array out would alias it
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
