@@ -33,6 +33,12 @@ object Queries12 extends ExtHelpers {
       Similarity.dimCovariance(t(s, dir, "embeddings"), topK = 32)
         .orderBy("rank")),
 
+    // the diagonal view of the same Gram buffer: per-dim exact
+    // variance numerators, dead-dimension audit
+    "embedding_dim_variance" -> ((s, dir) =>
+      Similarity.dimVariance(t(s, dir, "embeddings"))
+        .orderBy("rank")),
+
     "dedup_cross_doc_spans" -> ((s, dir) =>
       Dedup.crossDocSpans(corpusWithNearCopies(s, dir), w = 5)
         .orderBy("doc_id")),
@@ -180,6 +186,31 @@ object Queries12 extends ExtHelpers {
            FROM c)
          SELECT rank, dim_i, dim_j, cov_num, n_rows
          FROM r WHERE rank <= 32 ORDER BY rank""",
+
+    // linear per-dim re-derivation (no self-join needed for the
+    // diagonal); HUGEINT intermediates for the n·Σx²−(Σx)² finish
+    "embedding_dim_variance" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  [CAST(round(CAST(v AS DOUBLE) * 1e3) AS BIGINT) FOR v IN embedding] AS q
+           FROM embeddings),
+         x AS (
+           SELECT CAST(s['d'] AS INT) AS d, CAST(s['v'] AS BIGINT) AS v
+           FROM (SELECT unnest([struct_pack(d := i, v := q[i + 1])
+                               FOR i IN range(0, len(q))]) AS s
+                 FROM q)),
+         a AS (
+           SELECT d, CAST(sum(v) AS HUGEINT) AS sx,
+                  CAST(sum(v * v) AS HUGEINT) AS sxx,
+                  CAST(count(*) AS HUGEINT) AS n
+           FROM x GROUP BY d),
+         c AS (
+           SELECT d AS dim, CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+                  CAST(n AS BIGINT) AS n_rows
+           FROM a)
+         SELECT CAST(row_number() OVER (ORDER BY var_num DESC, dim) AS INT) AS rank,
+                dim, var_num, n_rows
+         FROM c ORDER BY rank""",
 
     // spans re-keyed by the portable-hash twin (md5-hex fold); the
     // duplicated-key set and per-doc ratios re-derived relationally

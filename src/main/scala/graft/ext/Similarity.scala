@@ -381,6 +381,34 @@ object Similarity {
       .head().getSeq[Long](0)
   }
 
+  /** Per-dimension exact VARIANCE audit — the diagonal view of the
+    * same Gram buffer [[dimCovariance]] ranks the off-diagonal of:
+    * every dim's variance numerator `n·Σx² − (Σx)²` on the 1e-3 grid,
+    * ranked highest-first (a near-zero entry is a dead dimension — the
+    * pruning/whitening prerequisite check run before committing to an
+    * embedding width). Same one-pass scale shape and BigInt finish as
+    * the covariance op; emits ALL d rows (d is model-sized).
+    */
+  def dimVariance(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty)
+      return Seq.empty[(Int, Int, Long, Long)]
+        .toDF("rank", "dim", "var_num", "n_rows")
+    val d = Iterator.from(1).find(k => 1 + k + k * (k + 1) / 2 == packed.length)
+      .getOrElse(sys.error(s"malformed gram buffer of length ${packed.length}"))
+    val n = packed(0)
+    val rows = (0 until d).map { i =>
+      val sx = BigInt(packed(1 + i))
+      val sxx = BigInt(packed(1 + d + i * d - i * (i - 1) / 2))
+      (i, BigInt(n) * sxx - sx * sx)
+    }
+    rows.sortBy { case (i, v) => (-v, i) }.zipWithIndex
+      .map { case ((i, v), r) => (r + 1, i, v.bigInteger.longValueExact(), n) }
+      .toDF("rank", "dim", "var_num", "n_rows")
+  }
+
   /** The finishing half of [[dimCovariance]]: exact BigInt covariance
     * numerators + |·|-ranked top-k from a packed Gram buffer — shared
     * verbatim by the batch operator and the streaming monitor, so the

@@ -101,6 +101,16 @@ class Queries12Spec extends SparkSpec {
       "self-repetition must not count as cross-doc duplication")
   }
 
+  test("dimVariance: exact diagonal numerators, ranked") {
+    // dim0: sx=2000, sxx=6e6 -> 4*6e6-4e6 = 2.0e7
+    // dim1: sx=4000, sxx=6e6 -> 2.4e7-1.6e7 = 0.8e7
+    // dim2: sx=3000, sxx=11e6 -> 4.4e7-0.9e7 = 3.5e7
+    val r = Similarity.dimVariance(tinyVecs.toDF("vec_id", "embedding"))
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1, 2, 35000000L), (2, 0, 20000000L), (3, 1, 8000000L)))
+  }
+
   // ── bpeTrainMerges ────────────────────────────────────────────────
 
   test("bpeTrainMerges: hand-traced merge sequence, word-frequency weighting, and early stop when pairs run out") {
