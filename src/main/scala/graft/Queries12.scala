@@ -77,7 +77,11 @@ object Queries12 extends ExtHelpers {
     * merge, and the fold-applied next symbol table. The fold is the
     * same greedy left-to-right pass the engine runs (append `mb`
     * separator-less when the accumulator's last space-bounded symbol
-    * is exactly `ma`).
+    * is exactly `ma`). The symbol table chains through a LEFT JOIN ON
+    * TRUE: on a pair-EXHAUSTED corpus m$i is empty, the merge columns
+    * come back NULL, and every word passes through unchanged — the
+    * engine's early stop (the merge-row UNION is naturally empty for
+    * the exhausted rounds on both sides).
     */
   private def bpeRound(i: Int, prev: String): String =
     s"""p$i AS (
@@ -94,12 +98,13 @@ object Queries12 extends ExtHelpers {
          ORDER BY c DESC, ma, mb LIMIT 1),
        s$i AS (
          SELECT t.freq,
-                list_reduce(string_split(t.s, ' '),
-                  (acc, x) -> CASE WHEN x = m.mb AND
-                                        (acc = m.ma OR ends_with(acc, ' ' || m.ma))
-                                   THEN acc || x
-                                   ELSE acc || ' ' || x END) AS s
-         FROM $prev t, m$i m)"""
+                CASE WHEN m.ma IS NULL THEN t.s
+                     ELSE list_reduce(string_split(t.s, ' '),
+                       (acc, x) -> CASE WHEN x = m.mb AND
+                                            (acc = m.ma OR ends_with(acc, ' ' || m.ma))
+                                        THEN acc || x
+                                        ELSE acc || ' ' || x END) END AS s
+         FROM $prev t LEFT JOIN m$i m ON TRUE)"""
 
   val oracles: Map[String, String] = Map(
 

@@ -396,8 +396,7 @@ object Similarity {
     if (packed.isEmpty)
       return Seq.empty[(Int, Int, Long, Long)]
         .toDF("rank", "dim", "var_num", "n_rows")
-    val d = Iterator.from(1).find(k => 1 + k + k * (k + 1) / 2 == packed.length)
-      .getOrElse(sys.error(s"malformed gram buffer of length ${packed.length}"))
+    val d = gramDim(packed.length)
     val n = packed(0)
     val rows = (0 until d).map { i =>
       val sx = BigInt(packed(1 + i))
@@ -408,6 +407,16 @@ object Similarity {
       .map { case ((i, v), r) => (r + 1, i, v.bigInteger.longValueExact(), n) }
       .toDF("rank", "dim", "var_num", "n_rows")
   }
+
+
+  /** Invert `len = 1 + d + d(d+1)/2` to the vector width `d`, failing
+    * LOUDLY on a length no dimension produces (a bounded search — an
+    * unbounded one would never terminate on malformed input; d=0 is
+    * the legal zero-width-vector corpus).
+    */
+  private def gramDim(len: Int): Int =
+    (0 to 65536).find(k => 1L + k + k.toLong * (k + 1) / 2 == len.toLong)
+      .getOrElse(sys.error(s"malformed gram buffer of length $len"))
 
   /** The finishing half of [[dimCovariance]]: exact BigInt covariance
     * numerators + |·|-ranked top-k from a packed Gram buffer — shared
@@ -422,8 +431,7 @@ object Similarity {
     if (packed.isEmpty)
       return Seq.empty[(Int, Int, Int, Long, Long)]
         .toDF("rank", "dim_i", "dim_j", "cov_num", "n_rows")
-    val d = Iterator.from(1).find(k => 1 + k + k * (k + 1) / 2 == packed.length)
-      .getOrElse(sys.error(s"malformed gram buffer of length ${packed.length}"))
+    val d = gramDim(packed.length)
     val n = packed(0)
     def sum(i: Int): Long = packed(1 + i)
     def prod(i: Int, j: Int): Long = // upper triangle, row-major

@@ -67,6 +67,18 @@ case class GramMatrix(
     val b = if (buf.isEmpty) sized(d) else buf
     require(b.length == 1 + d + d * (d + 1) / 2,
       s"$prettyName: vector length $d differs from the corpus's")
+    // loud, not silent: a NULL component would fold as 0 under the
+    // unsafe row format (and the oracle's SUM would skip it) — exactly
+    // the mis-accumulation this aggregate promises never to do.
+    // Checked for the whole vector BEFORE any element is folded, so a
+    // rejected row never half-updates the buffer. Callers quantize
+    // non-null embeddings, so this never fires on the registry paths.
+    var c = 0
+    while (c < d) {
+      require(!arr.isNullAt(c),
+        s"$prettyName: NULL vector component at index $c")
+      c += 1
+    }
     b(0) += 1L
     var i = 0
     var p = 1 + d // start of the product triangle

@@ -70,16 +70,9 @@ object AssembleIngest {
         val mhDir = s"$indexDir/mh"
         val shDir = s"$indexDir/sh"
         val xhDir = s"$indexDir/xh"
-        val fs = new org.apache.hadoop.fs.Path(indexDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
-        if (!fs.exists(marker)) {
-          def readCommitted(dir: String): Option[DataFrame] = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val hasData = fs.exists(p) && fs.listStatus(p)
-              .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            if (hasData) Some(spark.read.parquet(dir)) else None
-          }
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
+          def readCommitted(dir: String): Option[DataFrame] =
+            IngestCommit.readCommitted(spark, dir)
 
           // (1) quality gate — the batch pipeline's own stage
           val gated = graft.ext.CorpusClean
@@ -144,13 +137,12 @@ object AssembleIngest {
           }
 
           // (4) idempotent appends — gold first (see scaladoc note)
-          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-              frame.join(spark.read.parquet(dir).select("doc_id").distinct(),
-                Seq("doc_id"), "left_anti")
-            else frame
-          }
+          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame =
+            IngestCommit.readCommitted(spark, dir) match {
+              case Some(existing) => frame.join(
+                existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+              case None => frame
+            }
           // EAGER lineage truncation, not persist: surv's plan reads
           // the index paths (shDir/mhDir via the probe), and every
           // parquet append triggers refreshByPath, which RE-EXECUTES
@@ -171,7 +163,7 @@ object AssembleIngest {
           notAlreadyIn(surv.select("doc_id", "text_hash"), xhDir)
             .write.mode("append").parquet(xhDir)
           sh0.unpersist()
-          fs.mkdirs(marker)
+          IngestCommit.mark(spark, indexDir, batchId)
         }
         ()
       }

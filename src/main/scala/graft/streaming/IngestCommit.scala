@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing of the APPEND-sink ingests
+  * ([[Sessionize.nearDupIngest]], [[MediaIngest]], [[AssembleIngest]],
+  * [[SpanIngest]]): the committed-data probe and the per-batch marker.
+  * Append sinks self-heal on replay via anti-joins against their
+  * targets, so the marker here is a fast-path no-op record — the
+  * MERGE-state guard with versioned rebuild is [[VersionedModelState]]'s
+  * job, not this one's.
+  */
+private[graft] object IngestCommit {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The table at `dir`, only if a committed part file exists.
+    * Directory-exists is not enough: a crash during the very first
+    * batch's append can leave only an uncommitted `_temporary/` tree,
+    * and a bare `spark.read.parquet` would then throw schema-inference
+    * errors on every restart — permanently wedging the stream in
+    * exactly the recovery path the marker protocol is meant to harden.
+    */
+  def readCommitted(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hasData = f.exists(p) && f.listStatus(p)
+      .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    if (hasData) Some(spark.read.parquet(dir)) else None
+  }
+
+  def isCommitted(spark: SparkSession, markerRoot: String, batchId: Long): Boolean =
+    fs(spark, markerRoot).exists(
+      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/$batchId"))
+
+  def mark(spark: SparkSession, markerRoot: String, batchId: Long): Unit =
+    fs(spark, markerRoot).mkdirs(
+      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/$batchId"))
+}

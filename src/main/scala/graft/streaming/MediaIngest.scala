@@ -32,21 +32,9 @@ import graft.ext.Multimodal
   */
 object MediaIngest {
 
-  /** Read `dir` as parquet only if it holds at least one COMMITTED
-    * data file. Directory-exists is not enough: a crash during the
-    * very first batch's append can leave only an uncommitted
-    * `_temporary/` tree, and a bare `spark.read.parquet` would then
-    * throw schema-inference errors on every restart — permanently
-    * wedging the stream in exactly the recovery path the marker
-    * protocol is meant to harden. */
   private def readCommitted(dir: String)(
-      implicit spark: SparkSession): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    if (hasData) Some(spark.read.parquet(dir)) else None
-  }
+      implicit spark: SparkSession): Option[DataFrame] =
+    IngestCommit.readCommitted(spark, dir)
 
   def phashIngest(
       media: DataFrame, // (doc_id LONG, payload BINARY)
@@ -61,10 +49,7 @@ object MediaIngest {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import spark.implicits._
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
-        if (!fs.exists(marker)) {
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
           val hashes = batch.select(col("doc_id"), col("payload"))
             .as[(Long, Array[Byte])]
             .mapPartitions(_.map { case (id, bytes) =>
@@ -121,7 +106,7 @@ object MediaIngest {
           notAlreadyIn(surv, dataDir).write.mode("append").parquet(dataDir)
           surv.unpersist()
           hashes.unpersist()
-          fs.mkdirs(marker)
+          IngestCommit.mark(spark, indexDir, batchId)
           ()
         }
       }

@@ -175,16 +175,7 @@ object Sessionize {
         graft.functions.GraftFunctions.register(spark)
         val mhDir = s"$indexDir/mh"
         val shDir = s"$indexDir/sh"
-        val fs = new org.apache.hadoop.fs.Path(indexDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
-        if (!fs.exists(marker)) {
-          def readCommitted(dir: String): Option[DataFrame] = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val hasData = fs.exists(p) && fs.listStatus(p)
-              .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            if (hasData) Some(spark.read.parquet(dir)) else None
-          }
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
           val sh0 = batch.toDF()
             .select(col("doc_id"), col("text"), shingles(tokens(col("text")), k).as("sh"))
             .withColumn("shh", shingleHashes(col("sh")))
@@ -194,7 +185,7 @@ object Sessionize {
           // banding shape through the re-banding POLICY: the persisted
           // index decides (it is what saturates); the batch's own
           // matrix decides before any index exists
-          val persistedMh = readCommitted(mhDir)
+          val persistedMh = IngestCommit.readCommitted(spark, mhDir)
           val chosenRows = rowsPerBand.getOrElse(
             graft.ext.Dedup.minhashAutoRows(
               persistedMh.getOrElse(sh0.select(col("doc_id"), col("mh"))))._1)
@@ -239,13 +230,12 @@ object Sessionize {
           // anti-joins the ids already in its target so a replay of a
           // partially-committed batch writes exactly the missing suffix
           // (see the idempotence scaladoc note above).
-          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-              frame.join(spark.read.parquet(dir).select("doc_id").distinct(),
-                Seq("doc_id"), "left_anti")
-            else frame
-          }
+          def notAlreadyIn(frame: DataFrame, dir: String): DataFrame =
+            IngestCommit.readCommitted(spark, dir) match {
+              case Some(existing) => frame.join(
+                existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+              case None => frame
+            }
           // EAGER lineage truncation, not persist: the probe reads
           // shDir/mhDir, and each append's refreshByPath RE-EXECUTES
           // any cached plan reading the written path — a cached surv
@@ -264,7 +254,7 @@ object Sessionize {
           notAlreadyIn(survSh.select("doc_id", "mh"), mhDir)
             .write.mode("append").parquet(mhDir)
           sh0.unpersist()
-          fs.mkdirs(marker)
+          IngestCommit.mark(spark, indexDir, batchId)
         }
         ()
       }

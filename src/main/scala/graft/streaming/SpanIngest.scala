@@ -59,19 +59,10 @@ object SpanIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.functions.GraftFunctions.register(batch.sparkSession)
-        graft.functions.GraftFunctions.register(spark)
+        // no session registration needed: the only non-built-in here
+        // is portableHash, which spanKeys gets Bridge-wrapped
         val spansDir = s"$indexDir/spans"
-        val fs = new org.apache.hadoop.fs.Path(indexDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/$batchId")
-        if (!fs.exists(marker)) {
-          def readCommitted(dir: String): Option[DataFrame] = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val hasData = fs.exists(p) && fs.listStatus(p)
-              .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            if (hasData) Some(spark.read.parquet(dir)) else None
-          }
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
           // EAGER lineage truncation (the AssembleIngest refreshByPath
           // note): the stats plan reads spansDir, and the span append
           // below would re-execute a cached plan reading that path
@@ -81,7 +72,7 @@ object SpanIngest {
           // (2) monotone duplication verdict: in-batch window ∪ probe
           val inBatch = spans
             .withColumn("nb", count(lit(1)).over(Window.partitionBy("h")))
-          val hits = readCommitted(spansDir) match {
+          val hits = IngestCommit.readCommitted(spark, spansDir) match {
             case Some(idx) => spans.as("s")
               .join(idx.as("i"),
                 col("s.h") === col("i.h") && col("s.doc_id") =!= col("i.doc_id"),
@@ -103,7 +94,7 @@ object SpanIngest {
           // (doc_id, h) granularity so even a torn multi-row doc
           // append resumes exactly at the missing suffix
           def notAlreadyIn(frame: DataFrame, dir: String, keys: Seq[String]): DataFrame =
-            readCommitted(dir) match {
+            IngestCommit.readCommitted(spark, dir) match {
               case Some(existing) => frame.join(
                 existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
               case None => frame
@@ -112,7 +103,7 @@ object SpanIngest {
             .write.mode("append").parquet(outDir)
           notAlreadyIn(spans, spansDir, Seq("doc_id", "h"))
             .write.mode("append").parquet(spansDir)
-          fs.mkdirs(marker)
+          IngestCommit.mark(spark, indexDir, batchId)
         }
         ()
       }

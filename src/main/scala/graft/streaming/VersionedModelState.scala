@@ -51,11 +51,31 @@ private[graft] object VersionedModelState {
   }
 
   /** The last COMMITTED state version, if any — an unmarked `v/<id>`
-    * dir is a crashed attempt (possibly fully merged) and is ignored.
+    * dir is a crashed attempt (possibly fully merged) and is ignored;
+    * a marker whose `v/<id>` dir is missing is skipped (GC keeps only
+    * the newest, and a PRE-versioned state dir has markers with no
+    * version dirs at all). When no version dir exists but the legacy
+    * in-place layout (`stateDir/data` + markers) does, that state is
+    * adopted as the base the next commit versions — the one-time
+    * migration path for monitors restarted over a pre-protocol state
+    * dir, which would otherwise crash on a nonexistent `v/` path and
+    * orphan the accumulated sums (it inherits the old layout's crash
+    * caveat exactly once: `data` written ahead of its marker cannot be
+    * distinguished from committed data).
     */
-  def lastCommitted(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    committedIds(spark, stateDir).sorted.lastOption
+  def lastCommitted(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val f = fs(spark, stateDir)
+    val ids = committedIds(spark, stateDir)
+    ids.sorted.reverse
+      .find(v => f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v/$v")))
       .map(v => spark.read.parquet(s"$stateDir/v/$v"))
+      .orElse {
+        val legacy = new org.apache.hadoop.fs.Path(s"$stateDir/data")
+        if (ids.nonEmpty && f.exists(legacy))
+          Some(spark.read.parquet(s"$stateDir/data"))
+        else None
+      }
+  }
 
   /** Write `merged` to this batch's version path, run the caller's
     * report write, then commit atomically via the marker and GC the

@@ -249,6 +249,39 @@ class AssembleIngestSpec extends SparkSpec {
     assertReportEquals(b1 ++ b2)
   }
 
+  test("drift monitor migration: a pre-versioned state dir (markers + live data path) is adopted, not crashed on") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    def vecs(ids: Range, off: Double) = ids.map(i => (i.toLong,
+      (0 until 6).map(d => (((i * 7 + d * 3) % 13) * 0.01 + off).toFloat).toArray))
+    val baseline = vecs(0 until 50, 0.0).toDF("vec_id", "embedding")
+    val b1 = vecs(100 until 140, 0.25)
+    val b2 = vecs(140 until 170, 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift_mig").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val report = new java.io.File(dir, "report").getPath
+    // hand-build the LEGACY layout: batch 0 (b1) committed in-place —
+    // live state at state/data, marker at state/_committed/0, no v/
+    graft.ext.Similarity.perDimStats(b1.toDF("vec_id", "embedding"), "new")
+      .coalesce(1).write.parquet(s"$state/data")
+    new java.io.File(s"$state/_committed/0").mkdirs()
+    // restart the monitor: batch 0 no-ops on the old marker; batch 1
+    // must adopt the legacy state as its base, not crash on v/0
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingDriftMonitor.watch(
+      in.toDS().toDF("vec_id", "embedding"), baseline, state, report,
+      new java.io.File(dir, "ckpt").getPath)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(report).orderBy("dim").collect().map(_.toString).toSeq
+    val want = graft.ext.Similarity.embeddingDrift(
+        baseline, (b1 ++ b2).toDF("vec_id", "embedding"))
+      .orderBy("dim").collect().map(_.toString).toSeq
+    assert(got == want, s"migrated monitor diverged from one-shot drift:\n$got\n$want")
+  }
+
   test("drift monitor crash recovery: an unmarked (crashed) state version is ignored — rebuild from the last committed version") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark

@@ -101,6 +101,30 @@ class Queries12Spec extends SparkSpec {
       "self-repetition must not count as cross-doc duplication")
   }
 
+  test("GramMatrix contract edges: zero-width vectors are a legal empty-moment corpus; a malformed buffer and NULL components fail loudly") {
+    graft.functions.GraftFunctions.register(spark)
+    // zero-width vectors -> packed = [n] (d = 0): both audits emit
+    // zero pair/dim rows instead of spinning in the d-derivation
+    val zeroDim = Seq((0L, Array.empty[Float]), (1L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.dimCovariance(zeroDim, topK = 4).collect().isEmpty)
+    assert(Similarity.dimVariance(zeroDim).collect().isEmpty)
+    // a length no dimension produces (1+d+d(d+1)/2 is never 2) fails
+    // loudly, not forever
+    val ex = intercept[RuntimeException](
+      Similarity.covFromGram(spark, Seq(1L, 2L), topK = 4))
+    assert(ex.getMessage.contains("malformed gram buffer"))
+    // NULL vector component: loud, never folded as 0
+    val withNull = Seq(Tuple1(Array[java.lang.Long](1L, null, 3L)))
+      .toDF("q")
+    val err = intercept[Exception] {
+      withNull.agg(call_function("graft_gram", col("q"))).collect()
+    }
+    assert(err.toString.contains("NULL vector component") ||
+      Option(err.getCause).exists(_.toString.contains("NULL vector component")),
+      s"expected the loud NULL-component failure, got: $err")
+  }
+
   test("dimVariance: exact diagonal numerators, ranked") {
     // dim0: sx=2000, sxx=6e6 -> 4*6e6-4e6 = 2.0e7
     // dim1: sx=4000, sxx=6e6 -> 2.4e7-1.6e7 = 0.8e7
