@@ -117,7 +117,7 @@ object Queries12 extends ExtHelpers {
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE len(w) > 0 GROUP BY w),
          s0 AS (
-           SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+           SELECT freq, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
            FROM w0),
          ${bpeRound(1, "s0")},
          ${bpeRound(2, "s1")},
@@ -139,7 +139,7 @@ object Queries12 extends ExtHelpers {
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE len(w) > 0 GROUP BY w),
          s0 AS (
-           SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+           SELECT freq, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
            FROM w0),
          ${bpeRound(1, "s0")},
          ${bpeRound(2, "s1")},

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis, TrainPrep}
+
+/** Round-13 registry keys.
+  *
+  * 1. `dedup_span_excise` — the INTERVENTION round-12's
+  *    `dedup_cross_doc_spans` audit exists for (Lee et al. 2021
+  *    "ExactSubstr" dedup): duplicated w-token spans are REMOVED from
+  *    every document except the corpus-wide first occurrence; emits
+  *    cleaned text + removal accounting per document. Runs on the
+  *    planted-near-copy corpus, where the copies lose essentially all
+  *    their text and the originals keep theirs.
+  */
+object Queries13 extends ExtHelpers {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_span_excise" -> ((s, dir) =>
+      Dedup.spanExcise(corpusWithNearCopies(s, dir), w = 5)
+        .orderBy("doc_id")),
+
+    // curriculum -> packing composition: phases band easy->hard, the
+    // concat-then-chunk packer runs WITHIN each (phase, bucket) in
+    // curriculum order — a pack never mixes phases
+    "curriculum_pack" -> ((s, dir) =>
+      TrainPrep.curriculumPack(t(s, dir, "documents"),
+          phases = 4, tokenBudget = 2048, buckets = 8)
+        .orderBy("doc_id")),
+
+    // the manifest view a phase-sharded training run records
+    "curriculum_pack_manifest" -> ((s, dir) =>
+      TrainPrep.curriculumPackManifest(t(s, dir, "documents"),
+          phases = 4, tokenBudget = 2048, buckets = 8)
+        .orderBy("phase", "bucket", "pack_id")),
+  )
+
+  /** The curriculum difficulty/threshold/phase chain as CTE text —
+    * re-derived here (ranked order statistics, the independent
+    * formulation of the engine's histogram-cum-sum gate) and shared by
+    * the two packing oracles; ends with relation `p`(doc_id, n_tokens,
+    * rare_ppm, difficulty, phase).
+    */
+  private val curriculumCtes =
+    """tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+                FROM tok GROUP BY tok),
+       r AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN n_occ < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM tok JOIN freq USING (tok) GROUP BY doc_id),
+       s AS (
+         SELECT d.doc_id,
+                coalesce(r.n_tokens, 0) AS n_tokens,
+                CASE WHEN coalesce(r.n_tokens, 0) > 0
+                     THEN CAST(coalesce(r.n_rare, 0) * 1000000 // r.n_tokens AS BIGINT)
+                     ELSE 0 END AS rare_ppm
+         FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id),
+       sc AS (
+         SELECT doc_id, n_tokens, rare_ppm,
+                CAST(rare_ppm * 4096 + least(n_tokens, 4095) AS BIGINT) AS difficulty
+         FROM s),
+       rk AS (
+         SELECT sc.*, row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+                CAST(count(*) OVER () AS BIGINT) AS n
+         FROM sc),
+       t AS (
+         SELECT max(CASE WHEN rn = 1 * n // 4 THEN difficulty END) AS t1,
+                max(CASE WHEN rn = 2 * n // 4 THEN difficulty END) AS t2,
+                max(CASE WHEN rn = 3 * n // 4 THEN difficulty END) AS t3
+         FROM rk),
+       p AS (
+         SELECT rk.doc_id, rk.n_tokens, rk.rare_ppm, rk.difficulty,
+                CASE WHEN t.t1 IS NOT NULL AND rk.difficulty <= t.t1 THEN 1
+                     WHEN t.t2 IS NOT NULL AND rk.difficulty <= t.t2 THEN 2
+                     WHEN t.t3 IS NOT NULL AND rk.difficulty <= t.t3 THEN 3
+                     ELSE 4 END AS phase
+         FROM rk, t)"""
+
+  /** The packing tail over `p` — (phase, bucket)-partitioned running
+    * token sum in curriculum order, pack = budget chunk of the
+    * concatenated stream (the sequence_packing convention).
+    */
+  private val packCtes =
+    """pk AS (
+         SELECT doc_id, phase, doc_id % 8 AS bucket, n_tokens, difficulty
+         FROM p),
+       c AS (
+         SELECT doc_id, phase, bucket, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY phase, bucket
+                  ORDER BY difficulty, doc_id) AS BIGINT) AS cum_tokens
+         FROM pk),
+       packed AS (
+         SELECT doc_id, phase, bucket, n_tokens, cum_tokens,
+                CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id
+         FROM c)"""
+
+  val oracles: Map[String, String] = Map(
+
+    // occurrence-grain re-derivation: spans re-keyed by the
+    // portable-hash twin, first-occurrence rank + cross-doc test as
+    // window functions, covered positions exploded and removed, text
+    // rebuilt with an ordered list aggregation
+    "dedup_span_excise" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         occ AS (
+           SELECT doc_id, CAST(s['pos'] AS INT) AS pos,
+                  list_reduce(
+                    [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                      regexp_extract_all(md5(s['g']), '.')],
+                    (a, b) -> (a * 31 + b) % 1000000007) AS h
+           FROM (SELECT doc_id,
+                        unnest([struct_pack(
+                            pos := i,
+                            g := array_to_string(w[i + 1:i + 5], ' '))
+                          FOR i IN range(0, greatest(len(w) - 4, 0))]) AS s
+                 FROM w)),
+         ex AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+                    min(doc_id) OVER (PARTITION BY h)
+                      <> max(doc_id) OVER (PARTITION BY h) AS cross_doc
+             FROM occ)
+           WHERE cross_doc AND rk >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, pos + u AS pos
+           FROM ex CROSS JOIN (SELECT unnest(range(0, 5)) AS u)),
+         tok AS (
+           SELECT doc_id, CAST(s['pos'] AS INT) AS pos, s['tok'] AS tok
+           FROM (SELECT doc_id,
+                        unnest([struct_pack(pos := i, tok := w[i + 1])
+                                FOR i IN range(0, len(w))]) AS s
+                 FROM w)),
+         keep AS (
+           SELECT t.doc_id, t.pos, t.tok FROM tok t
+           WHERE NOT EXISTS (SELECT 1 FROM cov c
+                             WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         rb AS (
+           SELECT doc_id,
+                  array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM keep GROUP BY doc_id),
+         nx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_excised
+                FROM ex GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                         CAST(length(array_to_string(w, ' ')) AS BIGINT) AS ln
+                  FROM w)
+         SELECT b.doc_id,
+                coalesce(rb.text_clean, '') AS text_clean,
+                b.n_tokens,
+                CAST(b.n_tokens - coalesce(rb.n_kept, 0) AS BIGINT)
+                  AS n_tokens_removed,
+                coalesce(nx.n_spans_excised, 0) AS n_spans_excised,
+                CAST(b.ln - length(coalesce(rb.text_clean, '')) AS BIGINT)
+                  AS chars_removed
+         FROM base b
+         LEFT JOIN rb ON rb.doc_id = b.doc_id
+         LEFT JOIN nx ON nx.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+
+    "curriculum_pack" ->
+      s"""WITH $curriculumCtes,
+         $packCtes
+         SELECT doc_id, phase, bucket, n_tokens, cum_tokens, pack_id
+         FROM packed ORDER BY doc_id""",
+
+    "curriculum_pack_manifest" ->
+      s"""WITH $curriculumCtes,
+         $packCtes
+         SELECT phase, bucket, pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+                CAST(sum(n_tokens) * 1000000 // 2048 AS BIGINT) AS fill_ppm
+         FROM packed
+         GROUP BY phase, bucket, pack_id
+         ORDER BY phase, bucket, pack_id""",
+  )
+}

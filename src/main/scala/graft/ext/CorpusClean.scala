@@ -58,10 +58,20 @@ object CorpusClean {
       .filter(col("quality_score") >= minQuality)
   }
 
+  /** @param spanExciseWidth when set, stage 4: cross-document span
+    *   EXCISION over the survivors ([[Dedup.spanExcise]] — Lee et al.
+    *   span-grain dedup: the first occurrence corpus-wide of every
+    *   duplicated `w`-token span is kept, every other occurrence is
+    *   cut out of its document's text). The survivors' `text` becomes
+    *   the cleaned stream and a `chars_removed` audit column rides
+    *   along. Off by default: span excision EDITS documents rather
+    *   than dropping them, so a pipeline opts in explicitly.
+    */
   def clean(
       docs: DataFrame,
       minQuality: Double = 0.3,
-      jaccard: Double = 0.5): DataFrame = {
+      jaccard: Double = 0.5,
+      spanExciseWidth: Option[Int] = None): DataFrame = {
     val gated = qualityScored(docs, minQuality)
 
     // exact dedup: survivor = min doc_id per content hash. Persisted:
@@ -84,7 +94,20 @@ object CorpusClean {
       exactKept.select("doc_id", "text"), threshold = jaccard)
       .select(col("b_id").as("doc_id")).distinct()
 
-    exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val survivors = exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    spanExciseWidth match {
+      case None => survivors
+      case Some(w) =>
+        // the excision pass reads only (doc_id, text); the survivor
+        // frame's other columns re-attach by doc_id — one extra
+        // survivor-keyed join, the corpus text still moves only once
+        // through the excision reassembly
+        survivors.drop("text").join(
+          Dedup.spanExcise(survivors.select("doc_id", "text"), w)
+            .select(col("doc_id"), col("text_clean").as("text"),
+              col("chars_removed")),
+          Seq("doc_id"))
+    }
   }
 
   /** End-to-end training-mix assembly — the capstone composition:

@@ -463,19 +463,23 @@ object Dedup {
     * rows into any aggregation buffer instead of materializing the full
     * membership array first.
     */
-  /** Probe-side twin of [[pairsWithinBuckets]]'s skew guard, for the
-    * streaming ingests' index-probe equi-joins: keep only the
-    * `maxBucket` lowest-`idCol` rows per bucket on EACH side before
-    * the join. A hot bucket in a PERSISTED index grows with the
-    * corpus (an empty-doc signature hit by every boilerplate page),
-    * so an uncapped probe's candidate volume is unbounded at scale;
-    * the cap bounds any bucket's contribution at maxBucket² pairs —
-    * the same accepted approximation every batch-tier candidate
-    * generator applies. NULL bucket keys are dropped (the equi-join
-    * never matches them anyway; shuffling the NULL hot bucket is
-    * pure waste). The window's hash partitioning on the bucket key is
-    * the same the sort-merge join needs, so the cap rides the join's
-    * own shuffle.
+  /** Equi-join-side twin of [[pairsWithinBuckets]]'s skew guard: keep
+    * only the `maxBucket` lowest-`idCol` rows per bucket before a
+    * bucket-keyed join. Apply it to every UNBOUNDED side — the
+    * persisted index of a streaming probe (a hot bucket there grows
+    * with the corpus: an empty-doc signature hit by every boilerplate
+    * page) and both sides of a batch self-join — so no bucket
+    * contributes more than maxBucket² candidate pairs, the same
+    * accepted approximation every batch-tier candidate generator
+    * applies. A streaming probe's BATCH side is already bounded by
+    * the micro-batch and stays uncapped (capping it would silently
+    * skip candidates for in-batch docs past the cap, weakening the
+    * streaming-vs-batch prefix-parity contract — the truncation is a
+    * deliberate approximation only where boundedness requires it).
+    * NULL bucket keys are dropped (the equi-join never matches them
+    * anyway; shuffling the NULL hot bucket is pure waste). The
+    * window's hash partitioning on the bucket key is the same the
+    * sort-merge join needs, so the cap rides the join's own shuffle.
     */
   private[graft] def capBuckets(
       df: DataFrame,
@@ -1006,6 +1010,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
     spanReport(docs.select("doc_id"), perDoc, flagPpm)
+  }
+
+  /** Cross-document span EXCISION — the intervention [[crossDocSpans]]
+    * audits for (Lee et al. 2021 §3, "ExactSubstr": deduplicating at
+    * span grain removes the boilerplate paragraph from every page it
+    * was pasted into, where document-level dedup keeps all of them).
+    * For every `w`-token span key occurring in ≥2 DISTINCT documents,
+    * the FIRST occurrence corpus-wide (lowest doc_id, then lowest
+    * start position — a total, engine-portable order) is kept and
+    * every other occurrence is excised: all `w` token positions it
+    * covers are deleted from the owning document (overlapping excised
+    * spans delete the union of their positions; a repeat inside the
+    * kept document itself is also a non-first occurrence and goes).
+    * Emits, per input document: the cleaned single-space-joined text,
+    * original/removed token counts, the excised-occurrence count, and
+    * `chars_removed` — measured against the single-space-normalized
+    * original (the token stream IS the text contract of this tier),
+    * so a fully-excised document reports its whole normalized length.
+    * Docs with no duplicated spans pass through byte-identical (on
+    * the normalized stream); every doc_id is present, never dropped.
+    *
+    * Scale shape — linear, like the auditor it completes: occurrences
+    * (NOT distinct-ed: position matters now) shuffle ONCE keyed by the
+    * 8-byte span hash for the first-occurrence window (rank + the
+    * min≠max cross-doc test ride the same hash partitioning — span
+    * TEXT never shuffles); excised occurrences explode to their `w`
+    * covered positions (output ∝ duplicated volume, the thing being
+    * removed); the survivors anti-join on (doc_id, pos) and reassemble
+    * with one doc-keyed aggregation. No join ever touches the corpus
+    * twice — the reassembly reads the token stream, not the span set.
+    *
+    * Same 30-bit hash-domain caveat as [[crossDocSpans]]: the oracle
+    * replicates the identical hash, production widens the key.
+    */
+  def spanExcise(
+      docs: DataFrame, w: Int = 5): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    import graft.ext.TextPrimitives.{shingles, tokens}
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), TrainPrep.portableHash(col("g")).as("h"))
+    val byKey = Window.partitionBy("h")
+    val excised = occ
+      .withColumn("rk", row_number().over(byKey.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("cross_doc", min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
+      .filter(col("cross_doc") && col("rk") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val covered = excised
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as("text_clean"),
+        count(lit(1)).as("n_tokens_kept"))
+    val nExcised = excised.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_excised"))
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(concat_ws(" ", tokens(col("text")))).cast("long").as("_len_norm"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(nExcised, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens_kept", "n_spans_excised"))
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+      .withColumn("n_tokens_removed", col("n_tokens") - col("n_tokens_kept"))
+      .withColumn("chars_removed",
+        col("_len_norm") - length(col("text_clean")).cast("long"))
+      .select(col("doc_id"), col("text_clean"), col("n_tokens"),
+        col("n_tokens_removed"), col("n_spans_excised"), col("chars_removed"))
   }
 
   /** The distinct (doc_id, span-key) set at width `w` — shared by the

@@ -228,15 +228,31 @@ trait MultimodalPhash { this: Multimodal.type =>
       .select(col("id"), col("hash"), col("bb.band_idx").as("band_idx"), col("bb.band").as("band"))
   }
 
-  /** Band-bucketed Hamming pairs (id_a < id_b) from a banded frame. */
-  private[graft] def hammingPairs(banded: DataFrame, maxHamming: Int): DataFrame =
-    banded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("hash").as("ha"))
-      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("hash").as("hb")),
+  /** Band-bucketed Hamming pairs (id_a < id_b) from a banded frame.
+    *
+    * Both sides of the self-join ride through [[Dedup.capBuckets]]
+    * (lowest `maxBucket` ids per (band_idx, band) bucket) — the same
+    * skew guard every other LSH pair expansion applies: the re-banding
+    * policy collapses the candidate budget for low-entropy corpora by
+    * widening buckets, but a degenerate corpus of near-identical
+    * images shares ONE bucket at ANY width, and without the cap its
+    * pair count grows ∝ n² unbounded. With it, no bucket contributes
+    * more than maxBucket² pairs (maxBucket·(maxBucket−1)/2 after the
+    * id ordering). The cap's window rides the join's own hash
+    * partitioning on the bucket key — no extra shuffle.
+    */
+  private[graft] def hammingPairs(
+      banded: DataFrame, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    val capped = graft.ext.Dedup.capBuckets(
+      banded, Seq("band_idx", "band"), "id", maxBucket)
+    capped.select(col("band_idx"), col("band"), col("id").as("id_a"), col("hash").as("ha"))
+      .join(capped.select(col("band_idx"), col("band"), col("id").as("id_b"), col("hash").as("hb")),
         Seq("band_idx", "band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
 
   /** The image-dedup pipeline's final emit step: given the phash
     * cluster labels, keep the highest-RESOLUTION member of each

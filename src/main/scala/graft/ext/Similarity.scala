@@ -244,6 +244,15 @@ object Similarity {
       blocks: Int, rounds: Int): (DataFrame, Boolean, Long) = {
     val n = corpus.count()
     val exact = n < exactThreshold
+    // the exact branch is quadratic by contract — when a caller kept
+    // the exact-by-default opt-in but the corpus has grown far past
+    // the measured crossover, say so out loud (the cost footgun the
+    // opt-in policy accepts; the RESULT is still exact)
+    if (exact && n > 4 * measuredKnnCrossover)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"knnGraph exact blocked tile join at n=$n (measured " +
+          s"exact<->NN-descent crossover ~$measuredKnnCrossover): " +
+          "quadratic cost ahead; pass exactThreshold to route to NN-descent")
     val g =
       if (exact)
         knnGraphBlocked(corpus, k, blocks)
@@ -355,9 +364,12 @@ object Similarity {
     * exactly that — spec-pinned equal, measured in the spec).
     *
     * Exactness: the 1e-3 grid (not the similarity tier's 1e-6) keeps
-    * buffer entries inside int64 to n·max|q|² < 2⁶³ (≈5×10⁶ rows at
-    * this corpus's |q|≤530; production at larger n re-grids — the
-    * buffer layout is grid-agnostic); the BigInt finish cannot
+    * buffer entries inside int64 to n·max|q|² < 2⁶³ — at this corpus's
+    * |q|≤530 that is 2⁶³/530² ≈ 3×10¹³ rows of headroom, where the
+    * 1e-6 grid's |q|≤530000 would leave only ≈3×10⁷; a corpus past
+    * its grid's bound re-grids (the buffer layout is grid-agnostic,
+    * and the accumulator throws rather than wraps if the bound is
+    * actually crossed); the BigInt finish cannot
     * overflow and `longValueExact` fails loudly if an OUTPUT numerator
     * ever exceeds int64 rather than wrapping. Ties rank by
     * (dim_i, dim_j) — fully deterministic, DuckDB-re-derivable.

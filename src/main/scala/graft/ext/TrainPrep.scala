@@ -357,4 +357,63 @@ object TrainPrep {
       .select(col("doc_id"), col("n_tokens"), col("rare_ppm"),
         col("difficulty"), col("phase"), col("position"))
   }
+
+  /** Curriculum → packing composition: band the corpus into
+    * [[curriculumPhases]]' easy→hard phases, then run
+    * [[packSequences]]' concat-then-chunk packer WITHIN each phase —
+    * documents stream through `buckets` independent shards per phase
+    * in CURRICULUM order (difficulty, then doc_id), so a trainer
+    * consuming (phase, bucket, pack_id) order gets the schedule the
+    * curriculum promised, in context-window-sized units. The two
+    * operators existed separately; a real assembly needs them
+    * composed — phase boundaries must also be PACK boundaries (a pack
+    * never mixes phases), which post-hoc packing of the whole corpus
+    * cannot guarantee.
+    *
+    * Output is doc-grain: (doc_id, phase, bucket, n_tokens,
+    * cum_tokens, pack_id) — enough for a writer to emit
+    * phase/shard/pack-partitioned training files, and for
+    * [[curriculumPackManifest]] to aggregate the manifest.
+    *
+    * Scale shape: everything [[curriculumPhases]] costs, plus ONE
+    * window over (phase, bucket) — the same shard-local ordering class
+    * as the packer alone; no global sort, no new corpus-sized join
+    * (the packer reads the curriculum output's own columns).
+    */
+  def curriculumPack(
+      docs: DataFrame,
+      phases: Int = 4,
+      tokenBudget: Int = 2048,
+      buckets: Int = 8): DataFrame = {
+    require(tokenBudget > 0 && buckets > 0, "budget and buckets must be positive")
+    val cur = curriculumPhases(docs, phases)
+    val w = Window.partitionBy(col("phase"), col("bucket"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    cur
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div ${tokenBudget.toLong}"))
+      .select(col("doc_id"), col("phase"), col("bucket"),
+        col("n_tokens"), col("cum_tokens"), col("pack_id"))
+  }
+
+  /** The reproducibility artifact of [[curriculumPack]] — per
+    * (phase, bucket, pack_id): document count, token total, fill ppm
+    * of the context budget, and an order-insensitive id checksum (the
+    * [[shardManifest]] convention), so a re-materialized phase shard
+    * verifies without re-reading the corpus. |phases·buckets·packs|
+    * rows — manifest-sized, never corpus-sized.
+    */
+  def curriculumPackManifest(
+      docs: DataFrame,
+      phases: Int = 4,
+      tokenBudget: Int = 2048,
+      buckets: Int = 8): DataFrame =
+    curriculumPack(docs, phases, tokenBudget, buckets)
+      .groupBy(col("phase"), col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .withColumn("fill_ppm", expr(s"pack_tokens * 1000000 div ${tokenBudget.toLong}"))
 }

@@ -34,7 +34,11 @@ import org.apache.spark.sql.types._
   * sums while n·max|x|² < 2⁶³ — callers pick the grid accordingly
   * (the covariance operator quantizes at 1e3, not the similarity
   * tier's 1e6, buying ~10⁶× row headroom) and do their finishing
-  * arithmetic in BigInt.
+  * arithmetic in BigInt. The contract is ENFORCED, not assumed: every
+  * accumulation is addExact/multiplyExact, so a violation throws
+  * ArithmeticException instead of silently wrapping — which matters
+  * for the unbounded-lifetime streaming merge
+  * ([[graft.streaming.CovarianceMonitor]]).
   */
 case class GramMatrix(
     child: Expression,
@@ -79,14 +83,24 @@ case class GramMatrix(
         s"$prettyName: NULL vector component at index $c")
       c += 1
     }
-    b(0) += 1L
+    // addExact/multiplyExact (JIT intrinsics — branch-free overflow
+    // checks, no measurable cost next to the array traffic): a
+    // violation of the n·max|x|² < 2⁶³ grid contract THROWS instead of
+    // wrapping into silently wrong covariances — the fail-loudly
+    // convention the NULL check above already follows, and the one
+    // that matters for the long-lived streaming monitor, whose merged
+    // buffer grows without bound across batches.
+    b(0) = Math.addExact(b(0), 1L)
     var i = 0
     var p = 1 + d // start of the product triangle
     while (i < d) {
       val xi = arr.getLong(i)
-      b(1 + i) += xi
+      b(1 + i) = Math.addExact(b(1 + i), xi)
       var j = i
-      while (j < d) { b(p) += xi * arr.getLong(j); p += 1; j += 1 }
+      while (j < d) {
+        b(p) = Math.addExact(b(p), Math.multiplyExact(xi, arr.getLong(j)))
+        p += 1; j += 1
+      }
       i += 1
     }
     b
@@ -98,7 +112,7 @@ case class GramMatrix(
     require(a.length == b.length,
       s"$prettyName: merging buffers of different vector lengths")
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
     a
   }
 

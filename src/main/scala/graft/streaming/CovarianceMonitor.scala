@@ -53,7 +53,10 @@ object CovarianceMonitor {
             else {
               require(prev.length == part.length,
                 s"gram buffers disagree: ${prev.length} vs ${part.length}")
-              prev.lazyZip(part).map(_ + _)
+              // addExact: the accumulated buffer grows without bound
+              // across batches — a grid-contract violation must throw
+              // here too, not wrap (same convention as GramMatrix)
+              prev.lazyZip(part).map(Math.addExact(_, _))
             }
           VersionedModelState.commit(spark, stateDir, batchId,
             merged.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")) {

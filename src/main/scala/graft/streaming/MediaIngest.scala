@@ -75,16 +75,19 @@ object MediaIngest {
           // (2) probe the persisted index: band equi-join, Hamming verify
           val fresh = persistedIdx match {
             case Some(persisted) =>
-              // index side bucket-capped (the pairsWithinBuckets skew
-              // guard): the persisted side grows with the corpus, so an
-              // uncapped hot band bucket would expand unboundedly here
+              // ONLY the persisted side is bucket-capped (the
+              // pairsWithinBuckets skew guard): that side grows with
+              // the corpus, so an uncapped hot band bucket expands
+              // unboundedly; the batch side is bounded by the
+              // micro-batch itself, and capping it would silently skip
+              // dedup candidates for in-batch docs past the cap —
+              // weakening the streaming-vs-batch prefix-parity
+              // contract for no scale benefit
               val idx = graft.ext.Dedup.capBuckets(
                   Multimodal.bandedHashes(persisted, chosenBands),
                   Seq("band_idx", "band"), "id")
                 .select(col("band_idx"), col("band"), col("hash").as("i_hash"))
-              val hit = graft.ext.Dedup.capBuckets(
-                  Multimodal.bandedHashes(kept, chosenBands),
-                  Seq("band_idx", "band"), "id")
+              val hit = Multimodal.bandedHashes(kept, chosenBands)
                 .join(idx, Seq("band_idx", "band"))
                 .filter(expr(s"bit_count(hash ^ i_hash) <= $maxHamming"))
                 .select(col("id")).distinct()

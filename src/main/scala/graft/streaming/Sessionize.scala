@@ -203,16 +203,19 @@ object Sessionize {
           // stored matrices at the chosen shape, exact-Jaccard verify
           val dupIds = persistedMh match {
             case Some(persisted) =>
-              // both sides bucket-capped (the pairsWithinBuckets skew
-              // guard): the persisted side grows with the corpus, so an
-              // uncapped hot band bucket would expand unboundedly here
+              // ONLY the persisted side is bucket-capped (the
+              // pairsWithinBuckets skew guard): that side grows with
+              // the corpus, so an uncapped hot band bucket expands
+              // unboundedly; the batch side is bounded by the
+              // micro-batch itself, and capping it would silently skip
+              // candidates for in-batch docs past the cap — weakening
+              // the streaming-vs-batch prefix-parity contract for no
+              // scale benefit
               val cand = graft.ext.Dedup.capBuckets(
                   graft.ext.Dedup.bandSigsFromMatrix(persisted, chosenRows),
                   Seq("band_id", "sig"), "doc_id")
                 .withColumnRenamed("doc_id", "old_id")
-                .join(graft.ext.Dedup.capBuckets(
-                    graft.ext.Dedup.bandSigsFromMatrix(sh, chosenRows),
-                    Seq("band_id", "sig"), "doc_id")
+                .join(graft.ext.Dedup.bandSigsFromMatrix(sh, chosenRows)
                   .withColumnRenamed("doc_id", "new_id"),
                   Seq("band_id", "sig"))
                 .select(col("old_id"), col("new_id")).distinct()
