@@ -36,7 +36,54 @@ object Queries13 extends ExtHelpers {
       TrainPrep.curriculumPackManifest(t(s, dir, "documents"),
           phases = 4, tokenBudget = 2048, buckets = 8)
         .orderBy("phase", "bucket", "pack_id")),
+
+    // BPE training at depth: 16 batched passes x up to 8 mutually
+    // symbol-disjoint merges per pass (the scalable-trainer schedule —
+    // driver round-trips per MERGE drop 8x); every pass's ranked
+    // prefix, conflict-free selection, and batch fold re-derived in
+    // DuckDB
+    "bpe_train_merges_deep" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMergesBatched(t(s, dir, "documents"),
+          passes = 16, kBatch = 8, window = 32)
+        .orderBy("merge_idx")),
   )
+
+  /** One batched BPE pass as CTE text: pair counts over `prev`, the
+    * ranked top-`window` prefix, the strict conflict-free selection
+    * (NO symbol shared with ANY higher-ranked prefix pair — a windowed
+    * NOT EXISTS, deliberately relational), and the one-fold batch
+    * application with the selected rules captured as a struct list
+    * (empty list on an exhausted corpus ⇒ words pass through, the
+    * engine's early stop).
+    */
+  private def bpeBatchPass(i: Int, prev: String, window: Int, kBatch: Int): String =
+    s"""p$i AS MATERIALIZED (
+         SELECT string_split(pair, ' ')[1] AS a,
+                string_split(pair, ' ')[2] AS b,
+                CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT freq,
+                      unnest([ss[j] || ' ' || ss[j + 1] FOR j IN range(1, len(ss))]) AS pair
+               FROM (SELECT freq, string_split(s, ' ') AS ss FROM $prev))
+         GROUP BY pair),
+       r$i AS MATERIALIZED (
+         SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+         FROM p$i QUALIFY rk <= $window),
+       b$i AS MATERIALIZED (
+         SELECT a AS ma, b AS mb, c, row_number() OVER (ORDER BY rk) AS sel_rank
+         FROM r$i p
+         WHERE NOT EXISTS (SELECT 1 FROM r$i q WHERE q.rk < p.rk
+                AND (q.a IN (p.a, p.b) OR q.b IN (p.a, p.b)))
+         QUALIFY sel_rank <= $kBatch),
+       m$i AS MATERIALIZED (
+         SELECT coalesce(list(struct_pack(ma := ma, mb := mb) ORDER BY sel_rank),
+                CAST([] AS STRUCT(ma VARCHAR, mb VARCHAR)[])) AS ms FROM b$i),
+       s$i AS MATERIALIZED (
+         SELECT t.freq,
+                list_reduce(string_split(t.s, ' '), (acc, x) ->
+                  CASE WHEN len([m FOR m IN ms IF m['mb'] = x AND
+                         (acc = m['ma'] OR ends_with(acc, ' ' || m['ma']))]) > 0
+                       THEN acc || x ELSE acc || ' ' || x END) AS s
+         FROM $prev t CROSS JOIN m$i)"""
 
   /** The curriculum difficulty/threshold/phase chain as CTE text —
     * re-derived here (ranked order statistics, the independent
@@ -182,5 +229,27 @@ object Queries13 extends ExtHelpers {
          FROM packed
          GROUP BY phase, bucket, pack_id
          ORDER BY phase, bucket, pack_id""",
+
+    // the word-frequency collapse once, then 16 unrolled batched
+    // passes; the merge table re-assembled in (pass, rank) order
+    "bpe_train_merges_deep" -> {
+      val passes = (1 to 16).map(i => bpeBatchPass(i, s"s${i - 1}", 32, 8))
+      val union = (1 to 16).map(i =>
+        s"SELECT $i AS pass, sel_rank, ma, mb, c FROM b$i")
+        .mkString("\n           UNION ALL ")
+      s"""WITH w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         s0 AS (
+           SELECT freq, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+           FROM w0),
+         ${passes.mkString(",\n         ")}
+         SELECT CAST(row_number() OVER (ORDER BY pass, sel_rank) AS INT) AS merge_idx,
+                pass, ma AS sym_a, mb AS sym_b, ma || mb AS merged,
+                c AS pair_count
+         FROM ($union)
+         ORDER BY merge_idx"""
+    },
   )
 }

@@ -634,6 +634,47 @@ object TextAnalysis {
       .select(col("rank"), col("symbol"), col("n_occ"))
   }
 
+  /** The corpus collapsed ONCE to its word-frequency symbol table —
+    * the structure every BPE round works over (vocab grain, orders of
+    * magnitude below token count under Zipf).
+    */
+  private def bpeWordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat_ws(" ", split(col("w"), "")))
+
+  /** Adjacent-symbol pair counts over a (freq, syms) table — one
+    * vocab-grain explode + partial-aggregated count per round.
+    */
+  private def bpeSymPairs(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), split(col("syms"), " ").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(s) - 2),
+             i -> struct(element_at(s, i + 1) AS a, element_at(s, i + 2) AS b))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n_pairs"))
+
+  /** One greedy left-to-right merge-application fold over `syms`,
+    * fusing any of `batch`'s (a, b) pairs: append `b` separator-less
+    * when the accumulator's LAST space-bounded symbol is exactly `a`.
+    * Safe for any SYMBOL-DISJOINT batch — no token can match two
+    * rules, and a fused symbol (a+b) matches none (its text is not a
+    * batch symbol), so one pass equals applying the rules one-by-one.
+    */
+  private def bpeApply(vocab: DataFrame, batch: Seq[(String, String)]): DataFrame =
+    vocab.withColumn("syms",
+      aggregate(split(col("syms"), " "), lit(""), (acc, x) => {
+        val fused = batch.foldRight(concat(acc, lit(" "), x): org.apache.spark.sql.Column) {
+          case ((a, b), rest) =>
+            when(x === lit(b) && (acc === lit(a) || acc.endsWith(lit(" " + a))),
+              concat(acc, x)).otherwise(rest)
+        }
+        when(acc === lit(""), x).otherwise(fused)
+      }))
+
   /** Shared trainer core: the merge table plus the final folded
     * word-frequency symbol table (`freq`, `syms`).
     */
@@ -641,42 +682,103 @@ object TextAnalysis {
       docs: DataFrame, rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
-    var vocab = Checkpoints.truncateLazy(
-      docs.select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .withColumn("syms", concat_ws(" ", split(col("w"), ""))))
+    // 64-round ceiling: each round is one vocab-grain Spark pass + a
+    // 1-row driver argmax — the SEQUENTIAL trainer's scale limit is
+    // driver round-trips, so deep models use [[bpeTrainMergesBatched]]
+    // (k merges per pass) rather than more rounds here
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    var vocab = Checkpoints.truncateLazy(bpeWordFreq(docs))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = vocab
-        .select(col("freq"), split(col("syms"), " ").as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(0, size(s) - 2),
-               i -> struct(element_at(s, i + 1) AS a, element_at(s, i + 2) AS b))""")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("n_pairs"))
+      val top = bpeSymPairs(vocab)
         .orderBy(col("n_pairs").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r, a, b, a + b, n))
-        // greedy left-to-right merge: append b separator-less when the
-        // accumulator's LAST symbol is exactly a (space-bounded check)
-        vocab = Checkpoints.truncateLazy(vocab.withColumn("syms",
-          aggregate(split(col("syms"), " "), lit(""), (acc, x) =>
-            when(acc === lit(""), x)
-              .when(x === lit(b) &&
-                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
-                concat(acc, x))
-              .otherwise(concat(acc, lit(" "), x)))))
+        vocab = Checkpoints.truncateLazy(bpeApply(vocab, Seq((a, b))))
         r += 1
       }
     }
     (merges.toSeq, vocab)
+  }
+
+  /** BPE training at PRODUCTION merge counts — the batched variant of
+    * [[bpeTrainMerges]]: per Spark pass, up to `kBatch` merge rules
+    * learn and apply TOGETHER, so a 10³–10⁵-merge tokenizer costs
+    * merges/kBatch driver round-trips instead of one per merge (the
+    * sequential trainer's real scale limit — the corpus-side work per
+    * round is vocab-grain either way).
+    *
+    * Batch selection is deterministic and relational (the oracle runs
+    * it in SQL): rank this pass's pair counts by (count DESC, a, b),
+    * keep the top-`window` prefix, and select — in rank order, up to
+    * `kBatch` — every pair sharing NO symbol with ANY higher-ranked
+    * prefix pair. Selected pairs are mutually symbol-disjoint, so one
+    * greedy fold applies them all ([[bpeApply]]'s disjointness
+    * argument); the conflict test runs against the whole ranked prefix
+    * (not just selected pairs) precisely so it is expressible as a
+    * windowed NOT EXISTS rather than a sequential driver loop. With
+    * `kBatch = 1` the schedule degenerates to exactly the sequential
+    * Sennrich trainer (spec-pinned).
+    *
+    * Contract note: batching changes the learned TABLE versus strict
+    * sequential training when a merge's newly-created pairs would have
+    * out-ranked a later batch member — the standard, documented
+    * trade-off of every scalable BPE trainer; rank-1 is always
+    * selected, so each pass learns at least one rule and exhaustion
+    * still terminates early.
+    *
+    * Emits (merge_idx, pass, sym_a, sym_b, merged, pair_count) with
+    * merge_idx global in (pass, rank) order — the tokenizer model,
+    * application-ordered.
+    */
+  def bpeTrainMergesBatched(
+      docs: DataFrame,
+      passes: Int = 16,
+      kBatch: Int = 8,
+      window: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(passes >= 1 && passes <= 256, s"passes must be in [1,256], got $passes")
+    require(kBatch >= 1 && window >= kBatch,
+      s"need 1 <= kBatch <= window, got kBatch=$kBatch window=$window")
+    var vocab = Checkpoints.truncateLazy(bpeWordFreq(docs))
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Int, String, String, String, Long)]
+    var pass = 1
+    var idx = 1
+    var exhausted = false
+    while (pass <= passes && !exhausted) {
+      // the ranked prefix: all higher-ranked pairs of any prefix
+      // member are inside the prefix, so the conflict test over it is
+      // exact (never against a pair the window clipped)
+      val ranked = bpeSymPairs(vocab)
+        .orderBy(col("n_pairs").desc, col("a"), col("b"))
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (i <- ranked.indices if sel.size < kBatch) {
+          val (a, b, c) = ranked(i)
+          val conflict = (0 until i).exists { j =>
+            val (qa, qb, _) = ranked(j)
+            qa == a || qa == b || qb == a || qb == b
+          }
+          if (!conflict) sel += ((a, b, c))
+        }
+        sel.foreach { case (a, b, c) =>
+          merges += ((idx, pass, a, b, a + b, c)); idx += 1
+        }
+        vocab = Checkpoints.truncateLazy(
+          bpeApply(vocab, sel.toSeq.map { case (a, b, _) => (a, b) }))
+        pass += 1
+      }
+    }
+    merges.toSeq.toDF("merge_idx", "pass", "sym_a", "sym_b", "merged", "pair_count")
   }
 }

@@ -139,6 +139,55 @@ class Queries13Spec extends SparkSpec {
     }
   }
 
+  // ── batched deep BPE training ─────────────────────────────────────
+
+  test("bpeTrainMergesBatched: kBatch=1 degenerates to exactly the sequential Sennrich trainer") {
+    val docs = Seq(
+      (0L, "low low low lower lowest"),
+      (1L, "new newer newest low wide")).toDF("doc_id", "text")
+    val seq = TextAnalysis.bpeTrainMerges(docs, rounds = 6)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val bat = TextAnalysis.bpeTrainMergesBatched(docs, passes = 6, kBatch = 1, window = 1)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
+    assert(seq.toSeq == bat.toSeq,
+      "kBatch=1 batched schedule must equal the sequential merge table")
+  }
+
+  test("bpeTrainMergesBatched: disjoint top pairs fold in ONE pass; symbol conflicts defer to the next pass") {
+    // 'ab' x2 + 'cd' x3: (c,d) and (a,b) share no symbol -> one pass
+    val d1 = Seq((0L, "ab ab cd cd cd")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.bpeTrainMergesBatched(d1, passes = 4, kBatch = 8, window = 32)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
+    assert(r1.toSeq == Seq(
+      (1, 1, "c", "d", "cd", 3L),
+      (2, 1, "a", "b", "ab", 2L)))
+    // 'xy' x3 + 'yx' x2: (y,x) shares both symbols with rank-1 (x,y)
+    // -> it must wait for pass 2
+    val d2 = Seq((0L, "xy xy xy yx yx")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeTrainMergesBatched(d2, passes = 4, kBatch = 8, window = 32)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
+    assert(r2.toSeq == Seq(
+      (1, 1, "x", "y", "xy", 3L),
+      (2, 2, "y", "x", "yx", 2L)))
+  }
+
+  test("bpeTrainMergesBatched: every pass's batch is mutually symbol-disjoint (the one-fold-application precondition)") {
+    val docs = (0L until 50L).map(i => (i, s"alpha beta gamma w$i delta alpha beta"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrainMergesBatched(docs, passes = 6, kBatch = 8, window = 32)
+      .collect()
+    assert(m.length > 6, "deep schedule should learn more than one rule per pass somewhere")
+    m.groupBy(_.getInt(1)).foreach { case (pass, rows) =>
+      val syms = rows.flatMap(r => Seq(r.getString(2), r.getString(3)))
+      assert(syms.distinct.length == syms.length,
+        s"pass $pass selected symbol-sharing merges: ${syms.mkString(",")}")
+    }
+  }
+
   // ── GramMatrix: grid-contract violations throw, never wrap ────────
 
   test("GramMatrix: accumulation past int64 throws (addExact/multiplyExact), not a silent wrap") {
