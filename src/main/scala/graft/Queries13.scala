@@ -46,7 +46,104 @@ object Queries13 extends ExtHelpers {
       TextAnalysis.bpeTrainMergesBatched(t(s, dir, "documents"),
           passes = 16, kBatch = 8, window = 32)
         .orderBy("merge_idx")),
+
+    // the Gram-buffer consumer: top-2 principal directions by
+    // integer-grid power iteration + Hotelling deflation, driver-side
+    // d x d model state from the ONE-pass native aggregate
+    "embedding_pca_components" -> ((s, dir) =>
+      Similarity.pcaComponents(t(s, dir, "embeddings"), k = 2, iters = 12)
+        .orderBy("component", "dim")),
+
+    // map-side whitening projection: exact centered projection
+    // numerators per vector onto the learned directions - one
+    // codegen'd scan, zero shuffles
+    "embedding_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 12)
+        .orderBy("vec_id")),
   )
+
+  /** One integer-grid power-iteration round as CTE text: exact matvec
+    * over the covariance relation, infinity-norm rescale to the 1e6
+    * grid (negatives divided as -((-x)//m) — truncation direction
+    * engine-independent), zero matvec keeps the previous vector.
+    */
+  private def pcaIter(tag: String, i: Int, prevV: String, cm: String): String =
+    s"""u$tag$i AS MATERIALIZED (
+         SELECT c.i AS d, CAST(sum(c.c * p.vv) AS HUGEINT) AS uu
+         FROM $cm c JOIN $prevV p ON p.d = c.j GROUP BY c.i),
+       mx$tag$i AS (SELECT max(abs(uu)) AS m FROM u$tag$i),
+       v$tag$i AS MATERIALIZED (
+         SELECT u.d, CASE WHEN mx.m = 0 THEN p.vv
+                          WHEN u.uu >= 0 THEN (u.uu * 1000000) // mx.m
+                          ELSE -((-u.uu * 1000000) // mx.m) END AS vv
+         FROM u$tag$i u JOIN $prevV p ON p.d = u.d CROSS JOIN mx$tag$i mx)"""
+
+  /** One full PCA component chain: `iters` power-iteration rounds over
+    * covariance relation `cm`, the first-nonzero-positive sign fix
+    * (-> `w$tag`), and — when `deflateTo` is set — the two-step
+    * integer Hotelling deflation producing the next covariance
+    * relation.
+    */
+  private def pcaComponent(
+      tag: String, cm: String, iters: Int, deflateTo: Option[String]): String = {
+    val chain = (1 to iters).map(i =>
+      pcaIter(tag, i, if (i == 1) s"v${tag}0" else s"v$tag${i - 1}", cm))
+    val last = s"v$tag$iters"
+    val defl = deflateTo.map { nxt =>
+      s""",
+       dn$tag AS (SELECT CAST(sum(vv * vv) AS HUGEINT) AS den FROM w$tag),
+       lm$tag AS (
+         SELECT CAST(sum(wa.vv * c.c * wb.vv) AS HUGEINT) AS lam
+         FROM $cm c JOIN w$tag wa ON wa.d = c.i JOIN w$tag wb ON wb.d = c.j),
+       ad$tag AS (
+         SELECT w.d, CASE WHEN l.lam * w.vv >= 0 THEN (l.lam * w.vv) // dd.den
+                          ELSE -((-(l.lam * w.vv)) // dd.den) END AS av
+         FROM w$tag w CROSS JOIN lm$tag l CROSS JOIN dn$tag dd),
+       $nxt AS MATERIALIZED (
+         SELECT c.i, c.j,
+                c.c - (CASE WHEN a.av * w.vv >= 0 THEN (a.av * w.vv) // dd.den
+                            ELSE -((-(a.av * w.vv)) // dd.den) END) AS c
+         FROM $cm c JOIN ad$tag a ON a.d = c.i JOIN w$tag w ON w.d = c.j
+         CROSS JOIN dn$tag dd)"""
+    }.getOrElse("")
+    s"""v${tag}0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS vv FROM dims),
+       ${chain.mkString(",\n       ")},
+       fz$tag AS (SELECT min(d) AS fd FROM $last WHERE vv <> 0),
+       w$tag AS MATERIALIZED (
+         SELECT v.d, v.vv * (CASE WHEN coalesce(
+                  (SELECT t.vv FROM $last t JOIN fz$tag f ON t.d = f.fd), 1) < 0
+                THEN -1 ELSE 1 END) AS vv
+         FROM $last v)$defl"""
+  }
+
+  /** Shared base of the two PCA oracles: quantized/exploded corpus,
+    * per-dim sums, n, and the full symmetric covariance numerator
+    * matrix as relation cf1(i, j, c), then both component chains.
+    */
+  private def pcaChainsSql(iters: Int): String =
+    s"""q AS (
+         SELECT vec_id,
+                [CAST(round(CAST(v AS DOUBLE) * 1e3) AS BIGINT) FOR v IN embedding] AS q
+         FROM embeddings),
+       x AS MATERIALIZED (
+         SELECT vec_id, CAST(s['d'] AS INT) AS d, CAST(s['v'] AS BIGINT) AS v
+         FROM (SELECT vec_id,
+                      unnest([struct_pack(d := i, v := q[i + 1])
+                              FOR i IN range(0, len(q))]) AS s
+               FROM q)),
+       s AS (SELECT d, CAST(sum(v) AS HUGEINT) AS sx FROM x GROUP BY d),
+       nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+       dims AS (SELECT DISTINCT d FROM x),
+       pp AS MATERIALIZED (
+         SELECT a.d AS i, b.d AS j,
+                CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS sxy
+         FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+       cf1 AS MATERIALIZED (
+         SELECT p.i, p.j, CAST(nn.n * p.sxy - si.sx * sj.sx AS HUGEINT) AS c
+         FROM pp p JOIN s si ON si.d = p.i JOIN s sj ON sj.d = p.j
+         CROSS JOIN nn),
+       ${pcaComponent("1", "cf1", iters, Some("cf2"))},
+       ${pcaComponent("2", "cf2", iters, None)}"""
 
   /** One batched BPE pass as CTE text: pair counts over `prev`, the
     * ranked top-`window` prefix, the strict conflict-free selection
@@ -251,5 +348,35 @@ object Queries13 extends ExtHelpers {
          FROM ($union)
          ORDER BY merge_idx"""
     },
+
+    // the same pinned procedure (12 infinity-norm power rounds per
+    // component, two-step integer deflation) unrolled in SQL — the
+    // independent arrival at the identical integer weights
+    "embedding_pca_components" ->
+      s"""WITH ${pcaChainsSql(12)}
+         SELECT component, dim, weight FROM (
+           SELECT 1 AS component, d AS dim, CAST(vv AS BIGINT) AS weight FROM w1
+           UNION ALL
+           SELECT 2, d, CAST(vv AS BIGINT) FROM w2)
+         ORDER BY component, dim""",
+
+    "embedding_pca_project" ->
+      s"""WITH ${pcaChainsSql(12)},
+         c1s AS (SELECT CAST(sum(s.sx * w.vv) AS HUGEINT) AS cc
+                 FROM s JOIN w1 w ON w.d = s.d),
+         c2s AS (SELECT CAST(sum(s.sx * w.vv) AS HUGEINT) AS cc
+                 FROM s JOIN w2 w ON w.d = s.d),
+         pr AS (
+           SELECT x.vec_id,
+                  CAST(sum(CAST(x.v AS HUGEINT) * a.vv) AS HUGEINT) AS d1,
+                  CAST(sum(CAST(x.v AS HUGEINT) * b.vv) AS HUGEINT) AS d2
+           FROM x JOIN w1 a ON a.d = x.d JOIN w2 b ON b.d = x.d
+           GROUP BY x.vec_id)
+         SELECT p.vec_id,
+                CAST(nn.n * p.d1 - c1s.cc AS BIGINT) AS pc1_num,
+                CAST(nn.n * p.d2 - c2s.cc AS BIGINT) AS pc2_num,
+                CAST(nn.n AS BIGINT) AS n_rows
+         FROM pr p CROSS JOIN nn CROSS JOIN c1s CROSS JOIN c2s
+         ORDER BY p.vec_id""",
   )
 }

@@ -457,6 +457,124 @@ object Similarity {
       .toDF("rank", "dim_i", "dim_j", "cov_num", "n_rows")
   }
 
+  /** Integer-grid power-iteration PCA over the packed Gram buffer —
+    * the CONSUMER that makes the [[dimCovariance]] audit actionable:
+    * the top-`k` principal directions of the (1e-3 grid) quantized
+    * corpus, computed entirely from the one-pass
+    * [[graft.functions.GramMatrix]] buffer as driver-local d×d model
+    * state — the corpus is scanned ONCE for the buffer and once more
+    * (map-only) by [[pcaProject]]; nothing data-sized ever reaches the
+    * driver or shuffles.
+    *
+    * Algorithm contract (pinned so a plain-SQL engine re-derives the
+    * SAME integers — "exact" here means exactly this procedure, not
+    * infinite-precision eigenvectors): per component, `iters` rounds
+    * of v ← C·v with the vector rescaled each round to the 1e6 grid by
+    * its INFINITY norm (u·1e6 div max|u|, negatives divided as
+    * -((-x) div m) so truncation direction is engine-independent; a
+    * zero matvec keeps v — the deterministic degenerate branch);
+    * start vector all-1e6; sign fixed by making the first nonzero
+    * entry positive; then one Hotelling deflation C ← C − λvvᵀ/(vᵀv)
+    * carried out in two integer divisions (a_i = λ·v_i div vᵀv, then
+    * C_ij − (a_i·v_j div vᵀv)) — each division truncates on the grid,
+    * so the deflated matrix is the exact same integer matrix in any
+    * engine. All arithmetic BigInt: nothing wraps, and the emitted
+    * weights are exact.
+    *
+    * Returns (component, dim, weight) with weight on the 1e6 grid —
+    * |weight| ≤ 1e6, the max-|·| entry exactly ±1e6.
+    */
+  def pcaComponents(corpus: DataFrame, k: Int = 2, iters: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty)
+      return Seq.empty[(Int, Int, Long)].toDF("component", "dim", "weight")
+    val (comps, _, _) = pcaFromGram(packed, k, iters)
+    comps.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (w, d) => (c + 1, d, w.bigInteger.longValueExact()) }
+    }.toDF("component", "dim", "weight")
+  }
+
+  /** Map-side projection of every vector onto the [[pcaComponents]]
+    * directions — the whitening/decorrelation step run before PQ/IVF
+    * coding: per vector, the k exact CENTERED projection numerators
+    * `pcK_num = n·(q·vK) − (Σq)·vK` (scale n·1e6 on the 1e-3 grid; the
+    * caller's denominator is n, deferred like every ppm convention).
+    * The component literals broadcast inside the expression tree; the
+    * corpus pays one codegen'd scan — no shuffle, no join.
+    */
+  def pcaProject(corpus: DataFrame, k: Int = 2, iters: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty) {
+      val empty = Seq.empty[(Long, Long)].toDF("vec_id", "pc1_num")
+      return (2 to k).foldLeft(empty)((df, i) => df.withColumn(s"pc${i}_num", lit(0L)))
+        .withColumn("n_rows", lit(0L)).limit(0)
+    }
+    val (comps, sums, n) = pcaFromGram(packed, k, iters)
+    val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
+    val projected = comps.zipWithIndex.foldLeft(corpus.select(col("vec_id"), q.as("_q"))) {
+      case (df, (v, c)) =>
+        val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
+        val center = sums.zip(v).map { case (s, w) => s * w }.sum.bigInteger.longValueExact()
+        df.withColumn(s"pc${c + 1}_num",
+          lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x) - lit(center))
+    }
+    projected.drop("_q").withColumn("n_rows", lit(n))
+  }
+
+  /** The shared driver-side eigen core: full covariance matrix from
+    * the packed buffer, then `k` rounds of (power iteration, sign fix,
+    * deflation). Returns (components on the 1e6 grid, per-dim sums,
+    * n). Cost: O(k·iters·d²) BigInt ops on k·d² MODEL state — the
+    * [[sphericalKMeans]] centroid pattern, never data.
+    */
+  private def pcaFromGram(
+      packed: Seq[Long], k: Int, iters: Int): (Seq[Array[BigInt]], Array[BigInt], Long) = {
+    val d = gramDim(packed.length)
+    val n = packed(0)
+    val scale = BigInt(1000000)
+    def prod(i: Int, j: Int): Long = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      packed(1 + d + a * d - a * (a - 1) / 2 + (b - a))
+    }
+    val sums = Array.tabulate(d)(i => BigInt(packed(1 + i)))
+    // full symmetric covariance numerator matrix (BigInt d×d)
+    val c = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * BigInt(prod(i, j)) - sums(i) * sums(j))
+    // truncate-toward-zero division with explicit non-negative
+    // operands — BigInt '/' truncates and SQL '//' floors; they agree
+    // only on non-negative numerators, so negatives route as -(-x/y)
+    def symDiv(x: BigInt, y: BigInt): BigInt =
+      if (x.signum >= 0) x / y else -((-x) / y)
+    val comps = Seq.newBuilder[Array[BigInt]]
+    for (_ <- 1 to k) {
+      var v = Array.fill(d)(scale)
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j)))
+        val m = u.map(_.abs).max
+        if (m.signum != 0) v = u.map(x => symDiv(x * scale, m))
+      }
+      // sign convention: first nonzero entry positive
+      v.find(_.signum != 0).foreach(f => if (f.signum < 0) v = v.map(-_))
+      comps += v
+      // Hotelling deflation on the integer grid (two-step division)
+      val den = v.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+      val lam = (0 until d).foldLeft(BigInt(0))((acc, i) =>
+        acc + (0 until d).foldLeft(BigInt(0))((a2, j) => a2 + v(i) * c(i)(j) * v(j)))
+      val a = Array.tabulate(d)(i => symDiv(lam * v(i), den))
+      for (i <- 0 until d; j <- 0 until d)
+        c(i)(j) = c(i)(j) - symDiv(a(i) * v(j), den)
+    }
+    (comps.result(), sums, n)
+  }
+
   /** Per-dim exact integer (count, coordinate-sum) — the mergeable
     * sufficient statistic behind [[embeddingDrift]] and the streaming
     * [[graft.streaming.EmbeddingDriftMonitor]] (partial sums merge by

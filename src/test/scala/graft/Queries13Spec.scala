@@ -188,6 +188,45 @@ class Queries13Spec extends SparkSpec {
     }
   }
 
+  // ── PCA consumer of the Gram buffer ───────────────────────────────
+
+  test("pcaComponents: a rank-1 corpus yields the exact grid direction; deflation zeroes the matrix and the degenerate branch keeps the start vector") {
+    // vectors along (3,4): C = 14e6 * [[9,12],[12,16]] on the 1e-3
+    // grid; power iteration from (1e6,1e6) hits the fixed point
+    // (750000,1000000) in one round and stays
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f)),
+      (1L, Array(6.0f, 8.0f)),
+      (2L, Array(-3.0f, -4.0f))).toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(vecs, k = 2, iters = 12)
+      .orderBy("component", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(comps.take(2).toSeq == Seq((1, 0, 750000L), (1, 1, 1000000L)))
+    // the deflation is EXACT here (every division lands on the grid),
+    // so component 2's matrix is zero and the iteration keeps all-1e6
+    assert(comps.drop(2).toSeq == Seq((2, 0, 1000000L), (2, 1, 1000000L)))
+  }
+
+  test("pcaProject: exact centered projection numerators, partition-invariant") {
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f)),
+      (1L, Array(6.0f, 8.0f)),
+      (2L, Array(-3.0f, -4.0f))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaProject(df, k = 2, iters = 12).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val r = run(vecs)
+    // hand math: v1=(75e4,1e6); q.v1: 6.25e9 / 1.25e10 / -6.25e9;
+    // sx.v1 = 1.25e10; pc1 = 3*qv - 1.25e10
+    assert(r == Seq(
+      (0L, 6250000000L, 7000000000L, 3L),
+      (1L, 25000000000L, 28000000000L, 3L),
+      (2L, -31250000000L, -35000000000L, 3L)))
+    // centered projections sum to zero by construction
+    assert(r.map(_._2).sum == 0L && r.map(_._3).sum == 0L)
+    assert(run(vecs.repartition(5)) == r, "projection not partition-invariant")
+  }
+
   // ── GramMatrix: grid-contract violations throw, never wrap ────────
 
   test("GramMatrix: accumulation past int64 throws (addExact/multiplyExact), not a silent wrap") {
