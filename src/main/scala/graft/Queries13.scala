@@ -60,6 +60,14 @@ object Queries13 extends ExtHelpers {
     "embedding_pca_project" -> ((s, dir) =>
       Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 12)
         .orderBy("vec_id")),
+
+    // the numerators divided to unit component variance on the 1e6
+    // grid: sigma = isqrt(lambda) is exact on both engines because
+    // sum_rows(pc_num^2) = n * (v'Cv) identically - the eigen loop's
+    // own Rayleigh numerator is the whitening divisor, no second pass
+    "embedding_pca_whiten" -> ((s, dir) =>
+      Similarity.pcaWhitenProject(t(s, dir, "embeddings"), k = 2, iters = 12)
+        .orderBy("vec_id")),
   )
 
   /** One integer-grid power-iteration round as CTE text: exact matvec
@@ -144,6 +152,29 @@ object Queries13 extends ExtHelpers {
          CROSS JOIN nn),
        ${pcaComponent("1", "cf1", iters, Some("cf2"))},
        ${pcaComponent("2", "cf2", iters, None)}"""
+
+  /** The exact-isqrt → whitening-divisor chain as CTE text: two Newton
+    * steps off the float sqrt seed (the seed is within ~1e3 of the
+    * true root at HUGEINT magnitudes; one Newton step lands within 1,
+    * the second pins it), then the max candidate c in ±2 with c² ≤ λ —
+    * exact integer sqrt without trusting float rounding — and the
+    * divisor `max(σ // 1e6, 1)` (the engine's
+    * `BigInteger.sqrt` twin). λ ≤ 0 degenerates to sden = 1, the
+    * engine's branch.
+    */
+  private def sdenSql(tag: String, lamRel: String): String =
+    s"""q0$tag AS (
+         SELECT greatest(lam, 0) AS l,
+                CAST(greatest(floor(sqrt(CAST(greatest(lam, 0) AS DOUBLE))), 1)
+                  AS HUGEINT) AS s0
+         FROM $lamRel),
+       q1$tag AS (SELECT l, (s0 + l // s0) // 2 AS s1 FROM q0$tag),
+       q2$tag AS (SELECT l, CASE WHEN s1 > 0 THEN (s1 + l // s1) // 2
+                                 ELSE CAST(0 AS HUGEINT) END AS s2 FROM q1$tag),
+       sd$tag AS (
+         SELECT greatest(list_max([c FOR c IN [s2 - 2, s2 - 1, s2, s2 + 1, s2 + 2]
+                  IF c >= 0 AND c * c <= l]) // 1000000, 1) AS sden
+         FROM q2$tag)"""
 
   /** One batched BPE pass as CTE text: pair counts over `prev`, the
     * ranked top-`window` prefix, the strict conflict-free selection
@@ -377,6 +408,42 @@ object Queries13 extends ExtHelpers {
                 CAST(nn.n * p.d2 - c2s.cc AS BIGINT) AS pc2_num,
                 CAST(nn.n AS BIGINT) AS n_rows
          FROM pr p CROSS JOIN nn CROSS JOIN c1s CROSS JOIN c2s
+         ORDER BY p.vec_id""",
+
+    // the projection oracle + per-component whitening divisors:
+    // component 1's lambda is chain 1's own deflation numerator (lm1);
+    // component 2's is the same Rayleigh form over the deflated
+    // matrix; both roots taken by the exact-isqrt chain, each row then
+    // divided with the truncation-direction-pinned negative route
+    "embedding_pca_whiten" ->
+      s"""WITH ${pcaChainsSql(12)},
+         lm2w AS (
+           SELECT CAST(sum(wa.vv * c.c * wb.vv) AS HUGEINT) AS lam
+           FROM cf2 c JOIN w2 wa ON wa.d = c.i JOIN w2 wb ON wb.d = c.j),
+         ${sdenSql("1", "lm1")},
+         ${sdenSql("2", "lm2w")},
+         c1s AS (SELECT CAST(sum(s.sx * w.vv) AS HUGEINT) AS cc
+                 FROM s JOIN w1 w ON w.d = s.d),
+         c2s AS (SELECT CAST(sum(s.sx * w.vv) AS HUGEINT) AS cc
+                 FROM s JOIN w2 w ON w.d = s.d),
+         pr AS (
+           SELECT x.vec_id,
+                  CAST(sum(CAST(x.v AS HUGEINT) * a.vv) AS HUGEINT) AS d1,
+                  CAST(sum(CAST(x.v AS HUGEINT) * b.vv) AS HUGEINT) AS d2
+           FROM x JOIN w1 a ON a.d = x.d JOIN w2 b ON b.d = x.d
+           GROUP BY x.vec_id)
+         SELECT p.vec_id,
+                CAST(CASE WHEN nn.n * p.d1 - c1s.cc >= 0
+                     THEN (nn.n * p.d1 - c1s.cc) // sd1.sden
+                     ELSE -((-(nn.n * p.d1 - c1s.cc)) // sd1.sden) END
+                  AS BIGINT) AS pc1_white,
+                CAST(CASE WHEN nn.n * p.d2 - c2s.cc >= 0
+                     THEN (nn.n * p.d2 - c2s.cc) // sd2.sden
+                     ELSE -((-(nn.n * p.d2 - c2s.cc)) // sd2.sden) END
+                  AS BIGINT) AS pc2_white,
+                CAST(nn.n AS BIGINT) AS n_rows
+         FROM pr p CROSS JOIN nn CROSS JOIN c1s CROSS JOIN c2s
+         CROSS JOIN sd1 CROSS JOIN sd2
          ORDER BY p.vec_id""",
   )
 }

@@ -339,11 +339,32 @@ trait MediaCodecs {
     * BMP/PNG. Palette construction is itself part of the codec seam:
     * a real pipeline ingesting screenshots/diagrams does exactly this.
     */
-  def encodeGif(docId: Long): Array[Byte] = {
-    val w = bmpWidth(docId); val h = bmpHeight(docId)
-    val colors = (0 until w * h).map(i =>
-      (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
-        bmpChannel(docId, i, 0)).distinct
+  /** Build a palette-coded image with the palette constructed from
+    * EXACTLY the colors present and palette indices written straight
+    * into the raster — the one safe constructor for indexed rasters.
+    * The naive "render TYPE_INT_RGB, then drawImage into the indexed
+    * raster" composition routes through AWT's 5-bit-per-channel
+    * InverseColorMap: palette entries nearer than 8 levels share one
+    * 5-bit cell and collapse to a single index (observed: +0x10 per
+    * channel on colliding rasters — the round-12 GIF hazard). Per-pixel
+    * `setRGB` happens to stay exact (IndexColorModel.getDataElements
+    * does an exhaustive nearest search, and an exact palette hit wins)
+    * but pays an O(|palette|) scan per pixel. The index write is exact
+    * by construction for ANY palette — pinned by spec against a
+    * 2-levels-apart palette, with the drawImage snap as the negative
+    * control. The TYPE_INT_RGB paths ([[seededImage]] → PNG/JPEG) are
+    * immune: a DirectColorModel has no inverse map, `setRGB` stores
+    * the pixel verbatim (also spec-pinned).
+    *
+    * At most 256 distinct colors (GIF's palette ceiling) — the seeded
+    * rasters hold ≤128; a caller exceeding that gets a loud error,
+    * not quantization.
+    */
+  private[graft] def indexedImage(
+      w: Int, h: Int, rgbAt: Int => Int): java.awt.image.BufferedImage = {
+    val colors = (0 until w * h).map(rgbAt).distinct
+    require(colors.length <= 256,
+      s"indexed raster supports <= 256 colors, got ${colors.length}")
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(
       math.max(colors.length - 1, 1)))
     val cmap = colors.toArray.padTo(1 << bits, 0)
@@ -352,26 +373,25 @@ trait MediaCodecs {
       java.awt.image.DataBuffer.TYPE_BYTE)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-    // write palette INDICES straight into the raster: setRGB would
-    // route through IndexColorModel's inverse color map, which
-    // quantizes to 5 bits/channel — palette entries nearer than 8
-    // levels collide there and snap to the wrong index (observed:
-    // +0x10 per channel on colliding rasters); the index write is
-    // exact by construction
     val index = colors.zipWithIndex.toMap
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val i = y * w + x
-        raster.setSample(x, y, 0, index(
-          (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
-            bmpChannel(docId, i, 0)))
+        raster.setSample(x, y, 0, index(rgbAt(y * w + x)))
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  def encodeGif(docId: Long): Array[Byte] = {
+    val w = bmpWidth(docId); val h = bmpHeight(docId)
+    val img = indexedImage(w, h, i =>
+      (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
+        bmpChannel(docId, i, 0))
     // write NON-interlaced explicitly: the JDK writer's default can
     // interlace, and on rasters shorter than the 8-row pass stride the
     // encode/decode pair scrambles rows (observed: h=4 images came

@@ -491,7 +491,7 @@ object Similarity {
     val packed = gramPacked(corpus)
     if (packed.isEmpty)
       return Seq.empty[(Int, Int, Long)].toDF("component", "dim", "weight")
-    val (comps, _, _) = pcaFromGram(packed, k, iters)
+    val (comps, _, _, _) = pcaFromGram(packed, k, iters)
     comps.zipWithIndex.flatMap { case (v, c) =>
       v.zipWithIndex.map { case (w, d) => (c + 1, d, w.bigInteger.longValueExact()) }
     }.toDF("component", "dim", "weight")
@@ -515,7 +515,7 @@ object Similarity {
       return (2 to k).foldLeft(empty)((df, i) => df.withColumn(s"pc${i}_num", lit(0L)))
         .withColumn("n_rows", lit(0L)).limit(0)
     }
-    val (comps, sums, n) = pcaFromGram(packed, k, iters)
+    val (comps, sums, n, _) = pcaFromGram(packed, k, iters)
     val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
     val projected = comps.zipWithIndex.foldLeft(corpus.select(col("vec_id"), q.as("_q"))) {
       case (df, (v, c)) =>
@@ -528,6 +528,61 @@ object Similarity {
     projected.drop("_q").withColumn("n_rows", lit(n))
   }
 
+  /** WHITENED projection — [[pcaProject]]'s exact centered numerators
+    * divided down to unit component variance on the 1e6 grid, the
+    * decorrelate-AND-equalize step run before PQ/IVF coding (PQ
+    * codebooks waste bits on high-variance directions; whitening makes
+    * every retained direction spend its bits equally).
+    *
+    * The divisor is exact and engine-independent: `Σ_rows pc_num² =
+    * n·(vᵀCv)` identically (expand the square; C is the covariance
+    * NUMERATOR matrix), so `σ = isqrt(vᵀCv)` IS the root-mean-square
+    * of the projection numerators — no second data pass measures it;
+    * the eigen loop already computed vᵀCv as its Rayleigh/deflation
+    * numerator λ. Each row then pays one integer division
+    * `pc_white = pc_num quot max(σ div 1e6, 1)` (truncation toward
+    * zero — Spark's `div`; the oracle mirrors with the repo's
+    * `-((-x)//y)` negative route), putting unit variance at ≈1e6.
+    * For deflated components λ is the Rayleigh numerator of the
+    * DEFLATED matrix — the pinned procedure, like the eigenbasis
+    * itself. isqrt is exact on both engines (Java
+    * `BigInteger.sqrt`; the oracle runs two Newton steps off the
+    * float seed and takes the max candidate c with c² ≤ x).
+    *
+    * Same scale shape as [[pcaProject]]: the k whitening divisors are
+    * driver-side MODEL scalars; the corpus pays one codegen'd scan —
+    * no shuffle, no join, nothing data-sized on the driver.
+    */
+  def pcaWhitenProject(corpus: DataFrame, k: Int = 2, iters: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty) {
+      val empty = Seq.empty[(Long, Long)].toDF("vec_id", "pc1_white")
+      return (2 to k).foldLeft(empty)((df, i) => df.withColumn(s"pc${i}_white", lit(0L)))
+        .withColumn("n_rows", lit(0L)).limit(0)
+    }
+    val (comps, sums, n, lams) = pcaFromGram(packed, k, iters)
+    val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
+    val projected = comps.zip(lams).zipWithIndex
+      .foldLeft(corpus.select(col("vec_id"), q.as("_q"))) {
+        case (df, ((v, lam), c)) =>
+          val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
+          val center = sums.zip(v).map { case (s, w) => s * w }
+            .sum.bigInteger.longValueExact()
+          val sigma = if (lam.signum > 0) BigInt(lam.bigInteger.sqrt()) else BigInt(0)
+          val sden = (sigma / 1000000).max(1).bigInteger.longValueExact()
+          df.withColumn(s"_pc${c + 1}",
+            lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x) - lit(center))
+            .withColumn(s"pc${c + 1}_white",
+              expr(s"_pc${c + 1} div CAST($sden AS BIGINT)"))
+      }
+    (1 to k).foldLeft(projected.drop("_q"))((df, i) => df.drop(s"_pc$i"))
+      .withColumn("n_rows", lit(n))
+  }
+
   /** The shared driver-side eigen core: full covariance matrix from
     * the packed buffer, then `k` rounds of (power iteration, sign fix,
     * deflation). Returns (components on the 1e6 grid, per-dim sums,
@@ -535,7 +590,8 @@ object Similarity {
     * [[sphericalKMeans]] centroid pattern, never data.
     */
   private def pcaFromGram(
-      packed: Seq[Long], k: Int, iters: Int): (Seq[Array[BigInt]], Array[BigInt], Long) = {
+      packed: Seq[Long], k: Int, iters: Int)
+      : (Seq[Array[BigInt]], Array[BigInt], Long, Seq[BigInt]) = {
     val d = gramDim(packed.length)
     val n = packed(0)
     val scale = BigInt(1000000)
@@ -553,6 +609,7 @@ object Similarity {
     def symDiv(x: BigInt, y: BigInt): BigInt =
       if (x.signum >= 0) x / y else -((-x) / y)
     val comps = Seq.newBuilder[Array[BigInt]]
+    val lams = Seq.newBuilder[BigInt]
     for (_ <- 1 to k) {
       var v = Array.fill(d)(scale)
       for (_ <- 1 to iters) {
@@ -568,11 +625,12 @@ object Similarity {
       val den = v.foldLeft(BigInt(0))((acc, x) => acc + x * x)
       val lam = (0 until d).foldLeft(BigInt(0))((acc, i) =>
         acc + (0 until d).foldLeft(BigInt(0))((a2, j) => a2 + v(i) * c(i)(j) * v(j)))
+      lams += lam
       val a = Array.tabulate(d)(i => symDiv(lam * v(i), den))
       for (i <- 0 until d; j <- 0 until d)
         c(i)(j) = c(i)(j) - symDiv(a(i) * v(j), den)
     }
-    (comps.result(), sums, n)
+    (comps.result(), sums, n, lams.result())
   }
 
   /** Per-dim exact integer (count, coordinate-sum) — the mergeable

@@ -706,6 +706,46 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
+  /** The trained tokenizer APPLIED corpus-wide — the step that turns
+    * [[bpeTrainMerges]]' learned rules into the numbers a pipeline
+    * actually budgets with: per document, the word count, the encoded
+    * TOKEN count under the learned merges, the character count, and
+    * the two derived planning ratios — fertility (tokens per word,
+    * ppm) and chars-per-token compression (tokens per char, ppm).
+    * Token counts — not token streams — are what sizing a training
+    * run needs; the stream itself is `enc`'s `syms` split, one more
+    * projection away.
+    *
+    * Scale shape: training already collapsed the corpus to the
+    * word-frequency table, and ENCODING stays at vocab grain too —
+    * each distinct word is encoded exactly once (the folded `syms`
+    * the trainer already holds), the (word → token count) model
+    * BROADCASTS, and the corpus pays one token-grain map + one
+    * doc-keyed partial-aggregated count. Re-encoding every token
+    * occurrence (the naive form) would run the greedy fold
+    * `total_tokens / |vocab|` times redundantly — under Zipf that is
+    * 10²–10⁴× wasted work at 100 TB.
+    */
+  def bpeEncodeCorpus(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val (_, vocab) = bpeTrain(docs, rounds)
+    val enc = vocab.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_tok"),
+      length(col("w")).cast("long").as("n_chr"))
+    val per = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(enc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_tokens", "n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000 div greatest(n_words, 1)"))
+      .withColumn("compression_ppm",
+        expr("n_tokens * 1000000 div greatest(n_chars, 1)"))
+  }
+
   /** BPE training at PRODUCTION merge counts — the batched variant of
     * [[bpeTrainMerges]]: per Spark pass, up to `kBatch` merge rules
     * learn and apply TOGETHER, so a 10³–10⁵-merge tokenizer costs

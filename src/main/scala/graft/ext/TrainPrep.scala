@@ -416,4 +416,98 @@ object TrainPrep {
         sum(col("n_tokens")).as("pack_tokens"),
         sum(col("doc_id")).as("id_checksum"))
       .withColumn("fill_ppm", expr(s"pack_tokens * 1000000 div ${tokenBudget.toLong}"))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram features are
+    * under the TARGET distribution than under the RAW distribution —
+    * `log w(doc) = Σ_tokens [log p_target(bucket(tok)) −
+    * log p_raw(bucket(tok))]` with Laplace-smoothed bucket
+    * distributions (`(c+1)/(N+B)`). High-weight documents "look like"
+    * the target corpus; resampling by these weights is the standard
+    * cheap alternative to training a quality classifier.
+    *
+    * Exactness: the per-BUCKET log-ratio is integerized on the 1e6
+    * grid FIRST (`floor(1e6·logratio)` — a B-row model, deterministic
+    * in any engine), and only then summed per document — so the
+    * doc-grain sum is exact Long addition, associative under any
+    * partitioning, never an order-dependent float reduction.
+    *
+    * Scale shape: token→bucket is a per-row projection of the
+    * [[portableHash]]; both bucket distributions are B-row aggregates
+    * (map-side combined); the B-row log-ratio model BROADCASTS back
+    * onto the token stream; the only doc-grain work is one partial-
+    * aggregated sum keyed by doc_id. The corpus text never shuffles,
+    * and nothing the size of the corpus reaches the driver.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val b = lit(buckets.toLong)
+    def tok(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(tokens(col("text"))).as("w"): _*)
+        .filter(length(col("w")) > 0)
+        .withColumn("bucket", pmod(portableHash(concat(lit("dsir|"), col("w"))), b))
+    val rawTok = tok(Scale.widen(raw), col("doc_id"))
+    val tgtB = tok(target).groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val rawB = rawTok.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val totals = rawB.agg(sum(col("c_raw")).as("n_raw"))
+      .crossJoin(tgtB.agg(sum(col("c_tgt")).as("n_tgt")))
+    // every token's bucket appears in rawB by construction, so a left
+    // join from the raw side loses nothing; absent target mass is the
+    // smoothing floor
+    val model = rawB
+      .join(tgtB, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(totals)
+      // grouped as (target log-mass) − (raw log-mass): when the two
+      // distributions are identical the operands are identical doubles
+      // and the difference is EXACTLY zero — no ±ulp residue for the
+      // 1e6-grid floor to amplify into a spurious −1
+      .withColumn("logratio_micro",
+        floor(((log(col("c_tgt") + lit(1L)) + log(col("n_raw") + b))
+          - (log(col("c_raw") + lit(1L)) + log(col("n_tgt") + b))) * lit(1e6))
+          .cast("long"))
+      .select(col("bucket"), col("logratio_micro"))
+    val perDoc = rawTok
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logratio_micro")).as("logw_micro"))
+    raw.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+  }
+
+  /** Token-budget planning: given a training-run token budget, how
+    * many tokens to DRAW from each source under the sqrt-temperature
+    * mixture (the [[mixtureWeights]] α=0.5 convention, here over
+    * source token counts), and what that implies per source — the
+    * epoch multiplier (`epochs_ppm > 1e6` ⇔ the source must repeat)
+    * and the share of the source left unread. This is the planning
+    * table a pipeline writes BEFORE materializing a mixture: it makes
+    * over-epoching (the "we will see this tiny source 40 times"
+    * failure) visible as a column instead of a surprise.
+    *
+    * All arithmetic is exact integer ppm (the repo-wide convention);
+    * source-grain model only — one token-count aggregation over the
+    * corpus, then |sources| rows of planning math.
+    */
+  def tokenBudgetPlan(docs: DataFrame, budget: Long = 50000L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val per = docs
+      .select(col("source"), size(filter(tokens(col("text")), w => length(w) > 0))
+        .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    per.crossJoin(per.agg(sum(col("s")).as("s_total")))
+      .withColumn("weight_ppm", expr("s * 1000000 div s_total"))
+      .withColumn("planned_tokens", expr(s"$budget * weight_ppm div 1000000"))
+      .withColumn("epochs_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN planned_tokens * 1000000 div n_tokens ELSE 0 END"))
+      .withColumn("oversampled", col("epochs_ppm") > lit(1000000L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_ppm"),
+        col("planned_tokens"), col("epochs_ppm"), col("oversampled"))
+  }
 }
