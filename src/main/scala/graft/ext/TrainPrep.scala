@@ -440,22 +440,40 @@ object TrainPrep {
     * aggregated sum keyed by doc_id. The corpus text never shuffles,
     * and nothing the size of the corpus reaches the driver.
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+  /** Token → feature bucket, the engine-portable DSIR feature map:
+    * [[portableHash]] of the salted token mod `buckets`.
+    */
+  private def dsirBucket(buckets: Int): Column =
+    pmod(portableHash(concat(lit("dsir|"), col("w"))), lit(buckets.toLong))
+
+  /** A corpus collapsed to its DSIR bucket-count distribution —
+    * (bucket, c), only buckets with mass. B-row model frame; this is
+    * both the batch path's aggregate and the streaming monitor's
+    * per-batch partial (counts merge by addition).
+    */
+  private[graft] def dsirCounts(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(dsirBucket(buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** The DSIR model finisher shared by [[dsirWeights]] and the
+    * streaming [[graft.streaming.DsirMonitor]] — identical expressions
+    * on identical counts give bit-identical log-ratios, so the
+    * monitor's accumulated report equals the one-shot batch model
+    * (the [[graft.ext.Similarity.driftFromPerDim]] convention). Input:
+    * (bucket, c_raw) and (bucket, c_tgt) count frames; output one row
+    * per raw-massed bucket: (bucket, c_raw, c_tgt, logratio_micro).
+    */
+  private[graft] def dsirModelFrom(
+      rawB: DataFrame, tgtB: DataFrame, buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
-    def tok(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(tokens(col("text"))).as("w"): _*)
-        .filter(length(col("w")) > 0)
-        .withColumn("bucket", pmod(portableHash(concat(lit("dsir|"), col("w"))), b))
-    val rawTok = tok(Scale.widen(raw), col("doc_id"))
-    val tgtB = tok(target).groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
-    val rawB = rawTok.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
     val totals = rawB.agg(sum(col("c_raw")).as("n_raw"))
-      .crossJoin(tgtB.agg(sum(col("c_tgt")).as("n_tgt")))
-    // every token's bucket appears in rawB by construction, so a left
+      .crossJoin(tgtB.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt")))
+    // every probed bucket appears in rawB by construction, so a left
     // join from the raw side loses nothing; absent target mass is the
     // smoothing floor
-    val model = rawB
+    rawB
       .join(tgtB, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_tgt"))
       .crossJoin(totals)
@@ -467,6 +485,18 @@ object TrainPrep {
         floor(((log(col("c_tgt") + lit(1L)) + log(col("n_raw") + b))
           - (log(col("c_raw") + lit(1L)) + log(col("n_tgt") + b))) * lit(1e6))
           .cast("long"))
+      .select(col("bucket"), col("c_raw"), col("c_tgt"), col("logratio_micro"))
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rawTok = Scale.widen(raw)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket", dsirBucket(buckets))
+    val rawB = rawTok.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtB = dsirCounts(target, buckets).withColumnRenamed("c", "c_tgt")
+    val model = dsirModelFrom(rawB, tgtB, buckets)
       .select(col("bucket"), col("logratio_micro"))
     val perDoc = rawTok
       .join(broadcast(model), Seq("bucket"))

@@ -325,4 +325,49 @@ class AssembleIngestSpec extends SparkSpec {
     val vdirs = new java.io.File(s"$state/v").listFiles().map(_.getName).sorted.toSeq
     assert(vdirs == Seq("1"), s"expected only the newest committed version, got $vdirs")
   }
+
+  test("DSIR monitor: accumulated bucket model equals the one-shot batch model after every batch, across kill-and-restart, crash versions ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def docs(ids: Range, bias: Int) = ids.map(i => (i.toLong,
+      (0 until 8).map(k => words((i * 3 + k * bias) % words.length)).mkString(" ")))
+    val target = docs(1000 until 1020, 1).toDF("doc_id", "text")
+    val b1 = docs(0 until 30, 2)
+    val b2 = docs(30 until 55, 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirmon").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val report = new java.io.File(dir, "report").getPath
+    import graft.ext.TrainPrep
+    def oneShot(seen: Seq[(Long, String)]): Seq[String] =
+      TrainPrep.dsirModelFrom(
+          TrainPrep.dsirCounts(seen.toDF("doc_id", "text"), 256)
+            .withColumnRenamed("c", "c_raw"),
+          TrainPrep.dsirCounts(target, 256).withColumnRenamed("c", "c_tgt"),
+          256)
+        .orderBy("bucket").collect().map(_.toString).toSeq
+    def got(): Seq[String] =
+      spark.read.parquet(report).orderBy("bucket").collect().map(_.toString).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DsirMonitor.watch(
+      in.toDS().toDF("doc_id", "text"), target, state, report,
+      new java.io.File(dir, "ckpt").getPath)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      assert(got() == oneShot(b1), "batch-1 model diverged from one-shot")
+      in.addData(b2); q.processAllAvailable()
+      assert(got() == oneShot(b1 ++ b2), "batch-2 model diverged from one-shot")
+    } finally q.stop()
+    // poison an uncommitted crash version: the restart must ignore it
+    Seq((0, 999999999L)).toDF("i", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/v/2")
+    // kill-and-restart with a fresh checkpoint: the replayed batch
+    // no-ops on its marker - a re-merge would double-count the counts
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DsirMonitor.watch(
+      in2.toDS().toDF("doc_id", "text"), target, state, report,
+      new java.io.File(dir, "ckpt2").getPath)
+    try { in2.addData(b1); q2.processAllAvailable() } finally q2.stop()
+    assert(got() == oneShot(b1 ++ b2), "replay must not change the model")
+  }
 }
