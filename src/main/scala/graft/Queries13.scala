@@ -68,6 +68,15 @@ object Queries13 extends ExtHelpers {
     "embedding_pca_whiten" -> ((s, dir) =>
       Similarity.pcaWhitenProject(t(s, dir, "embeddings"), k = 2, iters = 12)
         .orderBy("vec_id")),
+
+    // the A/B that makes the PCA tier actionable: top-5 recall of the
+    // PCA-16 projection vs exact full-width cosine, the knn_rp_recall
+    // twin at equal dims (measured: ~16x RP-16's recall at sf0.01)
+    "knn_pca_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pcaRecall(e, e.filter(col("vec_id") < 16), dims = 16)
+        .orderBy("q_id")
+    }),
   )
 
   /** One integer-grid power-iteration round as CTE text: exact matvec
@@ -128,7 +137,14 @@ object Queries13 extends ExtHelpers {
     * per-dim sums, n, and the full symmetric covariance numerator
     * matrix as relation cf1(i, j, c), then both component chains.
     */
-  private def pcaChainsSql(iters: Int): String =
+  private def pcaChainsSql(iters: Int): String = pcaChainsSqlK(iters, 2)
+
+  /** The generalized `comps`-component form: the shared base CTEs plus
+    * one [[pcaComponent]] chain per component, each deflating into the
+    * next component's covariance relation (the engine's exact loop,
+    * unrolled `comps` times).
+    */
+  private def pcaChainsSqlK(iters: Int, comps: Int): String =
     s"""q AS (
          SELECT vec_id,
                 [CAST(round(CAST(v AS DOUBLE) * 1e3) AS BIGINT) FOR v IN embedding] AS q
@@ -150,8 +166,15 @@ object Queries13 extends ExtHelpers {
          SELECT p.i, p.j, CAST(nn.n * p.sxy - si.sx * sj.sx AS HUGEINT) AS c
          FROM pp p JOIN s si ON si.d = p.i JOIN s sj ON sj.d = p.j
          CROSS JOIN nn),
-       ${pcaComponent("1", "cf1", iters, Some("cf2"))},
-       ${pcaComponent("2", "cf2", iters, None)}"""
+       ${(1 to comps).map(c => pcaComponent(pcaTag(c), s"cf$c", iters,
+           if (c < comps) Some(s"cf${c + 1}") else None)).mkString(",\n       ")}"""
+
+  /** Component tags: "1"/"2" keep the names the two-component oracles
+    * reference (w1, w2, lm1); components ≥ 3 get an "x" separator so
+    * generated CTE names never collide across (tag, iteration) digit
+    * boundaries (v1 iter 10 vs v11 iter 0 both read "v110" otherwise).
+    */
+  private def pcaTag(c: Int): String = if (c <= 2) s"$c" else s"${c}x"
 
   /** The exact-isqrt → whitening-divisor chain as CTE text: two Newton
     * steps off the float sqrt seed (the seed is within ~1e3 of the
@@ -445,5 +468,69 @@ object Queries13 extends ExtHelpers {
          FROM pr p CROSS JOIN nn CROSS JOIN c1s CROSS JOIN c2s
          CROSS JOIN sd1 CROSS JOIN sd2
          ORDER BY p.vec_id""",
+
+    // the 16-component chain (the engine's loop unrolled 16 times),
+    // projections as DOUBLE arrays, cosine by per-element products +
+    // left fold (list_reduce ≡ Spark's 0-init aggregate: 0+x = x), the
+    // exact side identical to knn_rp_recall's ground truth
+    "knn_pca_recall" -> {
+      val dims = 16
+      val icos =
+        """CAST(list_sum([%A[i] * %B[i] FOR i IN range(1, len(%A) + 1)]) AS DOUBLE)
+            / (sqrt(CAST(list_sum([%A[i] * %A[i] FOR i IN range(1, len(%A) + 1)]) AS DOUBLE))
+               * sqrt(CAST(list_sum([%B[i] * %B[i] FOR i IN range(1, len(%B) + 1)]) AS DOUBLE)))"""
+      def ic(a: String, b: String) = icos.replace("%A", a).replace("%B", b)
+      val dnorm = "sqrt(list_reduce([x * x FOR x IN %P], (acc, v) -> acc + v))"
+      def dn(p: String) = dnorm.replace("%P", p)
+      def dd(a: String, b: String) =
+        s"list_reduce([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)], (acc, v) -> acc + v)"
+      val prCtes = (1 to dims).map(c =>
+        s"""pr$c AS MATERIALIZED (
+           SELECT x.vec_id, CAST(sum(CAST(x.v AS HUGEINT) * w.vv) AS HUGEINT) AS dd
+           FROM x JOIN w${pcaTag(c)} w ON w.d = x.d GROUP BY x.vec_id)""").mkString(",\n         ")
+      val csCtes = (1 to dims).map(c =>
+        s"""cs$c AS (SELECT CAST(sum(s.sx * w.vv) AS HUGEINT) AS cc
+           FROM s JOIN w${pcaTag(c)} w ON w.d = s.d)""").mkString(",\n         ")
+      val projList = (1 to dims).map(c =>
+        s"CAST(nn.n * pr$c.dd - cs$c.cc AS DOUBLE)").mkString(", ")
+      val prJoins = (2 to dims).map(c =>
+        s"JOIN pr$c ON pr$c.vec_id = pr1.vec_id").mkString(" ")
+      val csJoins = (1 to dims).map(c => s"CROSS JOIN cs$c").mkString(" ")
+      s"""WITH ${pcaChainsSqlK(12, dims)},
+         $prCtes,
+         $csCtes,
+         pj AS MATERIALIZED (
+           SELECT pr1.vec_id, [$projList] AS p
+           FROM pr1 $prJoins CROSS JOIN nn $csJoins),
+         qe AS (SELECT vec_id,
+                       [CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) FOR v IN embedding] AS q
+                FROM embeddings),
+         fsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        ${ic("qs.q", "c.q")} AS cosine
+                 FROM qe c JOIN (SELECT * FROM qe WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         fr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM fsc) WHERE rnk <= 5),
+         tsc AS (SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+                        CASE WHEN ${dn("c.p")} = 0 OR ${dn("qs.p")} = 0 THEN -2
+                             ELSE ${dd("c.p", "qs.p")}
+                                  / (${dn("c.p")} * ${dn("qs.p")}) END AS cosine
+                 FROM pj c JOIN (SELECT * FROM pj WHERE vec_id < 16) qs
+                   ON qs.vec_id <> c.vec_id),
+         tr AS (SELECT q_id, n_id FROM
+                (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+                 FROM tsc) WHERE rnk <= 5),
+         ov AS (SELECT fr.q_id, count(*) AS n_overlap
+                FROM fr JOIN tr ON tr.q_id = fr.q_id AND tr.n_id = fr.n_id
+                GROUP BY 1),
+         kf AS (SELECT q_id, count(*) AS k_full FROM fr GROUP BY 1)
+         SELECT kf.q_id, kf.k_full,
+                CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n_overlap, 0) * 1000000 // kf.k_full AS BIGINT) AS recall_ppm
+         FROM kf LEFT JOIN ov USING (q_id) ORDER BY q_id"""
+    },
   )
 }

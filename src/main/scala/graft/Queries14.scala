@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{TextAnalysis, TrainPrep}
+import graft.ext.{Dedup, Multimodal, TextAnalysis, TrainPrep}
 
 /** Round-14 registry keys — the data-selection / budgeting tier of the
   * training pipeline:
@@ -33,6 +33,16 @@ object Queries14 extends ExtHelpers {
         .orderBy("doc_id")
     }),
 
+    // the resampling step the weights exist for: keep the top quarter
+    // by importance weight, threshold from the weight-histogram order
+    // statistic (ties at the threshold excluded, deterministic)
+    "dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TrainPrep.dsirSelect(d, d.filter(col("doc_id") % 20 === 0),
+          buckets = 256, keepPpm = 250000L)
+        .orderBy("doc_id")
+    }),
+
     "dataset_token_budget_plan" -> ((s, dir) =>
       TrainPrep.tokenBudgetPlan(t(s, dir, "documents"), budget = 50000L)
         .orderBy("source")),
@@ -40,6 +50,21 @@ object Queries14 extends ExtHelpers {
     "bpe_encode_corpus" -> ((s, dir) =>
       TextAnalysis.bpeEncodeCorpus(t(s, dir, "documents"), rounds = 4)
         .orderBy("doc_id")),
+
+    // GIF completes the phash-cluster format matrix (BMP and PNG ship
+    // the same composition): explicit-palette GIF is LOSSLESS, so the
+    // decoded dhash — and therefore the whole banded-pair +
+    // star-contraction pipeline and its oracle — is the BMP one
+    "multimodal_gif_phash_clusters" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = Multimodal.phashNearDupDecodedAuto(
+          Multimodal.gifWithPerturbedTwins(docs))
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+      val ids = docs.select(col("doc_id"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id")))
+      Dedup.dupClustersStar(ids, pairs).orderBy("doc_id")
+    }),
   )
 
   /** One BPE training round as CTE text, CARRYING the source word —
@@ -72,40 +97,69 @@ object Queries14 extends ExtHelpers {
                                         ELSE acc || ' ' || x END) END AS s
          FROM $prev t LEFT JOIN m$i m ON TRUE)"""
 
+  /** The DSIR per-doc weight chain as CTE text — shared by the weight
+    * and selection oracles; ends with relation `dw`(doc_id, n_tokens,
+    * logw_micro), one row per document.
+    */
+  private val dsirCtes =
+    """tok AS (
+         SELECT doc_id,
+                list_reduce(
+                  [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                    regexp_extract_all(md5('dsir|' || w), '.')],
+                  (a, b) -> (a * 31 + b) % 1000000007) % 256 AS bucket
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0),
+       tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+                FROM tok WHERE doc_id % 20 = 0 GROUP BY bucket),
+       rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw
+                FROM tok GROUP BY bucket),
+       tot AS (SELECT (SELECT sum(c_raw) FROM rawb) AS n_raw,
+                      (SELECT coalesce(sum(c_tgt), 0) FROM tgtb) AS n_tgt),
+       model AS (
+         SELECT r.bucket,
+                CAST(floor(((ln(coalesce(t.c_tgt, 0) + 1) + ln(tot.n_raw + 256))
+                  - (ln(r.c_raw + 1) + ln(tot.n_tgt + 256))) * 1e6) AS BIGINT) AS lr
+         FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(lr) AS BIGINT) AS logw_micro
+         FROM tok JOIN model USING (bucket) GROUP BY doc_id),
+       dw AS (
+         SELECT d.doc_id,
+                coalesce(per.n_tokens, 0) AS n_tokens,
+                coalesce(per.logw_micro, 0) AS logw_micro
+         FROM documents d LEFT JOIN per USING (doc_id))"""
+
   val oracles: Map[String, String] = Map(
 
     // token -> bucket via the portable-hash twin; both distributions
     // as B-row aggregates; the bucket log-ratio floored to the 1e6
     // grid BEFORE the per-doc sum (exact integer addition after)
     "dsir_importance_weights" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  list_reduce(
-                    [CAST(ascii(ch) AS BIGINT) FOR ch IN
-                      regexp_extract_all(md5('dsir|' || w), '.')],
-                    (a, b) -> (a * 31 + b) % 1000000007) % 256 AS bucket
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE len(w) > 0),
-         tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
-                  FROM tok WHERE doc_id % 20 = 0 GROUP BY bucket),
-         rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw
-                  FROM tok GROUP BY bucket),
-         tot AS (SELECT (SELECT sum(c_raw) FROM rawb) AS n_raw,
-                        (SELECT coalesce(sum(c_tgt), 0) FROM tgtb) AS n_tgt),
-         model AS (
-           SELECT r.bucket,
-                  CAST(floor(((ln(coalesce(t.c_tgt, 0) + 1) + ln(tot.n_raw + 256))
-                    - (ln(r.c_raw + 1) + ln(tot.n_tgt + 256))) * 1e6) AS BIGINT) AS lr
-           FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot),
-         per AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                  CAST(sum(lr) AS BIGINT) AS logw_micro
-           FROM tok JOIN model USING (bucket) GROUP BY doc_id)
-         SELECT d.doc_id,
-                coalesce(per.n_tokens, 0) AS n_tokens,
-                coalesce(per.logw_micro, 0) AS logw_micro
-         FROM documents d LEFT JOIN per USING (doc_id)
-         ORDER BY d.doc_id""",
+      s"""WITH $dsirCtes
+         SELECT doc_id, n_tokens, logw_micro
+         FROM dw ORDER BY doc_id""",
+
+    // the (n-k)-th weight order statistic as the keep threshold,
+    // strictly-above semantics (threshold ties excluded), the vacuous
+    // no-order-statistic branch keeping everything
+    "dsir_select" ->
+      s"""WITH $dsirCtes,
+         rk AS (SELECT dw.*,
+                       row_number() OVER (ORDER BY logw_micro, doc_id) AS rn,
+                       CAST(count(*) OVER () AS BIGINT) AS n
+                FROM dw),
+         th AS (SELECT max(n) AS n,
+                       max(n - n * 250000 // 1000000) AS r,
+                       max(CASE WHEN rn = n - n * 250000 // 1000000
+                                THEN logw_micro END) AS t0
+                FROM rk)
+         SELECT rk.doc_id, rk.n_tokens, rk.logw_micro,
+                CASE WHEN th.r < 1 THEN TRUE
+                     ELSE rk.logw_micro > th.t0 END AS kept
+         FROM rk CROSS JOIN th
+         ORDER BY rk.doc_id""",
 
     "dataset_token_budget_plan" ->
       """WITH per AS (
@@ -164,5 +218,9 @@ object Queries14 extends ExtHelpers {
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY d.doc_id"""
     },
+
+    // lossless format ⇒ identical decoded hashes ⇒ the BMP phash
+    // cluster oracle IS the GIF oracle (the Queries6 PNG convention)
+    "multimodal_gif_phash_clusters" -> Queries5.oracles("multimodal_phash_clusters"),
   )
 }

@@ -387,11 +387,17 @@ trait MediaCodecs {
     img
   }
 
-  def encodeGif(docId: Long): Array[Byte] = {
+  def encodeGif(docId: Long, perturb: Boolean = false): Array[Byte] = {
     val w = bmpWidth(docId); val h = bmpHeight(docId)
-    val img = indexedImage(w, h, i =>
-      (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) |
-        bmpChannel(docId, i, 0))
+    // the same near-dup planting device as [[seededImage]]: blue of
+    // logical pixel 0 bumped +8 mod 256 (adds at most one palette
+    // color — still far under the 256-color ceiling)
+    val img = indexedImage(w, h, i => {
+      val b =
+        if (perturb && i == 0) (bmpChannel(docId, 0, 0) + 8) % 256
+        else bmpChannel(docId, i, 0)
+      (bmpChannel(docId, i, 2) << 16) | (bmpChannel(docId, i, 1) << 8) | b
+    })
     // write NON-interlaced explicitly: the JDK writer's default can
     // interlace, and on rasters shorter than the 8-row pass stride the
     // encode/decode pair scrambles rows (observed: h=4 images came

@@ -572,6 +572,21 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
       .mapPartitions(_.map(id => BmpRecord(id, encodeGif(id))))
   }
 
+  /** documents → GIF originals ∪ one-pixel-perturbed GIF twins at
+    * doc_id+1e6 — the GIF twin of [[bmpWithPerturbedTwins]]; lossless
+    * (explicit palette), so the phash pipeline inherits the BMP
+    * oracle unchanged.
+    */
+  def gifWithPerturbedTwins(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          BmpRecord(id, encodeGif(id)),
+          BmpRecord(id + 1000000L, encodeGif(id, perturb = true)))
+      })
+  }
+
   /** documents → PNG originals ∪ one-pixel-perturbed PNG twins at
     * doc_id+1e6 — the PNG twin of [[bmpWithPerturbedTwins]].
     */

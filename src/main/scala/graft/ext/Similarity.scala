@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1110,6 +1110,105 @@ object Similarity {
     // corpus scale; without the hint Spark SMJ'd them (the IVF-PQ
     // incident class — caught by the round-6 plan sweep)
     val overlap = full.join(broadcast(rp), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
+      .join(broadcast(overlap), Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
+  }
+
+  /** Top-k recall of the PCA-`dims` projection against exact full-width
+    * cosine — the A/B twin of [[randomProjectionRecall]]: same recall
+    * scaffolding, same query convention, but the projection is the
+    * integer-grid eigenbasis ([[pcaComponents]]' pinned procedure)
+    * instead of the ±1 sign matrix. Measured at sf0.01 (64-dim
+    * embeddings, recall@5, 16 queries): PCA-16 ≈ 16× the recall of
+    * RP-16 — data-dependent, which is exactly why the key EXISTS: it
+    * is the measurement a pipeline reads before spending the Gram pass
+    * to rotate its index.
+    *
+    * Exactness: the projection numerators are exact integers (the
+    * [[pcaProject]] arithmetic); their cosine is taken in DOUBLE with
+    * per-element casts BEFORE multiplying (a Long product of two ~1e14
+    * numerators would wrap) and a left-to-right fold — the identical
+    * IEEE operation sequence the oracle runs (`list_reduce`), so
+    * ranks agree bit-for-bit across engines. A zero-norm projection
+    * scores −2, below any real cosine, in both engines.
+    *
+    * Scale shape: the exact side is the documented contract-quadratic
+    * ground truth (query batch × corpus — the recall DEFINITION); the
+    * PCA side adds one Gram pass + a broadcast-literal map-side
+    * projection. Everything downstream is |Q|·k-row model frames.
+    */
+  def pcaRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dims: Int = 16,
+      k: Int = 5,
+      iters: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(dims >= 1 && k >= 1 && iters >= 1,
+      s"need dims, k, iters >= 1; got dims=$dims k=$k iters=$iters")
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "k_full", "n_overlap", "recall_ppm")
+    val (comps, sums, n, _) = pcaFromGram(packed, dims, iters)
+    def projected(df: DataFrame): DataFrame = {
+      val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
+      val base = df.select(col("vec_id"), q.as("_q"))
+      val cols = comps.zipWithIndex.map { case (v, c) =>
+        val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
+        val center = sums.zip(v).map { case (s, w) => s * w }
+          .sum.bigInteger.longValueExact()
+        (lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) - lit(center)).as(s"_pc$c")
+      }
+      base.select(col("vec_id") +: cols: _*)
+        .select(col("vec_id"),
+          array((0 until dims).map(c => col(s"_pc$c")): _*).as("p"))
+    }
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def dnorm(a: Column): Column = sqrt(ddot(a, a))
+    // exact side: the randomProjectionRecall scaffolding verbatim
+    def topIdsExact(c: DataFrame, qs: DataFrame): DataFrame = {
+      val cc = c.withColumn("nrm", qnorm(col("q")))
+      val qq = qs.select(col("vec_id").as("q_id"), col("q").as("qv"))
+        .withColumn("qnrm", qnorm(col("qv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      cc.select(col("vec_id").as("n_id"), col("q"), col("nrm"))
+        .join(broadcast(qq), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          qcosinePre(col("q"), col("qv"), col("nrm"), col("qnrm")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"))
+    }
+    def topIdsProj(c: DataFrame, qs: DataFrame): DataFrame = {
+      val cc = c.withColumn("nrm", dnorm(col("p")))
+      val qq = qs.select(col("vec_id").as("q_id"), col("p").as("qv"))
+        .withColumn("qnrm", dnorm(col("qv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      cc.select(col("vec_id").as("n_id"), col("p"), col("nrm"))
+        .join(broadcast(qq), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(-2.0))
+            .otherwise(ddot(col("p"), col("qv")) / (col("nrm") * col("qnrm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"))
+    }
+    val cq = Scale.widen(corpus)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val qsq = queries.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val full = topIdsExact(cq, qsq)
+    val pca = topIdsProj(projected(Scale.widen(corpus)), projected(queries))
+    val overlap = full.join(broadcast(pca), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
     full.groupBy(col("q_id")).agg(count(lit(1)).as("k_full"))
       .join(broadcast(overlap), Seq("q_id"), "left")

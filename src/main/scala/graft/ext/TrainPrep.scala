@@ -509,6 +509,44 @@ object TrainPrep {
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
   }
 
+  /** The selection [[dsirWeights]] exists for: keep the top
+    * `keepPpm`-millionths of the raw corpus by importance weight —
+    * the resampling step of DSIR, with the threshold read from a
+    * weight HISTOGRAM order statistic (the curriculum/capstone
+    * convention — never a global sort of document rows). Ties at the
+    * threshold keep the whole tie class OUT (kept ⇔ weight strictly
+    * above the (n−k)-th order statistic), so the kept count
+    * under-fills by at most the tie class and the decision is
+    * deterministic under any partitioning; `keepPpm` quotas with no
+    * order statistic (rank < 1) vacuously keep everything — the
+    * [[curriculumPhases]] absent-rank convention.
+    *
+    * Scale shape: [[dsirWeights]]' cost + one weight-histogram
+    * aggregate and a driver-side threshold read; the kept flag is a
+    * map-side comparison.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      buckets: Int = 256,
+      keepPpm: Long = 250000L): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"keepPpm must be in [0, 1e6], got $keepPpm")
+    val wts = Checkpoints.truncateLazy(dsirWeights(raw, target, buckets))
+    val hist = wts.groupBy(col("logw_micro")).agg(count(lit(1)).as("c"))
+      .withColumn("_g", lit(1))
+    val gate = Scale.chunkedCumSum(hist, Seq("_g"), "logw_micro", "c", "cum")
+      .agg(max(col("cum_total")).as("n"),
+        min(when(col("cum") >= expr(s"cum_total - cum_total * $keepPpm div 1000000"),
+          col("logw_micro"))).as("t"))
+      .collect().head
+    val n = if (gate.isNullAt(0)) 0L else gate.getLong(0)
+    val rank = n - n * keepPpm / 1000000L
+    val t = if (rank < 1) Long.MinValue else gate.getLong(1)
+    wts.select(col("doc_id"), col("n_tokens"), col("logw_micro"),
+      (col("logw_micro") > lit(t)).as("kept"))
+  }
+
   /** Token-budget planning: given a training-run token budget, how
     * many tokens to DRAW from each source under the sqrt-temperature
     * mixture (the [[mixtureWeights]] α=0.5 convention, here over

@@ -53,6 +53,33 @@ class Queries14Spec extends SparkSpec {
       s"raw==target must zero every log-ratio, got ${r.toSeq}")
   }
 
+  // ── dsirSelect ────────────────────────────────────────────────────
+
+  test("dsirSelect: top-quota selection by weight, threshold ties excluded, vacuous quota keeps all") {
+    // target speaks alpha/beta; 2 docs in-distribution, 6 out — a 25%
+    // quota must keep exactly the top-weighted tier
+    val raw = (Seq(
+      (0L, "alpha beta alpha beta"), (1L, "alpha beta alpha alpha")) ++
+      (2L until 8L).map(i => (i, "zulu yankee xray whisky")))
+      .toDF("doc_id", "text")
+    val target = Seq((99L, "alpha beta")).toDF("doc_id", "text")
+    val r = TrainPrep.dsirSelect(raw, target, keepPpm = 250000L)
+      .orderBy("doc_id").collect()
+    assert(r.count(_.getBoolean(3)) == 2, s"8 docs * 25% = 2 kept: ${r.toSeq}")
+    assert(r(0).getBoolean(3) && r(1).getBoolean(3),
+      "the in-target docs must be the kept ones")
+    // identical docs tie at the threshold: strictly-above semantics
+    // drop the WHOLE tie class (deterministic under-fill)
+    val tied = (0L until 8L).map(i => (i, "same text every doc"))
+      .toDF("doc_id", "text")
+    val rt = TrainPrep.dsirSelect(tied, target, keepPpm = 250000L).collect()
+    assert(rt.forall(!_.getBoolean(3)),
+      "an all-tied corpus has no doc strictly above the threshold")
+    // keepPpm = 1e6: the rank-<1 vacuous branch keeps everything
+    val all = TrainPrep.dsirSelect(tied, target, keepPpm = 1000000L).collect()
+    assert(all.forall(_.getBoolean(3)), "full quota keeps every doc")
+  }
+
   // ── tokenBudgetPlan ───────────────────────────────────────────────
 
   test("tokenBudgetPlan: hand-checked sqrt-temperature plan, epoch ppm, and the oversampled flag") {
@@ -205,6 +232,16 @@ class Queries14Spec extends SparkSpec {
     assert(snapped > 0,
       "drawImage into a near-palette indexed raster is expected to misindex — " +
         "if the JDK fixed its inverse map, the workaround can retire")
+  }
+
+  test("gifWithPerturbedTwins: perturbed GIF decodes to the perturbed BMP's stats — the lossless-twin contract behind the gif phash cluster key") {
+    for (id <- 0L until 10L) {
+      val viaGif = Multimodal.decodeImage(id,
+        Multimodal.encodeGif(id, perturb = true))
+      val viaBmp = Multimodal.decodeBmp(id,
+        Multimodal.perturbBmp(Multimodal.encodeBmp(id)))
+      assert(viaGif == viaBmp, s"perturbed GIF diverged from perturbed BMP at id=$id")
+    }
   }
 
   test("TYPE_INT_RGB setRGB (the PNG/JPEG seeded path) has no inverse map: the same near-palette is exact and PNG round-trips losslessly") {
