@@ -51,6 +51,25 @@ object Queries14 extends ExtHelpers {
       TextAnalysis.bpeEncodeCorpus(t(s, dir, "documents"), rounds = 4)
         .orderBy("doc_id")),
 
+    // the tokenizer-equity audit: fertility of the corpus-trained
+    // merges per LANGUAGE - where a mixed-corpus vocab's
+    // over-segmentation of under-represented languages shows up
+    "bpe_fertility_by_lang" -> ((s, dir) =>
+      TextAnalysis.bpeFertilityByLang(t(s, dir, "documents"), rounds = 4)
+        .orderBy("lang")),
+
+    // WITHIN-doc repetition removal (Gopher A1.3) on a corpus seeded
+    // with in-document repeats (every 3rd doc re-appends its own first
+    // 8 words); cross-doc duplication deliberately untouched here
+    "dedup_repetition_excise" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w8 = array_join(slice(split(col("text"), " "), 1, 8), " ")
+      val seeded = d.withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), w8))
+          .otherwise(col("text")))
+      Dedup.repetitionExcise(seeded, w = 5).orderBy("doc_id")
+    }),
+
     // GIF completes the phash-cluster format matrix (BMP and PNG ship
     // the same composition): explicit-palette GIF is LOSSLESS, so the
     // decoded dhash — and therefore the whole banded-pair +
@@ -131,6 +150,27 @@ object Queries14 extends ExtHelpers {
                 coalesce(per.logw_micro, 0) AS logw_micro
          FROM documents d LEFT JOIN per USING (doc_id))"""
 
+  /** The 4-round word-carrying training chain ending in the encode
+    * model `enc`(w, n_tok, n_chr) — shared by the doc-grain and
+    * language-grain encode oracles.
+    */
+  private val bpeEncCtes = {
+    val rounds = (1 to 4).map(i => bpeRoundW(i, s"s${i - 1}"))
+    s"""w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         s0 AS (
+           SELECT w, freq,
+                  array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+           FROM w0),
+         ${rounds.mkString(",\n         ")},
+         enc AS (
+           SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
+                  CAST(length(w) AS BIGINT) AS n_chr
+           FROM s4)"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     // token -> bucket via the portable-hash twin; both distributions
@@ -185,21 +225,8 @@ object Queries14 extends ExtHelpers {
 
     // the 4 training rounds re-derived with the word carried through,
     // then the doc-grain join of the final word->token-count model
-    "bpe_encode_corpus" -> {
-      val rounds = (1 to 4).map(i => bpeRoundW(i, s"s${i - 1}"))
-      s"""WITH w0 AS (
-           SELECT w, CAST(count(*) AS BIGINT) AS freq
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE len(w) > 0 GROUP BY w),
-         s0 AS (
-           SELECT w, freq,
-                  array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
-           FROM w0),
-         ${rounds.mkString(",\n         ")},
-         enc AS (
-           SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
-                  CAST(length(w) AS BIGINT) AS n_chr
-           FROM s4),
+    "bpe_encode_corpus" ->
+      s"""WITH $bpeEncCtes,
          dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          per AS (
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
@@ -216,8 +243,88 @@ object Queries14 extends ExtHelpers {
                 CAST(coalesce(per.n_tokens, 0) * 1000000
                   // greatest(coalesce(per.n_chars, 0), 1) AS BIGINT) AS compression_ppm
          FROM documents d LEFT JOIN per USING (doc_id)
-         ORDER BY d.doc_id"""
-    },
+         ORDER BY d.doc_id""",
+
+    // the same trained model, language-grain aggregation (inner join:
+    // a language exists in the output iff it has tokens)
+    "bpe_fertility_by_lang" ->
+      s"""WITH $bpeEncCtes,
+         dt AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chr) AS BIGINT) AS n_chars,
+                CAST(sum(n_tok) * 1000000
+                  // greatest(count(*), 1) AS BIGINT) AS fertility_ppm,
+                CAST(sum(n_tok) * 1000000
+                  // greatest(sum(n_chr), 1) AS BIGINT) AS compression_ppm
+         FROM (SELECT lang, w FROM dt WHERE len(w) > 0) t
+         JOIN enc USING (w)
+         GROUP BY lang ORDER BY lang""",
+
+    // the within-doc first-occurrence window (PARTITION BY doc_id, h)
+    // over the seeded corpus, then the span_excise reassembly
+    "dedup_repetition_excise" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' ' ||
+                            array_to_string(string_split(text, ' ')[1:8], ' ')
+                       ELSE text END AS text
+           FROM documents),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         occ AS (
+           SELECT doc_id, CAST(s['pos'] AS INT) AS pos,
+                  list_reduce(
+                    [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                      regexp_extract_all(md5(s['g']), '.')],
+                    (a, b) -> (a * 31 + b) % 1000000007) AS h
+           FROM (SELECT doc_id,
+                        unnest([struct_pack(
+                            pos := i,
+                            g := array_to_string(w[i + 1:i + 5], ' '))
+                          FOR i IN range(0, greatest(len(w) - 4, 0))]) AS s
+                 FROM w)),
+         ex AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rk
+             FROM occ)
+           WHERE rk >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, pos + u AS pos
+           FROM ex CROSS JOIN (SELECT unnest(range(0, 5)) AS u)),
+         tok AS (
+           SELECT doc_id, CAST(s['pos'] AS INT) AS pos, s['tok'] AS tok
+           FROM (SELECT doc_id,
+                        unnest([struct_pack(pos := i, tok := w[i + 1])
+                                FOR i IN range(0, len(w))]) AS s
+                 FROM w)),
+         keep AS (
+           SELECT t.doc_id, t.pos, t.tok FROM tok t
+           WHERE NOT EXISTS (SELECT 1 FROM cov c
+                             WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         rb AS (
+           SELECT doc_id,
+                  array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM keep GROUP BY doc_id),
+         nx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_excised
+                FROM ex GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                         CAST(length(array_to_string(w, ' ')) AS BIGINT) AS ln
+                  FROM w)
+         SELECT b.doc_id,
+                coalesce(rb.text_clean, '') AS text_clean,
+                b.n_tokens,
+                CAST(b.n_tokens - coalesce(rb.n_kept, 0) AS BIGINT)
+                  AS n_tokens_removed,
+                coalesce(nx.n_spans_excised, 0) AS n_spans_excised,
+                CAST(b.ln - length(coalesce(rb.text_clean, '')) AS BIGINT)
+                  AS chars_removed
+         FROM base b
+         LEFT JOIN rb ON rb.doc_id = b.doc_id
+         LEFT JOIN nx ON nx.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     // lossless format ⇒ identical decoded hashes ⇒ the BMP phash
     // cluster oracle IS the GIF oracle (the Queries6 PNG convention)

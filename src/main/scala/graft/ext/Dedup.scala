@@ -1060,6 +1060,52 @@ object Dedup {
       .withColumn("cross_doc", min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
       .filter(col("cross_doc") && col("rk") >= 2)
       .select(col("doc_id"), col("pos"))
+    exciseTail(docs, toks, excised, w)
+  }
+
+  /** WITHIN-document repetition excision — the complementary
+    * intervention to [[spanExcise]] (Gopher's "repetition removal",
+    * Rae et al. 2021 §A1.3: templated/looping text repeats inside ONE
+    * page; cross-doc dedup never sees it). For every `w`-token span
+    * key repeated inside the SAME document, the first occurrence (by
+    * position) is kept and later ones are excised — position union,
+    * ordered reassembly, the [[spanExcise]] dataflow with the
+    * first-occurrence window partitioned by (doc_id, key) instead of
+    * (key). Cross-document duplication is deliberately NOT touched
+    * here: the two interventions compose (within-doc first, then
+    * cross-doc on the survivors) and each is separately auditable.
+    *
+    * Scale shape: strictly better than [[spanExcise]] — the
+    * occurrence shuffle is keyed by (doc_id, h), so partitions are
+    * document-local and NO key can be hot across documents; everything
+    * else is the same linear pipeline.
+    */
+  def repetitionExcise(docs: DataFrame, w: Int = 5): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    import graft.ext.TextPrimitives.{shingles, tokens}
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), TrainPrep.portableHash(col("g")).as("h"))
+    val byDocKey = Window.partitionBy("doc_id", "h")
+    val excised = occ
+      .withColumn("rk", row_number().over(byDocKey.orderBy(col("pos"))))
+      .filter(col("rk") >= 2)
+      .select(col("doc_id"), col("pos"))
+    exciseTail(docs, toks, excised, w)
+  }
+
+  /** Shared excision tail of [[spanExcise]] and [[repetitionExcise]]:
+    * excised occurrences → covered-position union → anti-join +
+    * ordered reassembly → per-doc removal accounting. The two
+    * operators differ ONLY in which occurrences are excised (the
+    * first-occurrence window's partitioning).
+    */
+  private def exciseTail(
+      docs: DataFrame, toks: DataFrame, excised: DataFrame, w: Int): DataFrame = {
+    import graft.ext.TextPrimitives.tokens
     val covered = excised
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
       .distinct()

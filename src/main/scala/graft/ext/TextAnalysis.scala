@@ -731,15 +731,44 @@ object TextAnalysis {
     val enc = vocab.select(col("w"),
       size(split(col("syms"), " ")).cast("long").as("n_tok"),
       length(col("w")).cast("long").as("n_chr"))
-    val per = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    // explode_outer + LEFT broadcast join: a zero-word document keeps
+    // its (null-ish) row through the aggregation, so "every doc_id
+    // present" costs no corpus×corpus presence join — the plan is one
+    // broadcast probe + one doc-keyed partial agg, zero SMJ (the plan
+    // audit caught the join form)
+    docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+      .join(broadcast(enc), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(length(col("w")) > 0, 1L).otherwise(0L)).as("n_words"),
+        sum(coalesce(col("n_tok"), lit(0L))).as("n_tokens"),
+        sum(coalesce(col("n_chr"), lit(0L))).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000 div greatest(n_words, 1)"))
+      .withColumn("compression_ppm",
+        expr("n_tokens * 1000000 div greatest(n_chars, 1)"))
+  }
+
+  /** Per-LANGUAGE tokenizer fertility under the corpus-trained merges —
+    * the tokenizer-equity audit: a BPE model trained on a mixed corpus
+    * systematically over-segments under-represented languages (more
+    * tokens per word ⇒ less effective context, higher serving cost for
+    * those users), and this table is where that shows up BEFORE
+    * training commits to the vocab. Same vocab-grain encode as
+    * [[bpeEncodeCorpus]] (the trainer's folded table broadcast back),
+    * aggregated at language grain.
+    */
+  def bpeFertilityByLang(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val (_, vocab) = bpeTrain(docs, rounds)
+    val enc = vocab.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_tok"),
+      length(col("w")).cast("long").as("n_chr"))
+    docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .join(broadcast(enc), Seq("w"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chr")).as("n_chars"))
-    docs.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_words", "n_tokens", "n_chars"))
       .withColumn("fertility_ppm",
         expr("n_tokens * 1000000 div greatest(n_words, 1)"))
       .withColumn("compression_ppm",

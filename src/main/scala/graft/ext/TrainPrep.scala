@@ -490,23 +490,26 @@ object TrainPrep {
 
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // zero-word tokens keep a null bucket: they ride through the LEFT
+    // broadcast probe into the doc-keyed aggregation, so "every doc_id
+    // present" costs no corpus×corpus presence join (the plan audit
+    // caught the join form) — the corpus pays one broadcast probe +
+    // one partial-aggregated doc-keyed sum, zero SMJ
     val rawTok = Scale.widen(raw)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .withColumn("bucket", dsirBucket(buckets))
-    val rawB = rawTok.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+      .withColumn("bucket",
+        when(length(col("w")) > 0, dsirBucket(buckets)).otherwise(lit(null)))
+    val rawB = rawTok.filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("c_raw"))
     val tgtB = dsirCounts(target, buckets).withColumnRenamed("c", "c_tgt")
     val model = dsirModelFrom(rawB, tgtB, buckets)
       .select(col("bucket"), col("logratio_micro"))
-    val perDoc = rawTok
-      .join(broadcast(model), Seq("bucket"))
+    rawTok
+      .join(broadcast(model), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("logratio_micro")).as("logw_micro"))
-    raw.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+      .agg(
+        sum(when(col("bucket").isNotNull, 1L).otherwise(0L)).as("n_tokens"),
+        sum(coalesce(col("logratio_micro"), lit(0L))).as("logw_micro"))
   }
 
   /** The selection [[dsirWeights]] exists for: keep the top

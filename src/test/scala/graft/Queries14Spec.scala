@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TrainPrep}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TrainPrep}
 
 /** Round-14: DSIR importance weights, token-budget planning, corpus-wide
   * BPE encoding, and the whitened PCA projection.
@@ -179,6 +179,49 @@ class Queries14Spec extends SparkSpec {
     val z = Similarity.pcaWhitenProject(same, k = 2, iters = 12).collect()
     assert(z.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
       "identical vectors center to exactly zero and stay zero whitened")
+  }
+
+  // ── repetitionExcise ──────────────────────────────────────────────
+
+  test("repetitionExcise: a doc repeating its own opening keeps the first occurrence; cross-doc duplication is untouched") {
+    val docs = Seq(
+      (0L, "a b c d e a b c d e"),  // pos-5 span repeats pos-0's key
+      (1L, "a b c d e x y z"),      // shares a span with doc 0 — NOT within-doc
+      (2L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val r = Dedup.repetitionExcise(docs, w = 5).orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "a b c d e",
+      s"the trailing self-repeat must be excised: ${r(0)}")
+    assert(r(0).getLong(3) == 5L && r(0).getLong(4) == 1L && r(0).getLong(5) == 10L)
+    assert(r(1).getString(1) == "a b c d e x y z",
+      "cross-doc duplication is the OTHER operator's job")
+    assert(r(2).getLong(3) == 0L)
+  }
+
+  test("repetitionExcise: overlapping in-doc repeats remove the position union; every doc_id stays present") {
+    // spans 'm n o'@4 and 'n o m'@5 are both second occurrences; their
+    // covered ranges 4..6 and 5..7 OVERLAP — the union 4..7 is removed
+    val docs = Seq((0L, "z m n o m n o m"), (1L, "")).toDF("doc_id", "text")
+    val r = Dedup.repetitionExcise(docs, w = 3).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(1) == "z m n o", s"union excision: ${r(0)}")
+    assert(r(0).getLong(3) == 4L && r(0).getLong(4) == 2L)
+  }
+
+  // ── bpeFertilityByLang ────────────────────────────────────────────
+
+  test("bpeFertilityByLang: the under-represented language pays higher fertility under the corpus-trained merges") {
+    // 'en' dominates with word 'ab' (merged), 'xx' only has 'cd'
+    // (never merged at rounds=1) — fertility(en)=1 tok/word,
+    // fertility(xx)=2
+    val docs = (Seq.tabulate(6)(i => (i.toLong, "ab ab ab", "en")) :+
+      (100L, "cd cd", "xx")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.bpeFertilityByLang(docs, rounds = 1)
+      .orderBy("lang").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("en", 18L, 18L), ("xx", 2L, 4L)))
+    assert(r(0).getLong(4) == 1000000L && r(1).getLong(4) == 2000000L,
+      s"fertility ppm must expose the equity gap: ${r.toSeq}")
   }
 
   // ── indexedImage: the shared seeded-raster constructor ────────────

@@ -88,6 +88,10 @@ class Queries6Spec extends SparkSpec {
       "knn_graph_clusters_auto",
       "merge_upsert", "multimodal_phash_clusters",
       "multimodal_phash_representatives", "multimodal_png_phash_clusters",
+      // multimodal_gif_phash_clusters (round 13): byte-for-byte the
+      // png clusters composition over a different lossless codec —
+      // the same audited CC label joins (corpus-scale by construction)
+      "multimodal_gif_phash_clusters",
       "near_dup_rate_by_slice", "semdedup_prune", "tpch_q8_market_share",
       // round-9 triage: the FULL OUTER join of the two top-k lists
       // (two-level vs flat agreement) — BroadcastHashJoin does not
