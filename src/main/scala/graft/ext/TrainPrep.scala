@@ -488,28 +488,42 @@ object TrainPrep {
       .select(col("bucket"), col("c_raw"), col("c_tgt"), col("logratio_micro"))
   }
 
-  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // zero-word tokens keep a null bucket: they ride through the LEFT
-    // broadcast probe into the doc-keyed aggregation, so "every doc_id
-    // present" costs no corpus×corpus presence join (the plan audit
-    // caught the join form) — the corpus pays one broadcast probe +
-    // one partial-aggregated doc-keyed sum, zero SMJ
-    val rawTok = Scale.widen(raw)
+  /** Score documents against a (bucket, logratio_micro) model — the
+    * application half of [[dsirWeights]], shared with the
+    * admission-time [[graft.streaming.DsirIngest]] so a frozen
+    * deployed model scores exactly like the training-time pass.
+    * Zero-word tokens keep a null bucket: they ride through the LEFT
+    * broadcast probe into the doc-keyed aggregation, so "every doc_id
+    * present" costs no corpus×corpus presence join (the plan audit
+    * caught the join form) — the corpus pays one broadcast probe +
+    * one partial-aggregated doc-keyed sum, zero SMJ. A token whose
+    * bucket is ABSENT from the model scores 0 (the deterministic
+    * pass-through; within [[dsirWeights]] absence cannot happen —
+    * every raw bucket is in the model by construction).
+    */
+  private[graft] def dsirScore(
+      docs: DataFrame, model: DataFrame, buckets: Int): DataFrame =
+    Scale.widen(docs)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
       .withColumn("bucket",
         when(length(col("w")) > 0, dsirBucket(buckets)).otherwise(lit(null)))
-    val rawB = rawTok.filter(col("bucket").isNotNull)
-      .groupBy("bucket").agg(count(lit(1)).as("c_raw"))
-    val tgtB = dsirCounts(target, buckets).withColumnRenamed("c", "c_tgt")
-    val model = dsirModelFrom(rawB, tgtB, buckets)
-      .select(col("bucket"), col("logratio_micro"))
-    rawTok
-      .join(broadcast(model), Seq("bucket"), "left")
+      .join(broadcast(model.select(col("bucket"), col("logratio_micro"))),
+        Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("bucket").isNotNull, 1L).otherwise(0L)).as("n_tokens"),
         sum(coalesce(col("logratio_micro"), lit(0L))).as("logw_micro"))
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rawB = Scale.widen(raw)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(dsirBucket(buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtB = dsirCounts(target, buckets).withColumnRenamed("c", "c_tgt")
+    val model = dsirModelFrom(rawB, tgtB, buckets)
+    dsirScore(raw, model, buckets)
   }
 
   /** The selection [[dsirWeights]] exists for: keep the top

@@ -370,4 +370,81 @@ class AssembleIngestSpec extends SparkSpec {
     try { in2.addData(b1); q2.processAllAvailable() } finally q2.stop()
     assert(got() == oneShot(b1 ++ b2), "replay must not change the model")
   }
+
+  test("DSIR admission ingest: gold equals one-shot scoring+filter under the frozen model, verdicts are prefix-stable, replay re-lands only the torn suffix") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def docs(ids: Range, bias: Int) = ids.map(i => (i.toLong,
+      (0 until 8).map(k => words((i * 3 + k * bias) % words.length)).mkString(" ")))
+    import graft.ext.TrainPrep
+    // offline training: model from a training corpus vs a target slice
+    val trainRaw = docs(0 until 60, 2).toDF("doc_id", "text")
+    val target = docs(1000 until 1020, 1).toDF("doc_id", "text")
+    val model = {
+      val rawB = TrainPrep.dsirCounts(trainRaw, 256).withColumnRenamed("c", "c_raw")
+      val tgtB = TrainPrep.dsirCounts(target, 256).withColumnRenamed("c", "c_tgt")
+      TrainPrep.dsirModelFrom(rawB, tgtB, 256)
+    }
+    // a threshold that splits the stream: every 3rd doc carries extra
+    // target-weighted tokens, the midpoint between extremes separates
+    def boost(ds: Seq[(Long, String)]): Seq[(Long, String)] =
+      ds.map { case (id, t) =>
+        (id, if (id % 3 == 0) t + " alpha alpha alpha alpha" else t) }
+    val b1 = boost(docs(100 until 130, 2))
+    val b2 = boost(docs(130 until 155, 5))
+    val thr = {
+      val ws = TrainPrep.dsirScore((b1 ++ b2).toDF("doc_id", "text"), model, 256)
+        .collect().map(_.getLong(2)).sorted
+      assert(ws.head < ws.last, "weights must spread for this harness")
+      (ws.head + ws.last) / 2
+    }
+    def oneShot(seen: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+      TrainPrep.dsirScore(seen.toDF("doc_id", "text"), model, 256)
+        .filter(col("logw_micro") > thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(oneShot(b1 ++ b2).nonEmpty &&
+      oneShot(b1 ++ b2).size < (b1 ++ b2).size,
+      "the threshold must genuinely split the stream")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsiring").toFile
+    val out = new java.io.File(dir, "out").getPath
+    def gold(): Seq[(Long, Long, Long)] =
+      spark.read.parquet(s"$out/gold")
+        .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("logw_micro"))))
+        .sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DsirIngest.dsirIngest(
+      in.toDS().toDF("doc_id", "text"), model, thr, out,
+      new java.io.File(dir, "ckpt").getPath)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      val afterB1 = gold()
+      assert(afterB1 == oneShot(b1), "batch-1 admissions diverge from one-shot")
+      in.addData(b2); q.processAllAvailable()
+      assert(gold() == oneShot(b1 ++ b2), "batch-2 admissions diverge")
+      // prefix stability: batch-1 verdicts unchanged after batch 2
+      assert(gold().filter(_._1 < 130) == afterB1,
+        "a frozen model must never retro-change an admission")
+    } finally q.stop()
+    // torn append: drop half of batch 2's gold rows + its marker; the
+    // replay must re-land exactly the missing rows, duplicating none
+    val full = gold()
+    val torn = full.filter { case (id, _, _) => id < 130 || id % 2 == 0 }
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$out/gold"), true)
+    torn.toDF("doc_id", "n_tokens", "logw_micro").write.parquet(s"$out/gold")
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$out/_committed/1"), true)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DsirIngest.dsirIngest(
+      in2.toDS().toDF("doc_id", "text"), model, thr, out,
+      new java.io.File(dir, "ckpt2").getPath)
+    try {
+      in2.addData(b1); q2.processAllAvailable() // marker fast-path no-op
+      in2.addData(b2); q2.processAllAvailable() // heals the tear
+    } finally q2.stop()
+    assert(gold() == full, "torn-append healing must restore the exact gold set")
+  }
 }
