@@ -1,5 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Record-file parsing for the bench regression tripwire — extracted
+  * from the inline tail of [[Bench]] so a SPEC can run the exact
+  * production parser over the two committed record files
+  * (BENCH_RECORD.json, BENCH_RECORD_organic1.json) and fail the suite
+  * the moment a format drift would silently disarm the guard. Round
+  * 13's re-base wrote records with `json.dump(indent=0)` (a space
+  * after every colon) and the then-whitespace-intolerant regexes
+  * matched nothing: the driver bench ran with the tripwire INACTIVE
+  * and per-key regressions were only recoverable by offline judge
+  * work. Both patterns are now `\s*`-tolerant on BOTH sides of the
+  * colon, values may be integers or decimals, and the per-key parse
+  * is BOUNDED to the `"queries"` object (pretty-printed records put
+  * `"value"` after `"queries"`, which the unbounded scan would have
+  * swallowed as a bench key).
+  */
+object BenchRecords {
+  private val sfPat = """"sf"\s*:\s*"([^"]+)"""".r
+  private val pairPat = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+
+  def sfOf(rec: String): Option[String] =
+    sfPat.findFirstMatchIn(rec).map(_.group(1))
+
+  /** The per-key seconds map of a record/bench JSON blob: pairs inside
+    * the `"queries"{...}` object only. Empty map when no queries
+    * object exists — callers treat that as "no record".
+    */
+  def queriesOf(rec: String): Map[String, Double] = {
+    val start = rec.indexOf("\"queries\"")
+    if (start < 0) return Map.empty
+    val open = rec.indexOf('{', start)
+    if (open < 0) return Map.empty
+    val close = rec.indexOf('}', open)
+    val body = rec.substring(open, if (close < 0) rec.length else close)
+    pairPat.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,8 +148,7 @@ object Bench {
         .filter(java.nio.file.Files.exists(_))
       val recOpt = present
         .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        .find(rec => """"sf":"([^"]+)"""".r.findFirstMatchIn(rec)
-          .map(_.group(1)).contains(sfDir))
+        .find(rec => BenchRecords.sfOf(rec).contains(sfDir))
       // a silent tripwire is worse than none: say when this run's sf
       // has no committed record guarding it (and when a candidate file
       // is missing entirely)
@@ -119,9 +157,7 @@ object Bench {
           s"(present: ${present.mkString(", ")}; candidates: ${candidates.mkString(", ")})")
       recOpt.foreach { rec =>
         {
-          val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
-          val recMap = pair.findAllMatchIn(rec.drop(rec.indexOf("\"queries\"")))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val recMap = BenchRecords.queriesOf(rec)
           val ratios = results.collect {
             case (k, v) if v > 0 && recMap.get(k).exists(_ > 0) =>
               (k, v / recMap(k), v, recMap(k))

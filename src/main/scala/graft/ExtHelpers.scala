@@ -226,10 +226,63 @@ private[graft] trait ExtHelpers {
            SELECT DISTINCT b_id AS doc_id FROM (
              SELECT a_id, b_id, $jaccardSql AS jaccard FROM acand)
            WHERE jaccard >= 0.5),
-         kept AS (
+         kept AS MATERIALIZED (
            SELECT e.doc_id, e.text, e.quality_score
            FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
            WHERE l.doc_id IS NULL)"""
+
+  /** Stages 2–4 of the capstone oracle — survivor-trained bigram LM,
+    * exact n/3 and 2n/3 order statistics (MIN_LONG when the rank does
+    * not exist), the portable-hash shard fold, in-shard positions —
+    * over survivor relation `rel` (doc_id, text, quality_score).
+    * Emits the CTE tail INCLUDING the final SELECT; shared by the
+    * plain capstone oracle and the DSIR-selected variant so the
+    * finishing re-derivation cannot drift between them.
+    */
+  protected def finishSql(rel: String): String =
+    s"""wk AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
+       bgk AS (SELECT doc_id,
+                      unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+               FROM wk WHERE len(w) >= 2),
+       kc12 AS (SELECT b, count(*) AS c12 FROM bgk GROUP BY b),
+       kc1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
+               FROM bgk GROUP BY 1),
+       lm AS (SELECT doc_id,
+                     CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm
+              FROM (SELECT g.doc_id, kc12.c12 * 1000000 // kc1.c1 AS p_ppm
+                    FROM bgk g
+                    JOIN kc12 ON kc12.b = g.b
+                    JOIN kc1 ON kc1.w1 = split_part(g.b, ' ', 1))
+              GROUP BY doc_id),
+       scored AS (SELECT k.doc_id, k.quality_score,
+                         coalesce(lm.mean_p_ppm, CAST(0 AS BIGINT)) AS mean_p_ppm
+                  FROM $rel k LEFT JOIN lm ON lm.doc_id = k.doc_id),
+       ranked AS (SELECT mean_p_ppm,
+                         row_number() OVER (ORDER BY mean_p_ppm, doc_id) AS rn
+                  FROM scored),
+       th AS (SELECT
+                coalesce(max(CASE WHEN rn = (SELECT count(*) // 3 FROM scored)
+                                  THEN mean_p_ppm END),
+                         -9223372036854775807 - 1) AS t1,
+                coalesce(max(CASE WHEN rn = (SELECT 2 * count(*) // 3 FROM scored)
+                                  THEN mean_p_ppm END),
+                         -9223372036854775807 - 1) AS t2
+              FROM ranked),
+       hs AS (SELECT doc_id,
+                     list_reduce(
+                       [CAST(ascii(ch) AS BIGINT) FOR ch IN
+                         regexp_extract_all(md5('shard|' || CAST(doc_id AS VARCHAR)), '.')],
+                       (a, b) -> (a * 31 + b) % 1000000007) AS sort_key
+              FROM scored)
+       SELECT s.doc_id, s.quality_score, s.mean_p_ppm,
+              CAST(CASE WHEN s.mean_p_ppm <= th.t1 THEN 1
+                        WHEN s.mean_p_ppm <= th.t2 THEN 2
+                        ELSE 3 END AS INT) AS fluency_band,
+              hs.sort_key % 8 AS shard,
+              CAST(row_number() OVER (PARTITION BY hs.sort_key % 8
+                ORDER BY hs.sort_key, s.doc_id) AS BIGINT) AS position
+       FROM scored s JOIN hs ON hs.doc_id = s.doc_id, th
+       ORDER BY s.doc_id"""
 
   protected val jaccardSql = // over (ash, bsh)
     """CAST(len(list_distinct(ash)) + len(list_distinct(bsh))

@@ -144,7 +144,7 @@ object Queries13 extends ExtHelpers {
     * next component's covariance relation (the engine's exact loop,
     * unrolled `comps` times).
     */
-  private def pcaChainsSqlK(iters: Int, comps: Int): String =
+  private[graft] def pcaChainsSqlK(iters: Int, comps: Int): String =
     s"""q AS (
          SELECT vec_id,
                 [CAST(round(CAST(v AS DOUBLE) * 1e3) AS BIGINT) FOR v IN embedding] AS q
@@ -174,7 +174,7 @@ object Queries13 extends ExtHelpers {
     * generated CTE names never collide across (tag, iteration) digit
     * boundaries (v1 iter 10 vs v11 iter 0 both read "v110" otherwise).
     */
-  private def pcaTag(c: Int): String = if (c <= 2) s"$c" else s"${c}x"
+  private[graft] def pcaTag(c: Int): String = if (c <= 2) s"$c" else s"${c}x"
 
   /** The exact-isqrt → whitening-divisor chain as CTE text: two Newton
     * steps off the float sqrt seed (the seed is within ~1e3 of the
@@ -207,7 +207,7 @@ object Queries13 extends ExtHelpers {
     * (empty list on an exhausted corpus ⇒ words pass through, the
     * engine's early stop).
     */
-  private def bpeBatchPass(i: Int, prev: String, window: Int, kBatch: Int): String =
+  private[graft] def bpeBatchPass(i: Int, prev: String, window: Int, kBatch: Int): String =
     s"""p$i AS MATERIALIZED (
          SELECT string_split(pair, ' ')[1] AS a,
                 string_split(pair, ' ')[2] AS b,

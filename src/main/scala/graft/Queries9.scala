@@ -516,10 +516,10 @@ object Queries9 extends ExtHelpers {
          SELECT l3.node, l3.label AS community, sz.community_size
          FROM l3 JOIN sz ON sz.label = l3.label ORDER BY node""",
 
-    // the full assembly re-derived: shared cleaning CTEs, bigram LM
-    // over the survivors, exact n/3 and 2n/3 order statistics via
-    // ranked row_number (MIN_LONG when the rank does not exist), the
-    // portable-hash shard fold, in-shard positions
+    // the full assembly re-derived: shared cleaning CTEs, then the
+    // shared finishing tail (survivor-trained bigram LM, exact n/3 and
+    // 2n/3 order statistics with MIN_LONG absent-rank fallback, the
+    // portable-hash shard fold, in-shard positions) over `kept`
     "train_assembly_pipeline" ->
       s"""WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -530,48 +530,6 @@ object Queries9 extends ExtHelpers {
            UNION ALL
            SELECT doc_id + 2000000, text FROM documents),
          $cleanCtes,
-         wk AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
-         bgk AS (SELECT doc_id,
-                        unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
-                 FROM wk WHERE len(w) >= 2),
-         kc12 AS (SELECT b, count(*) AS c12 FROM bgk GROUP BY b),
-         kc1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
-                 FROM bgk GROUP BY 1),
-         lm AS (SELECT doc_id,
-                       CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm
-                FROM (SELECT g.doc_id, kc12.c12 * 1000000 // kc1.c1 AS p_ppm
-                      FROM bgk g
-                      JOIN kc12 ON kc12.b = g.b
-                      JOIN kc1 ON kc1.w1 = split_part(g.b, ' ', 1))
-                GROUP BY doc_id),
-         scored AS (SELECT k.doc_id, k.quality_score,
-                           coalesce(lm.mean_p_ppm, CAST(0 AS BIGINT)) AS mean_p_ppm
-                    FROM kept k LEFT JOIN lm ON lm.doc_id = k.doc_id),
-         ranked AS (SELECT mean_p_ppm,
-                           row_number() OVER (ORDER BY mean_p_ppm, doc_id) AS rn
-                    FROM scored),
-         th AS (SELECT
-                  coalesce(max(CASE WHEN rn = (SELECT count(*) // 3 FROM scored)
-                                    THEN mean_p_ppm END),
-                           -9223372036854775807 - 1) AS t1,
-                  coalesce(max(CASE WHEN rn = (SELECT 2 * count(*) // 3 FROM scored)
-                                    THEN mean_p_ppm END),
-                           -9223372036854775807 - 1) AS t2
-                FROM ranked),
-         hs AS (SELECT doc_id,
-                       list_reduce(
-                         [CAST(ascii(ch) AS BIGINT) FOR ch IN
-                           regexp_extract_all(md5('shard|' || CAST(doc_id AS VARCHAR)), '.')],
-                         (a, b) -> (a * 31 + b) % 1000000007) AS sort_key
-                FROM scored)
-         SELECT s.doc_id, s.quality_score, s.mean_p_ppm,
-                CAST(CASE WHEN s.mean_p_ppm <= th.t1 THEN 1
-                          WHEN s.mean_p_ppm <= th.t2 THEN 2
-                          ELSE 3 END AS INT) AS fluency_band,
-                hs.sort_key % 8 AS shard,
-                CAST(row_number() OVER (PARTITION BY hs.sort_key % 8
-                  ORDER BY hs.sort_key, s.doc_id) AS BIGINT) AS position
-         FROM scored s JOIN hs ON hs.doc_id = s.doc_id, th
-         ORDER BY s.doc_id""",
+         ${finishSql("kept")}""",
   )
 }

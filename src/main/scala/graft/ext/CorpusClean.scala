@@ -149,6 +149,35 @@ object CorpusClean {
   def assemble(docs: DataFrame, nShards: Int = 8): DataFrame =
     finish(Checkpoints.truncateLazy(clean(docs)), nShards)
 
+  /** The capstone WITH the data-selection stage composed in — the
+    * clean → dedup → SELECT → pack order a real training pipeline
+    * runs: [[clean]]'s survivors are DSIR-scored against the curated
+    * `target` slice ([[TrainPrep.dsirSelect]] — model trained on the
+    * survivors themselves, threshold from the weight-histogram order
+    * statistic, top `keepPpm` kept), and only the selected documents
+    * flow into [[finish]] — so the fluency LM trains on, and the
+    * tercile bands partition, exactly the mix that ships.
+    *
+    * Scale: [[clean]]'s cost + the DSIR pass (B-row broadcast model,
+    * map-side scoring, histogram threshold — nothing corpus-sized on
+    * the driver) + one survivor-keyed semi-join before the finishing
+    * stages. The cleaned frame is truncated once and feeds both the
+    * selection scoring and the final join — the corpus text still
+    * moves through each stage exactly once.
+    */
+  def assembleSelected(
+      docs: DataFrame,
+      target: DataFrame,
+      nShards: Int = 8,
+      buckets: Int = 256,
+      keepPpm: Long = 250000L): DataFrame = {
+    val cleaned = Checkpoints.truncateLazy(clean(docs))
+    val selected = TrainPrep.dsirSelect(
+        cleaned.select(col("doc_id"), col("text")), target, buckets, keepPpm)
+      .filter(col("kept")).select(col("doc_id"))
+    finish(cleaned.join(selected, Seq("doc_id")), nShards)
+  }
+
   /** Stages 2–4 alone — the FINISHING pass over an already-clean
     * survivor set (doc_id, text, ...): survivor-trained LM scoring,
     * histogram-form tercile banding, deterministic shard/position

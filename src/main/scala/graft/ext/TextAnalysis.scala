@@ -805,17 +805,130 @@ object TextAnalysis {
     * merge_idx global in (pass, rank) order — the tokenizer model,
     * application-ordered.
     */
+  /** @param checkpointEvery lineage-truncation cadence: the working
+    *   vocab is `truncateLazy`d every N-th pass (and always on the
+    *   first). Between checkpoints the plan grows by one fold
+    *   projection per pass — cheap to EXECUTE but each checkpoint
+    *   pays a materialization, so a deep (≥1k-merge) run amortizes:
+    *   cadence 8 cuts the materialization count 8× while the
+    *   un-truncated tail stays ≤ 8 projections deep (Catalyst
+    *   re-analysis stays linear, no exponential plan growth — the
+    *   fold is a single expression, not a self-join).
+    */
   def bpeTrainMergesBatched(
       docs: DataFrame,
       passes: Int = 16,
       kBatch: Int = 8,
-      window: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
+      window: Int = 32,
+      checkpointEvery: Int = 1): DataFrame =
+    bpeTrainBatchedFrom(bpeWordFreq(docs), passes, kBatch, window, checkpointEvery)
+
+  /** The corpus collapsed to CHUNK-frequency sequences for
+    * SentencePiece-style training — BPE over the raw character stream
+    * with the space itself a mergeable symbol (rendered as the
+    * conventional '▁' so the space-separated symbol-string encoding
+    * stays unambiguous), text cut into fixed `chunkChars`-character
+    * pieces. This is the unit that takes training to PRODUCTION merge
+    * depth on any corpus: word-grain training is capped at
+    * Σ_vocab (len(w)−1) merges — on this testdata's 31-word
+    * vocabulary that is ~90, exhausted in 22 passes — while the
+    * chunk stream's pair space grows with the corpus, and learned
+    * units cross word boundaries exactly as production byte-BPE
+    * tokenizers do.
+    */
+  private def bpeChunkFreq(docs: DataFrame, chunkChars: Int): DataFrame =
+    docs
+      .select(translate(col("text"), " ", "▁").as("t"))
+      .select(explode(expr(
+        // greatest(..., 0): Spark's sequence(0, -1) DESCENDS — an
+        // empty text must yield one (filtered) empty chunk, not [0,-1]
+        s"""transform(sequence(0, greatest(cast(ceil(length(t) / $chunkChars.0D) as int) - 1, 0)),
+              i -> substring(t, i * $chunkChars + 1, $chunkChars))""")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat_ws(" ", split(col("w"), "")))
+
+  /** [[bpeTrainMergesBatched]] at CHUNK grain ([[bpeChunkFreq]]) — the
+    * ≥1k-merge production configuration. Same batched selection and
+    * fold; `checkpointEvery` amortizes lineage truncation across the
+    * deep pass count.
+    */
+  def bpeTrainMergesChunked(
+      docs: DataFrame,
+      passes: Int = 64,
+      kBatch: Int = 32,
+      window: Int = 128,
+      chunkChars: Int = 32,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(chunkChars >= 2, s"chunkChars must be >= 2, got $chunkChars")
+    bpeTrainBatchedFrom(bpeChunkFreq(docs, chunkChars),
+      passes, kBatch, window, checkpointEvery)
+  }
+
+  /** The tokenizer-equity audit under the CHUNK-grain model — per
+    * language: chunk count, encoded token count under the learned
+    * merges, character count, tokens-per-chunk fertility and
+    * tokens-per-char compression (exact integer ppm). Same audit as
+    * [[bpeFertilityByLang]] re-based on the production-depth unit:
+    * the encode model is the trainer's own folded chunk table (each
+    * distinct chunk encoded exactly once, model BROADCAST back — the
+    * vocab-grain encode convention), aggregated at language grain
+    * over the SAME document slice the model trained on (every chunk
+    * present in the model by construction, the closed-world form).
+    */
+  def bpeFertilityChunked(
+      docs: DataFrame,
+      passes: Int = 12,
+      kBatch: Int = 32,
+      window: Int = 128,
+      chunkChars: Int = 32,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(chunkChars >= 2, s"chunkChars must be >= 2, got $chunkChars")
+    val (_, vocab) = bpeTrainBatchedCore(bpeChunkFreq(docs, chunkChars),
+      passes, kBatch, window, checkpointEvery)
+    val enc = vocab.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_tok"),
+      length(col("w")).cast("long").as("n_chr"))
+    docs
+      .select(col("lang"), translate(col("text"), " ", "▁").as("t"))
+      .select(col("lang"), explode(expr(
+        s"""transform(sequence(0, greatest(cast(ceil(length(t) / $chunkChars.0D) as int) - 1, 0)),
+              i -> substring(t, i * $chunkChars + 1, $chunkChars))""")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(enc), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000 div greatest(n_chunks, 1)"))
+      .withColumn("compression_ppm",
+        expr("n_tokens * 1000000 div greatest(n_chars, 1)"))
+  }
+
+  private def bpeTrainBatchedFrom(
+      vocab0: DataFrame,
+      passes: Int,
+      kBatch: Int,
+      window: Int,
+      checkpointEvery: Int): DataFrame =
+    bpeTrainBatchedCore(vocab0, passes, kBatch, window, checkpointEvery)._1
+
+  /** The batched trainer core, returning BOTH the merge table and the
+    * final folded (w, freq, syms) vocabulary — the encode model.
+    */
+  private def bpeTrainBatchedCore(
+      vocab0: DataFrame,
+      passes: Int,
+      kBatch: Int,
+      window: Int,
+      checkpointEvery: Int): (DataFrame, DataFrame) = {
+    val spark = vocab0.sparkSession
     import spark.implicits._
     require(passes >= 1 && passes <= 256, s"passes must be in [1,256], got $passes")
     require(kBatch >= 1 && window >= kBatch,
       s"need 1 <= kBatch <= window, got kBatch=$kBatch window=$window")
-    var vocab = Checkpoints.truncateLazy(bpeWordFreq(docs))
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    var vocab = Checkpoints.truncateLazy(vocab0)
     val merges = scala.collection.mutable
       .ArrayBuffer.empty[(Int, Int, String, String, String, Long)]
     var pass = 1
@@ -843,11 +956,14 @@ object TextAnalysis {
         sel.foreach { case (a, b, c) =>
           merges += ((idx, pass, a, b, a + b, c)); idx += 1
         }
-        vocab = Checkpoints.truncateLazy(
-          bpeApply(vocab, sel.toSeq.map { case (a, b, _) => (a, b) }))
+        val folded = bpeApply(vocab, sel.toSeq.map { case (a, b, _) => (a, b) })
+        vocab =
+          if (pass % checkpointEvery == 0) Checkpoints.truncateLazy(folded)
+          else folded
         pass += 1
       }
     }
-    merges.toSeq.toDF("merge_idx", "pass", "sym_a", "sym_b", "merged", "pair_count")
+    (merges.toSeq.toDF("merge_idx", "pass", "sym_a", "sym_b", "merged", "pair_count"),
+      vocab)
   }
 }

@@ -464,6 +464,18 @@ object TrainPrep {
     * (the [[graft.ext.Similarity.driftFromPerDim]] convention). Input:
     * (bucket, c_raw) and (bucket, c_tgt) count frames; output one row
     * per raw-massed bucket: (bucket, c_raw, c_tgt, logratio_micro).
+    *
+    * Cross-engine exactness caveat (advisor, round 13): this is the
+    * repo's ln-oracle convention — JVM `Math.log` (intrinsic, 1-ulp
+    * tolerance) and DuckDB's libm `ln` are not GUARANTEED
+    * bit-identical, so a log-ratio landing exactly on a 1e6-grid
+    * boundary could floor differently across engines. The expression
+    * grouping below eliminates the identical-distribution case (equal
+    * operands subtract to exactly 0), and the gates have never
+    * observed a boundary hit on unequal distributions (a ±1-ulp
+    * disagreement must coincide with a value within ~1e-16 of the
+    * grid line); if one ever appears, snap near-boundary values
+    * (|frac − round(frac)| < 1e-9) before flooring on BOTH engines.
     */
   private[graft] def dsirModelFrom(
       rawB: DataFrame, tgtB: DataFrame, buckets: Int): DataFrame = {

@@ -53,11 +53,27 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object AssembleIngest {
 
+  /** @param dsirModel when set, the SELECTION stage of the batch
+    *   capstone variant [[graft.ext.CorpusClean.assembleSelected]]
+    *   composed into the ingest: the (bucket, logratio_micro) model is
+    *   FROZEN at stream start ([[DsirIngest]]'s deployment convention)
+    *   and each micro-batch's clean survivors are admitted to GOLD
+    *   only when their frozen-model score exceeds `dsirThreshold`.
+    *   The dedup INDEXES still ingest every clean survivor — exactly
+    *   mirroring the batch order clean → dedup → select: a document
+    *   the selector drops must still knock out its later near-dups.
+    */
   def assembleIngest(
       docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
       minQuality: Double = 0.3, k: Int = 3, threshold: Double = 0.5,
-      rowsPerBand: Option[Int] = None)(
-      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+      rowsPerBand: Option[Int] = None,
+      dsirModel: Option[DataFrame] = None, dsirThreshold: Long = 0L,
+      dsirBuckets: Int = 256)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze the selection model NOW — B rows on the driver,
+    // re-materialized per batch; admission verdicts stay prefix-stable
+    val frozenDsir = dsirModel.map(_.select(col("bucket"), col("logratio_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -157,7 +173,21 @@ object AssembleIngest {
           // plan, so the self-invalidation cannot trigger.
           val surv = graft.ext.Checkpoints.truncate(
             kept.join(dupIds, Seq("doc_id"), "left_anti"))
-          notAlreadyIn(surv.select("doc_id", "text", "quality_score"), outDir)
+          // frozen-model DSIR admission gates GOLD only (indexes below
+          // keep every clean survivor — the batch pipeline's dedup also
+          // sees selection-dropped docs)
+          val goldRows = frozenDsir match {
+            case Some(m) =>
+              import spark.implicits._
+              val verdict = graft.ext.TrainPrep
+                .dsirScore(surv.select(col("doc_id"), col("text")),
+                  m.toDF("bucket", "logratio_micro"), dsirBuckets)
+                .filter(col("logw_micro") > dsirThreshold)
+                .select(col("doc_id"))
+              surv.join(verdict, Seq("doc_id"))
+            case None => surv
+          }
+          notAlreadyIn(goldRows.select("doc_id", "text", "quality_score"), outDir)
             .write.mode("append").parquet(outDir)
           notAlreadyIn(surv.select("doc_id", "sh"), shDir)
             .write.mode("append").parquet(shDir)
@@ -171,6 +201,7 @@ object AssembleIngest {
         ()
       }
       .start()
+  }
 
   /** The finishing pass over the maintained gold table — stages 2–4 of
     * the batch capstone, run through [[graft.ext.CorpusClean.finish]]

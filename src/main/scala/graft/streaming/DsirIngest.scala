@@ -65,7 +65,16 @@ object DsirIngest {
               admitted.join(g.select(col("doc_id")), Seq("doc_id"), "left_anti")
             case None => admitted
           }
-          fresh.write.mode("append").parquet(goldDir)
+          // EAGER truncation before the append: fresh's plan READS
+          // goldDir (the replay anti-join) while the append WRITES it —
+          // that only works because file listing happens at plan time,
+          // and read-your-own-write-path is fragile across Spark
+          // versions and file-index caching (the advisor's round-13
+          // note; AssembleIngest hit the cached-plan variant of this
+          // for real). Materializing pins the rows with no file
+          // relation left in the plan, decoupling read from write.
+          graft.ext.Checkpoints.truncate(fresh)
+            .write.mode("append").parquet(goldDir)
           IngestCommit.mark(spark, outDir, batchId)
         }
         ()

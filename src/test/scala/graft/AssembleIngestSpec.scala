@@ -111,6 +111,62 @@ class AssembleIngestSpec extends SparkSpec {
     }
   }
 
+  test("DSIR-composed assembly: streaming ingest under the frozen selection model + batch finishing equals the one-shot assembleSelected; indexes keep unselected survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.ext.TrainPrep
+    // curated target slice favoring the B/C vocabulary — the selector
+    // must genuinely split the survivor set
+    val target = Seq(100L -> B, 101L -> C).toDF("doc_id", "text")
+    val keepPpm = 500000L
+    val cleaned = CorpusClean.clean(union).select(col("doc_id"), col("text"))
+    val sel = TrainPrep.dsirSelect(cleaned, target, 256, keepPpm).collect()
+    val keptIds = sel.filter(_.getAs[Boolean]("kept")).map(_.getLong(0)).sorted.toSeq
+    assert(keptIds.nonEmpty && keptIds.size < sel.length,
+      s"selection must split the survivors, kept: ${keptIds.mkString(",")}")
+    // the frozen threshold IS the (n-k)-th order statistic = the max
+    // unkept weight (kept <=> strictly above it)
+    val thr = sel.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("logw_micro")).max
+    val model = {
+      val rawB = TrainPrep.dsirCounts(cleaned, 256).withColumnRenamed("c", "c_raw")
+      val tgtB = TrainPrep.dsirCounts(target, 256).withColumnRenamed("c", "c_tgt")
+      TrainPrep.dsirModelFrom(rawB, tgtB, 256)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirasm").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    val idx = new java.io.File(dir, "index").getPath
+    val in = MemoryStream[(Long, String)]
+    val q = AssembleIngest.assembleIngest(
+      in.toDS().toDF("doc_id", "text"), out, idx,
+      new java.io.File(dir, "ckpt").getPath,
+      dsirModel = Some(model), dsirThreshold = thr)
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      in.addData(batch3); q.processAllAvailable()
+    } finally q.stop()
+    // gold = clean survivors ∩ frozen-model admissions = the batch
+    // selection; the dedup indexes keep EVERY clean survivor
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == keptIds,
+      "streaming gold diverges from the batch selection")
+    val allClean = cleaned.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    Seq("mh", "sh", "xh").foreach { t =>
+      val ids = spark.read.parquet(s"$idx/$t").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == allClean,
+        s"index $t must ingest unselected survivors too (dedup sees them)")
+    }
+    // finishing the selected gold through the capstone's own stages
+    // equals the one-shot composed batch capstone row for row
+    val got = AssembleIngest.finishAssembly(spark, out)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val want = CorpusClean.assembleSelected(union, target, keepPpm = keepPpm)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want, s"streaming+finish != batch assembleSelected:\n$got\n$want")
+  }
+
   test("streaming embedding-drift monitor: merged state report equals the one-shot batch drift after every batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark

@@ -4,6 +4,17 @@ Bench runs (each itself a min-of-2-passes): per-key MIN across the
 runs, total = sum of per-key records. Replaces the old mixed-host-class
 min-merge — the round-12 verdict's item 6.
 
+Round-14 hardening (the judge's tripwire finding + advisor items):
+  - COMPACT JSON output (the r13 `indent=0` pretty print defeated the
+    bench tripwire's record regexes; the Scala parser is now
+    whitespace-tolerant too, but a guard should not depend on its
+    input's pretty-printer);
+  - the input runs' `failed` arrays union into the output, and any key
+    that has NO positive timing in ANY run is listed there as well —
+    a regression can no longer vanish from the record without a trace;
+  - every input run must share one `sf` (assert, not assume-from-
+    runs[0]).
+
 Usage:
   python3 tools/rebase_records.py OUT run1.json run2.json [...]
 """
@@ -13,27 +24,41 @@ import sys
 
 def main(out, runs):
     per = {}
+    seen = set()
+    failed = set()
+    sfs = set()
+    passes = 0
     for path in runs:
         d = json.load(open(path))
+        sfs.add(d.get("sf"))
+        passes += d.get("passes", 2)
+        failed.update(d.get("failed") or [])
         for k, v in d["queries"].items():
+            seen.add(k)
             if v is None or v < 0:
                 continue
             per[k] = min(per[k], v) if k in per else v
-    base = json.load(open(runs[0]))
+    assert len(sfs) == 1, f"refusing to merge runs with mixed sf: {sorted(sfs)}"
+    dropped = sorted(seen - set(per))
+    if dropped:
+        print(f"WARNING: no positive timing in any run for: {dropped}",
+              file=sys.stderr)
+    failed.update(dropped)
     rec = {
         "metric": "total",
         "value": round(sum(per.values()), 3),
         "unit": "sec",
         "queries": {k: round(per[k], 3) for k in sorted(per)},
-        "failed": [],
-        "sf": base.get("sf"),
-        "passes": 2 * len(runs),
+        "failed": sorted(failed),
+        "sf": sfs.pop(),
+        "passes": passes,
         "agg": "min",
-        "note": ("round-13 re-base: per-key min over %d full 2-pass runs "
-                 "on one host window, 2026-08-16" % len(runs)),
+        "note": ("re-base: per-key min over %d full 2-pass runs "
+                 "on one host window" % len(runs)),
     }
-    json.dump(rec, open(out, "w"), indent=0, sort_keys=True)
-    print(f"{out}: {len(per)} keys, total {rec['value']}s from {len(runs)} runs")
+    json.dump(rec, open(out, "w"), separators=(",", ":"), sort_keys=True)
+    print(f"{out}: {len(per)} keys, total {rec['value']}s from {len(runs)} runs"
+          + (f", {len(failed)} failed/dropped keys recorded" if failed else ""))
 
 
 if __name__ == "__main__":
