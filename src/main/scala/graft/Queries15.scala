@@ -65,6 +65,15 @@ object Queries15 extends ExtHelpers {
         .orderBy("q_id", "rank")
     }),
 
+    // the rotate-then-quantize program completed for the index that
+    // ships at scale: coarse cells + residual PQ + 2-probe ADC, all in
+    // the rotated basis — the ivfPqTopK dataflow over rotatedQ
+    "knn_ivfpq_rotated" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKRotated(e, e.filter(col("vec_id") < 10))
+        .orderBy("q_id", "rank")
+    }),
+
     // the capstone with the SELECTION stage composed in — clean →
     // dedup → DSIR-select (model trained on the survivors vs the
     // curated doc_id%20 slice, histogram-order-statistic threshold,
@@ -249,9 +258,12 @@ object Queries15 extends ExtHelpers {
     * division with the negative route pinned, then the knn_pq_adc
     * ADC re-derivation over the rotated integer vectors at m=8/k=8.
     */
-  private def pqRotatedSql: String = {
-    val dims = 64
-    val iters = 8
+  /** The rotated integer-vector relation `pw`(vec_id, q) as CTE text:
+    * the compact 64-component chain, per-vector projection numerators,
+    * and the pinned 1e-3-grid division — shared by the flat rotated-PQ
+    * oracle and the rotated IVF-PQ oracle.
+    */
+  private def rotatedPwSql(iters: Int, dims: Int): String = {
     def vlast(c: Int) = s"v${Queries13.pcaTag(c)}$iters"
     val prCtes = (1 to dims).map(c =>
       s"""pr${c} AS MATERIALIZED (
@@ -268,12 +280,16 @@ object Queries15 extends ExtHelpers {
     val prJoins = (2 to dims).map(c =>
       s"JOIN pr$c ON pr$c.vec_id = pr1.vec_id").mkString(" ")
     val csJoins = (1 to dims).map(c => s"CROSS JOIN cs$c").mkString(" ")
-    s"""WITH ${pcaCompactChainsSql(iters, dims)},
+    s"""${pcaCompactChainsSql(iters, dims)},
        $prCtes,
        $csCtes,
        pw AS MATERIALIZED (
          SELECT pr1.vec_id, [$rotList] AS q
-         FROM pr1 $prJoins CROSS JOIN nn $csJoins),
+         FROM pr1 $prJoins CROSS JOIN nn $csJoins)"""
+  }
+
+  private def pqRotatedSql: String = {
+    s"""WITH ${rotatedPwSql(8, 64)},
        psub AS (SELECT vec_id, CAST(t.s AS INT) AS s,
                        q[t.s * 8 + 1 : t.s * 8 + 8] AS v
                 FROM pw, range(8) t(s)),
@@ -406,9 +422,64 @@ object Queries15 extends ExtHelpers {
        GROUP BY lang ORDER BY lang"""
   }
 
+  /** The rotated IVF-PQ oracle: the shared rotated relation `pw`,
+    * then the knn_ivfpq re-derivation (coarse assign, residuals,
+    * residual codebook, codes, 2-probe distance tables, ADC) over the
+    * rotated integer vectors — cells=8, m=4 (16-wide subvectors of
+    * the 64-dim rotated space), k=8, queries vec_id < 10.
+    */
+  private def ivfPqRotatedSql: String =
+    s"""WITH ${rotatedPwSql(8, 64)},
+       icent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM pw WHERE vec_id < 8),
+       iad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS d2c
+               FROM pw a, icent c),
+       iasg AS (SELECT vec_id, q, cell_id, cq FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                 FROM iad) WHERE rn = 1),
+       ires AS (SELECT vec_id, cell_id,
+                       list_transform(range(1, 65), i -> q[i] - cq[i]) AS r
+                FROM iasg),
+       isub AS (SELECT vec_id, cell_id, CAST(t.s AS INT) AS s,
+                       r[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                FROM ires, range(4) t(s)),
+       icb AS (SELECT CAST(vec_id AS INT) AS cid, s, v AS c FROM isub WHERE vec_id < 8),
+       id2 AS (SELECT a.vec_id, a.cell_id, a.s, b.cid,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+               FROM isub a JOIN icb b ON b.s = a.s),
+       icodes AS (SELECT vec_id AS n_id, cell_id, s, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+                   FROM id2) WHERE rn = 1),
+       iprobed AS (SELECT vec_id AS q_id, cell_id, cq, q FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cell_id) AS rn
+                    FROM iad WHERE vec_id < 10) WHERE rn <= 2),
+       iqres AS (SELECT q_id, cell_id,
+                        list_transform(range(1, 65), i -> q[i] - cq[i]) AS qr
+                 FROM iprobed),
+       iqsub AS (SELECT q_id, cell_id, CAST(t.s AS INT) AS s,
+                        qr[t.s * 16 + 1 : t.s * 16 + 16] AS v
+                 FROM iqres, range(4) t(s)),
+       idtab AS (SELECT a.q_id, a.cell_id, a.s, b.cid,
+                        CAST(list_sum(list_transform(range(1, 17),
+                          i -> (a.v[i] - b.c[i]) * (a.v[i] - b.c[i]))) AS BIGINT) AS d2
+                 FROM iqsub a JOIN icb b ON b.s = a.s),
+       iadc AS (SELECT idtab.q_id, icodes.n_id, CAST(sum(idtab.d2) AS BIGINT) AS adc_d2
+                FROM icodes JOIN idtab ON idtab.cell_id = icodes.cell_id
+                                      AND idtab.s = icodes.s AND idtab.cid = icodes.cid
+                WHERE idtab.q_id != icodes.n_id GROUP BY 1, 2),
+       ir AS (SELECT q_id, n_id, adc_d2,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+              FROM iadc)
+       SELECT q_id, n_id, adc_d2, rank FROM ir WHERE rank <= 5
+       ORDER BY q_id, rank"""
+
   val oracles: Map[String, String] = Map(
 
     "knn_pq_rotated" -> pqRotatedSql,
+
+    "knn_ivfpq_rotated" -> ivfPqRotatedSql,
 
     "bpe_train_merges_chunked" -> bpeChunkedSql,
 

@@ -1084,17 +1084,7 @@ object Similarity {
       k: Int = 8,
       topK: Int = 5,
       iters: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val d = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (d == 0)
-      return Seq.empty[(Long, Long, Long, Int)].toDF("q_id", "n_id", "adc_d2", "rank")
-    val proj = Checkpoints.truncateLazy(pcaProject(corpus, k = d, iters))
-    val rotCols = (1 to d).map(i =>
-      expr(s"CASE WHEN pc${i}_num >= 0 THEN pc${i}_num div (n_rows * 1000) " +
-        s"ELSE -((-pc${i}_num) div (n_rows * 1000)) END"))
-    val rq = proj.select(col("vec_id"), array(rotCols: _*).as("q"))
+    val rq = rotatedQ(corpus, iters)
     pqSearchAdcQ(rq,
       rq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi"),
       m, k, topK)
@@ -1438,14 +1428,72 @@ object Similarity {
       m: Int = 4,
       k: Int = 8,
       probes: Int = 2,
-      topK: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+      topK: Int = 5): DataFrame =
+    ivfPqTopKQ(
+      corpus.select(col("vec_id"), quantized(col("embedding")).as("q")),
+      queries.select(col("vec_id"), quantized(col("embedding")).as("q")),
+      cells, m, k, probes, topK)
+
+  /** IVF-PQ in the ROTATED basis — the coarse-quantize + residual-PQ
+    * chain over the full-dimension PCA rotation, completing the
+    * rotate-then-quantize program ([[pqSearchAdcRotated]]'s measured
+    * +20% rel recall at equal bits) for the index architecture that
+    * actually ships at scale: cells, residual codes, and distance
+    * tables all live in the decorrelated space; the dataflow is
+    * [[ivfPqTopK]]'s unchanged. Same integer-exact rotation and
+    * vec_id-subset query convention as the flat rotated search.
+    */
+  def ivfPqTopKRotated(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      topK: Int = 5,
+      iters: Int = 8): DataFrame = {
+    val rq = rotatedQ(corpus, iters)
+    ivfPqTopKQ(rq,
+      rq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      cells, m, k, probes, topK)
+  }
+
+  /** The integer-exact full-dimension rotation frame (vec_id,
+    * q: array<bigint>) shared by [[pqSearchAdcRotated]] and
+    * [[ivfPqTopKRotated]]: [[pcaProject]]'s centered numerators
+    * divided to the 1e-3 grid by `n_rows·1000` with the pinned
+    * truncation route; lazily truncated — the rotated basis
+    * materializes once per index build.
+    */
+  private[graft] def rotatedQ(corpus: DataFrame, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0)
+      return Seq.empty[(Long, Array[Long])].toDF("vec_id", "q")
+    val proj = Checkpoints.truncateLazy(pcaProject(corpus, k = d, iters))
+    val rotCols = (1 to d).map(i =>
+      expr(s"CASE WHEN pc${i}_num >= 0 THEN pc${i}_num div (n_rows * 1000) " +
+        s"ELSE -((-pc${i}_num) div (n_rows * 1000)) END"))
+    proj.select(col("vec_id"), array(rotCols: _*).as("q"))
+  }
+
+  /** [[ivfPqTopK]] over ALREADY-integer vector frames. */
+  private[graft] def ivfPqTopKQ(
+      corpusQ: DataFrame,
+      queriesQ: DataFrame,
+      cells: Int,
+      m: Int,
+      k: Int,
+      probes: Int,
+      topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpusQ.sparkSession)
     require(probes >= 1 && probes <= cells, s"probes must be in [1, $cells]")
-    val cent = corpus.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell_id"), quantized(col("embedding")).as("cq"))
+    val cent = corpusQ.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     // coarse-assign every corpus vector, then take its residual
-    val c = Scale.widen(corpus)
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val c = Scale.widen(corpusQ)
     val asg = c.join(broadcast(cent))
       .select(col("vec_id"), col("q"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
       .groupBy(col("vec_id"), col("q"))
@@ -1469,7 +1517,7 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("n_id"), col("cell_id"), col("sub"), col("best.cid").as("cid"))
     // queries probe their nearest cells; one distance table per probe
-    val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("q"))
+    val qv = queriesQ.select(col("vec_id").as("q_id"), col("q"))
     val pw = Window.partitionBy("q_id").orderBy(col("d2c"), col("cell_id"))
     val probed = qv.join(broadcast(cent))
       .select(col("q_id"), col("q"), col("cell_id"), col("cq"), expr(l2sq("q", "cq")).as("d2c"))
