@@ -74,6 +74,15 @@ object Queries15 extends ExtHelpers {
         .orderBy("q_id", "rank")
     }),
 
+    // the complete production stack: rotated-index ADC shortlist,
+    // exact refinement over the ORIGINAL vectors (rotation is a lossy
+    // index artifact; rerank distances come from the raw space)
+    "knn_ivfpq_rerank_rotated" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqRerankRotated(e, e.filter(col("vec_id") < 10))
+        .orderBy("q_id", "rank")
+    }),
+
     // the capstone with the SELECTION stage composed in — clean →
     // dedup → DSIR-select (model trained on the survivors vs the
     // curated doc_id%20 slice, histogram-order-statistic threshold,
@@ -430,7 +439,45 @@ object Queries15 extends ExtHelpers {
     */
   private def ivfPqRotatedSql: String =
     s"""WITH ${rotatedPwSql(8, 64)},
-       icent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM pw WHERE vec_id < 8),
+       ${ivfPqRotatedAdcCtes},
+       ir AS (SELECT q_id, n_id, adc_d2,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+              FROM iadc)
+       SELECT q_id, n_id, adc_d2, rank FROM ir WHERE rank <= 5
+       ORDER BY q_id, rank"""
+
+  /** Rotated shortlist + RAW-space exact rerank — the refinement
+    * stage reads the original 1e-6-grid vectors; the rotated basis is
+    * an index artifact only.
+    */
+  private def ivfPqRerankRotatedSql: String =
+    s"""WITH ${rotatedPwSql(8, 64)},
+       ${ivfPqRotatedAdcCtes},
+       isl AS (SELECT q_id, n_id FROM
+               (SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rnk
+                FROM iadc) WHERE rnk <= 20),
+       qe AS (SELECT vec_id,
+                     [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS q
+              FROM embeddings),
+       iex AS (SELECT isl.q_id, isl.n_id,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> (qq.q[i] - cc.q[i]) * (qq.q[i] - cc.q[i]))) AS BIGINT) AS exact_d2
+               FROM isl JOIN qe qq ON qq.vec_id = isl.q_id
+                        JOIN qe cc ON cc.vec_id = isl.n_id),
+       irr AS (SELECT q_id, n_id, exact_d2,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, n_id) AS INT) AS rank
+               FROM iex)
+       SELECT q_id, n_id, exact_d2, rank FROM irr WHERE rank <= 5
+       ORDER BY q_id, rank"""
+
+  /** The rotated IVF-PQ ADC chain (coarse assign over `pw`, residual
+    * codebook/codes, 2-probe distance tables) ending at relation
+    * `iadc`(q_id, n_id, adc_d2) — shared by the top-k and rerank
+    * oracles.
+    */
+  private val ivfPqRotatedAdcCtes: String =
+    s"""icent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM pw WHERE vec_id < 8),
        iad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
                       list_sum(list_transform(range(1, 65),
                         i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i]))) AS d2c
@@ -468,18 +515,15 @@ object Queries15 extends ExtHelpers {
        iadc AS (SELECT idtab.q_id, icodes.n_id, CAST(sum(idtab.d2) AS BIGINT) AS adc_d2
                 FROM icodes JOIN idtab ON idtab.cell_id = icodes.cell_id
                                       AND idtab.s = icodes.s AND idtab.cid = icodes.cid
-                WHERE idtab.q_id != icodes.n_id GROUP BY 1, 2),
-       ir AS (SELECT q_id, n_id, adc_d2,
-                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
-              FROM iadc)
-       SELECT q_id, n_id, adc_d2, rank FROM ir WHERE rank <= 5
-       ORDER BY q_id, rank"""
+                WHERE idtab.q_id != icodes.n_id GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
 
     "knn_pq_rotated" -> pqRotatedSql,
 
     "knn_ivfpq_rotated" -> ivfPqRotatedSql,
+
+    "knn_ivfpq_rerank_rotated" -> ivfPqRerankRotatedSql,
 
     "bpe_train_merges_chunked" -> bpeChunkedSql,
 

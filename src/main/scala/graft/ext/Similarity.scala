@@ -1579,6 +1579,39 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** [[ivfPqRerank]] with the SHORTLIST drawn from the rotated index
+    * ([[ivfPqTopKRotated]]) and the exact refinement computed in the
+    * RAW space — the full production architecture: rotation is a
+    * lossy INDEX artifact (it exists to make the code budget count),
+    * while the rerank stage reads the original vectors, whose exact
+    * distances no basis change should touch. Same shortlist/broadcast
+    * scale shape as [[ivfPqRerank]]; the only added cost is the
+    * rotated index build the shortlist already pays for.
+    */
+  def ivfPqRerankRotated(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      shortlist: Int = 20,
+      topK: Int = 5,
+      iters: Int = 8): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
+    val sl = ivfPqTopKRotated(corpus, queries, cells, m, k, probes, shortlist, iters)
+      .select(col("q_id"), col("n_id"))
+    val c = Scale.widen(corpus)
+      .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("cv"))
+    val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("qq"))
+    val w = Window.partitionBy("q_id").orderBy(col("exact_d2"), col("n_id"))
+    c.join(broadcast(sl), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), expr(l2sq("cv", "qq")).as("exact_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Adaptive IVF-PQ — the policy layer the round-6 organic recall
     * curve demanded: a FIXED shortlist throws away recall as cells
     * grow (measured: rerank recall ∝ shortlist/probed-population —

@@ -51,9 +51,14 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object SpanIngest {
 
+  /** @param wideKeys 128-bit md5 span keys (the production width —
+    *   [[graft.ext.Dedup.spanKeyCollisionAudit]] measured the default
+    *   30-bit domain colliding at ~1.2k ppm by 2.4M distinct spans);
+    *   identical dataflow, the index stores 16-byte binary keys.
+    */
   def spanIngest(
       docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
-      w: Int = 5, flagPpm: Long = 300000L)(
+      w: Int = 5, flagPpm: Long = 300000L, wideKeys: Boolean = false)(
       implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -67,7 +72,7 @@ object SpanIngest {
           // note): the stats plan reads spansDir, and the span append
           // below would re-execute a cached plan reading that path
           val spans = graft.ext.Checkpoints.truncate(
-            graft.ext.Dedup.spanKeys(batch.toDF(), w))
+            graft.ext.Dedup.spanKeys(batch.toDF(), w, wideKeys))
 
           // (2) monotone duplication verdict: in-batch window ∪ probe
           val inBatch = spans

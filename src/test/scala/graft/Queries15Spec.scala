@@ -120,6 +120,37 @@ class Queries15Spec extends SparkSpec {
       s"rotation must not lose recall at equal bits: rotated $rot vs raw $raw")
   }
 
+  // ── wide-key streaming span ingest ────────────────────────────────
+
+  test("spanIngest under wideKeys: prefix parity with the wide-key batch auditor holds (production width end to end)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sb1 = Seq(1L -> "a b c d e f g", 2L -> "a b c d e zz yy", 3L -> "p q r s t u v")
+    val sb2 = Seq(11L -> "x1 a b c d e f x2", 12L -> "m n o p q r")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanwide").toFile
+    val out = new java.io.File(dir, "gold").getPath
+    def goldRows(ids: Seq[Long]) = spark.read.parquet(out)
+      .filter(col("doc_id").isin(ids: _*)).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    def auditorRows(prefix: Seq[(Long, String)], ids: Seq[Long]) =
+      Dedup.crossDocSpans(prefix.toDF("doc_id", "text"), w = 5, wideKeys = true)
+        .filter(col("doc_id").isin(ids: _*)).orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.SpanIngest.spanIngest(
+      in.toDS().toDF("doc_id", "text"), out,
+      new java.io.File(dir, "idx").getPath,
+      new java.io.File(dir, "ckpt").getPath, wideKeys = true)
+    try {
+      in.addData(sb1); q.processAllAvailable()
+      assert(goldRows(sb1.map(_._1)) == auditorRows(sb1, sb1.map(_._1)))
+      in.addData(sb2); q.processAllAvailable()
+      assert(goldRows(sb2.map(_._1)) == auditorRows(sb1 ++ sb2, sb2.map(_._1)),
+        "wide-key batch-2 rows diverge from the wide-key prefix auditor")
+    } finally q.stop()
+  }
+
   // ── production-depth BPE ──────────────────────────────────────────
 
   test("chunk-grain BPE reaches >= 1024 merges, replay-audited: prefix-stable under checkpoint cadence, symbol-disjoint, rank-ordered") {
