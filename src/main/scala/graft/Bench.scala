@@ -25,14 +25,33 @@ object BenchRecords {
 
   /** The per-key seconds map of a record/bench JSON blob: pairs inside
     * the `"queries"{...}` object only. Empty map when no queries
-    * object exists — callers treat that as "no record".
+    * object exists — callers treat that as "no record". The closing
+    * brace is found by DEPTH tracking (string-aware), not first-'}' —
+    * a nested value inside "queries" must not silently truncate the
+    * map and quietly weaken the tripwire (round-14 advisor finding).
     */
   def queriesOf(rec: String): Map[String, Double] = {
     val start = rec.indexOf("\"queries\"")
     if (start < 0) return Map.empty
     val open = rec.indexOf('{', start)
     if (open < 0) return Map.empty
-    val close = rec.indexOf('}', open)
+    var i = open
+    var depth = 0
+    var inStr = false
+    var close = -1
+    while (i < rec.length && close < 0) {
+      val c = rec.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
     val body = rec.substring(open, if (close < 0) rec.length else close)
     pairPat.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -158,6 +177,12 @@ object Bench {
       recOpt.foreach { rec =>
         {
           val recMap = BenchRecords.queriesOf(rec)
+          // coverage self-check: a record that guards much less than
+          // the run's key set means the parse (or the record) decayed —
+          // say so loudly instead of silently comparing a subset
+          if (recMap.size * 10 < results.size * 9)
+            System.err.println(s"[bench] tripwire WEAK: record covers ${recMap.size} " +
+              s"of ${results.size} run keys — re-base or check record parse")
           val ratios = results.collect {
             case (k, v) if v > 0 && recMap.get(k).exists(_ > 0) =>
               (k, v / recMap(k), v, recMap(k))

@@ -104,7 +104,7 @@ object ExtQueriesAnn extends ExtHelpers {
         .withColumn("coverage_ppm", expr("n_with_vec * 1000000 div n_docs"))
       val orphans = e.join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .agg(count(lit(1)).as("n_orphan_vecs"))
-      perLang.crossJoin(orphans).orderBy("lang")
+      perLang.crossJoin(broadcast(orphans)).orderBy("lang")
     }),
 
 

@@ -126,7 +126,7 @@ object ExtQueriesEvents extends ExtHelpers {
       val cell = e.groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("n"))
       val byWeek = cell.groupBy(col("week")).agg(sum(col("n")).as("n_week"))
       val overall = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
-        .crossJoin(e.agg(count(lit(1)).as("n_total")))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_total"))))
       cell
         .join(broadcast(byWeek), Seq("week"))
         .join(broadcast(overall), Seq("event_type"))

@@ -181,7 +181,9 @@ object Queries15 extends ExtHelpers {
 
   /** COMPACT twin of Queries13's eigen-chain builder, for the
     * 64-component rotation oracle: the identical pinned integer
-    * procedure (12 infinity-norm power rounds, first-nonzero sign fix,
+    * procedure (`iters` infinity-norm power rounds — 8 in every
+    * shipped rotated-chain oracle, matching the operators' default —
+    * first-nonzero sign fix,
     * two-step integer Hotelling deflation), but each power round folds
     * its u/mx intermediates into ONE chained CTE via a nested WITH and
     * each deflation folds dn/lm/ad likewise. DuckDB's binder caps the
@@ -437,7 +439,7 @@ object Queries15 extends ExtHelpers {
     * rotated integer vectors — cells=8, m=4 (16-wide subvectors of
     * the 64-dim rotated space), k=8, queries vec_id < 10.
     */
-  private def ivfPqRotatedSql: String =
+  private[graft] def ivfPqRotatedSql: String =
     s"""WITH ${rotatedPwSql(8, 64)},
        ${ivfPqRotatedAdcCtes},
        ir AS (SELECT q_id, n_id, adc_d2,
@@ -450,7 +452,7 @@ object Queries15 extends ExtHelpers {
     * stage reads the original 1e-6-grid vectors; the rotated basis is
     * an index artifact only.
     */
-  private def ivfPqRerankRotatedSql: String =
+  private[graft] def ivfPqRerankRotatedSql: String =
     s"""WITH ${rotatedPwSql(8, 64)},
        ${ivfPqRotatedAdcCtes},
        isl AS (SELECT q_id, n_id FROM

@@ -171,7 +171,7 @@ object Queries2 {
     */
   private def crossJoinDims(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region").select(col("r_name"))
-      .crossJoin(t(s, dir, "nation").select(col("n_name")))
+      .crossJoin(broadcast(t(s, dir, "nation").select(col("n_name"))))
       .orderBy("r_name", "n_name")
 
   /** Incremental upsert (MERGE INTO semantics) as a full-outer join:
@@ -345,7 +345,7 @@ object Queries2 {
     val span = ev.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
     val grid = span
       .select(explode(expr("sequence(h_min, h_max, interval 1 hour)")).as("h"))
-      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
     grid.join(counts, Seq("event_type", "h"), "left")
       .select(col("event_type"),
         date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),

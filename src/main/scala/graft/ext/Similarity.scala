@@ -1085,9 +1085,38 @@ object Similarity {
       topK: Int = 5,
       iters: Int = 8): DataFrame = {
     val rq = rotatedQ(corpus, iters)
+    requireQueriesInCorpus(rq, queries, "pqSearchAdcRotated")
     pqSearchAdcQ(rq,
       rq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi"),
       m, k, topK)
+  }
+
+  /** Enforce the rotated-search contract the scaladoc states: queries
+    * are identified by vec_id WITHIN the corpus (they must rotate
+    * through the same basis), so a query id absent from the corpus is
+    * a caller error — [[pqSearchAdc]] is the entry point that scores
+    * arbitrary external vectors. Without this, a mismatched id would
+    * silently produce an empty per-query result (round-14 advisor
+    * finding). Cost: one count over the (already-materialized-anyway)
+    * rotated frame's id column joined to the distinct query ids.
+    */
+  private def requireQueriesInCorpus(
+      rotated: DataFrame, queries: DataFrame, op: String): Unit = {
+    // the distinct-id frame is checkpoint-truncated to a leaf before
+    // the anti join: queries are tiny by contract, and Spark 4.1's
+    // PushDownLeftSemiAntiJoin rule invalidates its own plan
+    // ("resolved became unresolved", PLAN_VALIDATION_FAILED) when it
+    // pushes the anti join under a query-side projection carrying a
+    // literal-aliased vec_id — a leaf left side leaves it nothing to
+    // push through
+    val qIds = Checkpoints.truncate(queries.select(col("vec_id")).distinct())
+    val missing = qIds
+      .join(rotated.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    require(missing == 0L,
+      s"$op: $missing query vec_id(s) not present in the corpus — rotated " +
+        "search rotates queries through the corpus basis, so queries must " +
+        "be a vec_id subset of the corpus; use pqSearchAdc for external " +
+        "query vectors")
   }
 
   /** Exact-duplicate embeddings — the degenerate-but-common dedup case
@@ -1453,6 +1482,7 @@ object Similarity {
       topK: Int = 5,
       iters: Int = 8): DataFrame = {
     val rq = rotatedQ(corpus, iters)
+    requireQueriesInCorpus(rq, queries, "ivfPqTopKRotated")
     ivfPqTopKQ(rq,
       rq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi"),
       cells, m, k, probes, topK)
@@ -1479,17 +1509,24 @@ object Similarity {
     proj.select(col("vec_id"), array(rotCols: _*).as("q"))
   }
 
-  /** [[ivfPqTopK]] over ALREADY-integer vector frames. */
-  private[graft] def ivfPqTopKQ(
-      corpusQ: DataFrame,
-      queriesQ: DataFrame,
-      cells: Int,
-      m: Int,
-      k: Int,
-      probes: Int,
-      topK: Int): DataFrame = {
+  /** The three persistable relations of a built IVF-PQ index: coarse
+    * centroids (cell_id, cq), residual codebook (sub, cid, c_sub),
+    * inverted-list codes (n_id, cell_id, sub, cid). Everything a
+    * search needs EXCEPT the query-side rotation model — which is
+    * [[graft.ext.AnnIndex]]'s other persisted artifact.
+    */
+  private[graft] case class IvfPqIndexFrames(
+      cent: DataFrame, cb: DataFrame, codes: DataFrame)
+
+  /** BUILD half of [[ivfPqTopKQ]]: coarse-assign, residuals, residual
+    * codebook, code assignment — the corpus-touching stages an index
+    * build pays ONCE. Split out so [[AnnIndex.write]] persists exactly
+    * the frames the inline path searches (bit-identity by shared
+    * code, not re-derivation).
+    */
+  private[graft] def ivfPqBuildQ(
+      corpusQ: DataFrame, cells: Int, m: Int, k: Int): IvfPqIndexFrames = {
     graft.functions.GraftFunctions.register(corpusQ.sparkSession)
-    require(probes >= 1 && probes <= cells, s"probes must be in [1, $cells]")
     val cent = corpusQ.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     // coarse-assign every corpus vector, then take its residual
@@ -1516,6 +1553,24 @@ object Similarity {
       .groupBy(col("n_id"), col("cell_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("n_id"), col("cell_id"), col("sub"), col("best.cid").as("cid"))
+    IvfPqIndexFrames(cent, cb, codes)
+  }
+
+  /** SEARCH half of [[ivfPqTopKQ]]: probe, per-(query, cell) distance
+    * tables, ADC scoring over the inverted lists — never touches the
+    * corpus vectors, only the index frames. A persisted index answers
+    * through exactly this code path.
+    */
+  private[graft] def ivfPqSearchQ(
+      ix: IvfPqIndexFrames,
+      queriesQ: DataFrame,
+      m: Int,
+      probes: Int,
+      topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queriesQ.sparkSession)
+    val cent = ix.cent
+    val cb = ix.cb
+    val codes = ix.codes
     // queries probe their nearest cells; one distance table per probe
     val qv = queriesQ.select(col("vec_id").as("q_id"), col("q"))
     val pw = Window.partitionBy("q_id").orderBy(col("d2c"), col("cell_id"))
@@ -1538,6 +1593,41 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("n_id"))
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** [[ivfPqTopK]] over ALREADY-integer vector frames: build + search,
+    * each half independently reusable (the build half is what
+    * [[AnnIndex.write]] persists; the search half is what a reloaded
+    * index runs).
+    */
+  private[graft] def ivfPqTopKQ(
+      corpusQ: DataFrame,
+      queriesQ: DataFrame,
+      cells: Int,
+      m: Int,
+      k: Int,
+      probes: Int,
+      topK: Int): DataFrame = {
+    require(probes >= 1 && probes <= cells, s"probes must be in [1, $cells]")
+    ivfPqSearchQ(ivfPqBuildQ(corpusQ, cells, m, k), queriesQ, m, probes, topK)
+  }
+
+  /** The full-dimension rotation MODEL as driver-side state — the
+    * persistable form of [[rotatedQ]]'s basis: per-component integer
+    * eigen weights (1e6 grid), per-dim coordinate sums (1e-3 grid),
+    * and the row count. [[AnnIndex]] writes these and re-applies them
+    * map-side to query vectors at serve time; the arithmetic is
+    * [[pcaProject]]'s, so a corpus member rotated through the
+    * persisted model lands on bit-identical integers to its row in
+    * [[rotatedQ]]. None when the corpus is empty.
+    */
+  private[graft] def rotationModel(corpus: DataFrame, iters: Int)
+      : Option[(Seq[Array[BigInt]], Array[BigInt], Long)] = {
+    val packed = gramPacked(corpus)
+    if (packed.isEmpty) return None
+    val d = gramDim(packed.length)
+    val (comps, sums, n, _) = pcaFromGram(packed, d, iters)
+    Some((comps, sums, n))
   }
 
   /** IVF-PQ with exact re-ranking — the refinement stage of the

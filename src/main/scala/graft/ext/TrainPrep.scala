@@ -481,14 +481,14 @@ object TrainPrep {
       rawB: DataFrame, tgtB: DataFrame, buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
     val totals = rawB.agg(sum(col("c_raw")).as("n_raw"))
-      .crossJoin(tgtB.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt")))
+      .crossJoin(broadcast(tgtB.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))))
     // every probed bucket appears in rawB by construction, so a left
     // join from the raw side loses nothing; absent target mass is the
     // smoothing floor
     rawB
       .join(tgtB, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_tgt"))
-      .crossJoin(totals)
+      .crossJoin(broadcast(totals))
       // grouped as (target log-mass) − (raw log-mass): when the two
       // distributions are identical the operands are identical doubles
       // and the difference is EXACTLY zero — no ±ulp residue for the
@@ -598,7 +598,7 @@ object TrainPrep {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-    per.crossJoin(per.agg(sum(col("s")).as("s_total")))
+    per.crossJoin(broadcast(per.agg(sum(col("s")).as("s_total"))))
       .withColumn("weight_ppm", expr("s * 1000000 div s_total"))
       .withColumn("planned_tokens", expr(s"$budget * weight_ppm div 1000000"))
       .withColumn("epochs_ppm",

@@ -38,4 +38,31 @@ private[graft] object IngestCommit {
   def mark(spark: SparkSession, markerRoot: String, batchId: Long): Unit =
     fs(spark, markerRoot).mkdirs(
       new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/$batchId"))
+
+  /** Assert-or-stamp a format marker under `markerRoot` — the guard an
+    * index directory needs against being reopened under an
+    * INCOMPATIBLE layout flag (e.g. [[SpanIngest]]'s 8-byte vs 16-byte
+    * span-key width: a restart with the opposite `wideKeys` would
+    * mis-probe or fail mid-batch on the parquet append with no hint of
+    * why). First open stamps `_format/<name>=<value>`; every later
+    * open requires the stamped value to match.
+    */
+  def assertFormat(
+      spark: SparkSession, markerRoot: String, name: String, value: String): Unit = {
+    val f = fs(spark, markerRoot)
+    val dir = new org.apache.hadoop.fs.Path(s"$markerRoot/_format")
+    if (f.exists(dir)) {
+      val stamped = f.listStatus(dir).map(_.getPath.getName)
+        .collectFirst { case s if s.startsWith(s"$name=") => s.drop(name.length + 1) }
+      stamped match {
+        case Some(v) if v != value =>
+          throw new IllegalStateException(
+            s"index at $markerRoot was created with $name=$v but is being " +
+              s"reopened with $name=$value — replay with the original flag " +
+              "or point at a fresh directory")
+        case Some(_) => ()
+        case None => f.mkdirs(new org.apache.hadoop.fs.Path(s"$markerRoot/_format/$name=$value"))
+      }
+    } else f.mkdirs(new org.apache.hadoop.fs.Path(s"$markerRoot/_format/$name=$value"))
+  }
 }

@@ -59,7 +59,14 @@ object SpanIngest {
   def spanIngest(
       docs: DataFrame, outDir: String, indexDir: String, checkpoint: String,
       w: Int = 5, flagPpm: Long = 300000L, wideKeys: Boolean = false)(
-      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    // key-width guard: the persisted span index's `h` column type is
+    // bigint (narrow) vs 16-byte binary (wide); reopening an existing
+    // index under the opposite width would fail or mis-probe on the
+    // parquet read/append with no hint (round-14 advisor finding) —
+    // first start stamps the width, every restart asserts it
+    IngestCommit.assertFormat(spark, indexDir, "keywidth",
+      if (wideKeys) "wide128" else "narrow64")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -113,4 +120,5 @@ object SpanIngest {
         ()
       }
       .start()
+  }
 }

@@ -48,4 +48,19 @@ class BenchRecordSpec extends AnyFunSuite {
     // the bounded parse must not swallow it as a bench key
     assert(!BenchRecords.queriesOf(pretty).contains("value"))
   }
+
+  test("parser survives nested values and brace-bearing strings inside queries") {
+    // round-14 advisor: first-'}' truncated the map on any nested
+    // value; the depth-aware close must keep reading past it
+    val nested =
+      """{"queries":{"a":1.5,"meta":{"x":9.9},"b":2.25,"s_key":3},"value":7}"""
+    val qs = BenchRecords.queriesOf(nested)
+    assert(qs("a") == 1.5 && qs("b") == 2.25 && qs("s_key") == 3.0, s"parsed $qs")
+    assert(!qs.contains("value"), s"leaked past queries object: $qs")
+    val braceStr =
+      """{"queries":{"a":1,"note":"has } brace","b":2},"value":9}"""
+    val qs2 = BenchRecords.queriesOf(braceStr)
+    assert(qs2.get("a").contains(1.0) && qs2.get("b").contains(2.0) &&
+      !qs2.contains("value"), s"parsed $qs2")
+  }
 }

@@ -9,9 +9,11 @@ Round-14 hardening (the judge's tripwire finding + advisor items):
     bench tripwire's record regexes; the Scala parser is now
     whitespace-tolerant too, but a guard should not depend on its
     input's pretty-printer);
-  - the input runs' `failed` arrays union into the output, and any key
-    that has NO positive timing in ANY run is listed there as well —
-    a regression can no longer vanish from the record without a trace;
+  - `failed` in the output lists ONLY keys with no positive timing in
+    any input run (a key that failed in one run but timed in another is
+    a FLAKY key: it keeps its timing in `queries` and is listed under
+    `flaky`, not `failed` — round-14 advisor: a key in both `queries`
+    and `failed` made the output's `failed` semantics ambiguous);
   - every input run must share one `sf` (assert, not assume-from-
     runs[0]).
 
@@ -43,13 +45,20 @@ def main(out, runs):
     if dropped:
         print(f"WARNING: no positive timing in any run for: {dropped}",
               file=sys.stderr)
-    failed.update(dropped)
+    # failed = never-timed keys only; keys that failed somewhere but
+    # timed elsewhere are flaky (timed, so they stay in `queries`)
+    flaky = sorted(failed & set(per))
+    if flaky:
+        print(f"WARNING: flaky keys (failed in some run, timed in another): "
+              f"{flaky}", file=sys.stderr)
+    failed = (failed - set(per)) | set(dropped)
     rec = {
         "metric": "total",
         "value": round(sum(per.values()), 3),
         "unit": "sec",
         "queries": {k: round(per[k], 3) for k in sorted(per)},
         "failed": sorted(failed),
+        "flaky": flaky,
         "sf": sfs.pop(),
         "passes": passes,
         "agg": "min",
