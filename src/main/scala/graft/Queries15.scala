@@ -363,7 +363,7 @@ object Queries15 extends ExtHelpers {
     * convention), because the fertility encode IS that mapping's
     * final state.
     */
-  private def bpeBatchPassW(i: Int, prev: String, window: Int, kBatch: Int): String =
+  private[graft] def bpeBatchPassW(i: Int, prev: String, window: Int, kBatch: Int): String =
     s"""p$i AS MATERIALIZED (
          SELECT string_split(pair, ' ')[1] AS a,
                 string_split(pair, ' ')[2] AS b,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.AnnIndex
+import graft.ext.{AnnIndex, TextAnalysis}
 
 /** Round-16 registry keys — the round-14 verdict's production-gap
   * list, headlined by the PERSISTED ANN index:
@@ -50,12 +50,148 @@ object Queries16 extends ExtHelpers {
       AnnIndex.searchRerank(s, ix, e, e.filter(col("vec_id") < 10))
         .orderBy("q_id", "rank")
     }),
+
+    // the 100 TB trainer shape: merges learned on a deterministic
+    // hash-sample (portableHash(seed|doc_id) % 100 < 50 over the
+    // pinned 500-doc slice), everything else unchanged — the oracle
+    // re-derives the identical sample via the md5-fold twin and the
+    // identical 12 batched passes
+    "bpe_train_merges_sampled" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMergesSampled(
+          t(s, dir, "documents").filter(col("doc_id") < 500))
+        .orderBy("merge_idx")),
+
+    // open-world encode: model trained on docs < 250, corpus docs
+    // < 500 encoded under it — unseen chunks replay the merge table
+    // from their character split (chars are base symbols: total
+    // coverage), and the audit gains the OOV columns it was missing
+    "bpe_encode_fallback" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      TextAnalysis.bpeEncodeFallback(d.filter(col("doc_id") < 250), d)
+        .orderBy("lang")
+    }),
   )
+
+  /** SQL twin of [[graft.ext.TrainPrep.portableHash]] over
+    * `seed|doc_id`, as a boolean sample predicate.
+    */
+  private def sampledPredSql(seed: String, pct: Int): String =
+    s"""list_reduce([CAST(ascii(ch) AS BIGINT) FOR ch IN
+          regexp_extract_all(md5('$seed|' || CAST(doc_id AS VARCHAR)), '.')],
+        (a, b) -> (a * 31 + b) % 1000000007) % 100 < $pct"""
+
+  /** The sampled chunk-grain trainer oracle: Queries15's chunked
+    * derivation with the corpus CTE narrowed by the portable-hash
+    * sample twin — same 12 batched passes, same chunking.
+    */
+  private val bpeSampledSql = {
+    val (passes, window, kBatch) = (12, 128, 32)
+    val passCtes = (1 to passes).map(i =>
+      Queries13.bpeBatchPass(i, s"s${i - 1}", window, kBatch))
+    val union = (1 to passes).map(i =>
+      s"SELECT $i AS pass, sel_rank, ma, mb, c FROM b$i")
+      .mkString("\n           UNION ALL ")
+    s"""WITH c0 AS (
+         SELECT replace(text, ' ', '▁') AS t
+         FROM documents
+         WHERE doc_id < 500 AND ${sampledPredSql("bpesample", 50)}),
+       w0 AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest([substr(t, i * 32 + 1, 32)
+                 FOR i IN range(0, CAST(ceil(length(t) / 32.0) AS BIGINT))]) AS w
+               FROM c0)
+         WHERE len(w) > 0 GROUP BY w),
+       s0 AS (
+         SELECT freq, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+         FROM w0),
+       ${passCtes.mkString(",\n       ")}
+       SELECT CAST(row_number() OVER (ORDER BY pass, sel_rank) AS INT) AS merge_idx,
+              pass, ma AS sym_a, mb AS sym_b, ma || mb AS merged,
+              c AS pair_count
+       FROM ($union)
+       ORDER BY merge_idx"""
+  }
+
+  /** The open-world encode oracle: train the 12 w-carrying passes on
+    * the doc_id < 250 slice (Queries15's fertility machinery), then
+    * REPLAY each pass's merge list over the character split of every
+    * encode-slice chunk absent from the trained vocab — one fold CTE
+    * per pass, the trainer's own greedy CASE fold — and aggregate the
+    * combined model at language grain with the OOV columns.
+    */
+  private val bpeEncodeFallbackSql = {
+    val (passes, window, kBatch) = (12, 128, 32)
+    val passCtes = (1 to passes).map(i =>
+      Queries15.bpeBatchPassW(i, s"s${i - 1}", window, kBatch))
+    val replayCtes = (1 to passes).map(i =>
+      s"""f$i AS MATERIALIZED (
+         SELECT t.w,
+                list_reduce(string_split(t.s, ' '), (acc, x) ->
+                  CASE WHEN len([m FOR m IN ms IF m['mb'] = x AND
+                         (acc = m['ma'] OR ends_with(acc, ' ' || m['ma']))]) > 0
+                       THEN acc || x ELSE acc || ' ' || x END) AS s
+         FROM f${i - 1} t CROSS JOIN m$i)""")
+    s"""WITH tr0 AS (
+         SELECT replace(text, ' ', '▁') AS t
+         FROM documents WHERE doc_id < 250),
+       w0 AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest([substr(t, i * 32 + 1, 32)
+                 FOR i IN range(0, CAST(ceil(length(t) / 32.0) AS BIGINT))]) AS w
+               FROM tr0)
+         WHERE len(w) > 0 GROUP BY w),
+       s0 AS (
+         SELECT w, freq,
+                array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+         FROM w0),
+       ${passCtes.mkString(",\n       ")},
+       enc AS (
+         SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
+                CAST(length(w) AS BIGINT) AS n_chr,
+                CAST(0 AS BIGINT) AS is_oov
+         FROM s$passes),
+       dch AS (
+         SELECT lang, w FROM (
+           SELECT lang, unnest([substr(t, i * 32 + 1, 32)
+                   FOR i IN range(0, CAST(ceil(length(t) / 32.0) AS BIGINT))]) AS w
+           FROM (SELECT lang, replace(text, ' ', '▁') AS t
+                 FROM documents WHERE doc_id < 500))
+         WHERE len(w) > 0),
+       f0 AS (
+         SELECT w, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+         FROM (SELECT DISTINCT w FROM dch
+               WHERE w NOT IN (SELECT w FROM s$passes))),
+       ${replayCtes.mkString(",\n       ")},
+       oenc AS (
+         SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
+                CAST(length(w) AS BIGINT) AS n_chr,
+                CAST(1 AS BIGINT) AS is_oov
+         FROM f$passes),
+       model AS (SELECT * FROM enc UNION ALL SELECT * FROM oenc)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(n_chr) AS BIGINT) AS n_chars,
+              CAST(sum(is_oov) AS BIGINT) AS n_oov_chunks,
+              CAST(sum(is_oov * n_tok) AS BIGINT) AS n_oov_tokens,
+              CAST(sum(is_oov) * 1000000
+                // greatest(count(*), 1) AS BIGINT) AS oov_chunk_ppm,
+              CAST(sum(n_tok) * 1000000
+                // greatest(count(*), 1) AS BIGINT) AS fertility_ppm,
+              CAST(sum(n_tok) * 1000000
+                // greatest(sum(n_chr), 1) AS BIGINT) AS compression_ppm
+       FROM dch JOIN model USING (w)
+       GROUP BY lang ORDER BY lang"""
+  }
 
   val oracles: Map[String, String] = Map(
     // bit-identity with the inline rotated chain IS the persistence
     // claim: same oracle text, zero re-derivation drift possible
     "knn_ivfpq_persisted" -> Queries15.ivfPqRotatedSql,
     "knn_ivfpq_rerank_persisted" -> Queries15.ivfPqRerankRotatedSql,
+
+    "bpe_train_merges_sampled" -> bpeSampledSql,
+
+    "bpe_encode_fallback" -> bpeEncodeFallbackSql,
   )
 }

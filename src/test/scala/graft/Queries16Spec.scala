@@ -134,6 +134,102 @@ class Queries16Spec extends SparkSpec {
     assert(ex.getMessage.contains("format version"))
   }
 
+  // ── sampled BPE trainer ───────────────────────────────────────────
+
+  test("bpeTrainMergesSampled: measured head agreement in both grains (exact equality is FALSE at this corpus size — pinned honestly)") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500)
+    // The round-14 verdict hypothesized the sampled table EQUALS the
+    // full table at these depths. Measured on this corpus it is FALSE
+    // in BOTH grains (documented, BASELINE §R15): 500 docs is far too
+    // small for rank stability past the Zipf head — word grain agrees
+    // for 7 rules then swaps adjacent ranks; chunk grain loses ~half
+    // its VOCABULARY to the sample (chunks are mostly doc-unique), so
+    // counts don't merely scale. What sampling provably preserves at
+    // any corpus size is the HEAD (high-count pairs have relatively
+    // tiny sampling noise), and the stable-head depth grows with
+    // corpus size — so the spec pins the measured head agreement and
+    // set overlap, which is also exactly the tripwire that catches a
+    // broken sample predicate.
+    val sampledDocs = docs.filter(
+      graft.ext.TrainPrep.portableHash(
+        concat(lit("bpesample|"), col("doc_id").cast("string"))) % 100 < 50)
+    def headAndOverlap(full: Seq[(String, String)], samp: Seq[(String, String)],
+        grain: String): Unit = {
+      assert(full.nonEmpty && samp.nonEmpty, s"$grain trainer learned nothing")
+      assert(samp.take(4) == full.take(4),
+        s"$grain Zipf head must agree: ${samp.take(4)} vs ${full.take(4)}")
+      // table SIZES differ by regime (the sampled corpus's thinner
+      // pair space can select deeper per conflict-filtered pass), so
+      // the agreement metric is |∩| / min(|A|,|B|) — rule containment
+      // of the shallower table in the deeper one
+      val inter = samp.toSet.intersect(full.toSet).size
+      val minSz = math.min(samp.size, full.size)
+      info(s"$grain agreement: $inter of $minSz (sampled ${samp.size} " +
+        s"rules, full ${full.size})")
+      assert(inter * 10 >= minSz * 8,
+        s"$grain head agreement collapsed: $inter of $minSz")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.orderBy("merge_idx").select("sym_a", "sym_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    headAndOverlap(
+      pairs(TextAnalysis.bpeTrainMergesBatched(docs, passes = 8, kBatch = 8, window = 32)),
+      pairs(TextAnalysis.bpeTrainMergesBatched(sampledDocs, passes = 8, kBatch = 8, window = 32)),
+      "word-grain")
+    headAndOverlap(
+      pairs(TextAnalysis.bpeTrainMergesChunked(docs,
+        passes = 12, kBatch = 32, window = 128, chunkChars = 32,
+        checkpointEvery = 4)),
+      pairs(TextAnalysis.bpeTrainMergesSampled(docs)),
+      "chunk-grain")
+  }
+
+  // ── open-world encode (byte fallback / OOV) ───────────────────────
+
+  test("bpeEncodeFallback: replaying the merge table over an IN-vocab chunk reproduces its trained symbol string") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 250)
+    // closed world: encode the training slice under its own model —
+    // zero OOV chunks, and totals equal the closed-world audit's
+    val r = TextAnalysis.bpeEncodeFallback(docs, docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_oov_chunks") == 0L,
+        s"training slice re-encode must be fully in-vocab: $row")
+    }
+    val closed = TextAnalysis.bpeFertilityChunked(docs)
+      .select("lang", "n_chunks", "n_tokens", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    val open = r
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_chunks"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("n_chars"))).toSet
+    assert(open == closed,
+      "open-world encode of the training slice diverged from the closed-world audit")
+  }
+
+  test("bpeEncodeFallback: unseen chunks are counted as OOV and still fully encoded (total coverage)") {
+    import graft.ext.TextAnalysis
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val r = TextAnalysis.bpeEncodeFallback(
+      all.filter(col("doc_id") < 250), all).collect()
+    val totalOov = r.map(_.getAs[Long]("n_oov_chunks")).sum
+    assert(totalOov > 0, "the 250/500 split must produce OOV chunks")
+    r.foreach { row =>
+      // every chunk encodes to >= 1 token: coverage is total
+      assert(row.getAs[Long]("n_tokens") >= row.getAs[Long]("n_chunks"), s"$row")
+      assert(row.getAs[Long]("n_oov_tokens") > 0 ||
+        row.getAs[Long]("n_oov_chunks") == 0L, s"$row")
+      // replayed merges COMPRESS: OOV tokens must be fewer than OOV
+      // chars would be under a no-merge char fallback... unless no
+      // merge applies; weaker monotone bound: tokens <= chars
+      assert(row.getAs[Long]("n_tokens") <= row.getAs[Long]("n_chars"), s"$row")
+    }
+  }
+
   // ── ingest format marker ──────────────────────────────────────────
 
   test("IngestCommit.assertFormat: first open stamps, matching reopen passes, conflicting reopen throws") {
