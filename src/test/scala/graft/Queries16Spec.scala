@@ -230,6 +230,61 @@ class Queries16Spec extends SparkSpec {
     }
   }
 
+  // ── unigram-LM tokenizer ──────────────────────────────────────────
+
+  test("Unigram: a repeated bigram dominates the learned vocab and the encode uses it") {
+    import graft.ext.Unigram
+    // 'ab' repeated: the seed counts make 'ab' (and its powers) the
+    // hot pieces; after EM the best path of 'ababab...' must use
+    // multi-char pieces, not single chars
+    val docs = (0L until 50L).map(i => (i, "ab ab ab ab", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val model = Unigram.unigramTrain(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(model.exists(_._1.length > 1), s"no multi-char piece survived: ${model.toSeq}")
+    val enc = Unigram.unigramEncode(docs).collect()
+    assert(enc.length == 1)
+    val row = enc.head
+    // 11 chars per doc ('ab▁ab▁ab▁ab'), one 11-char chunk per doc
+    assert(row.getAs[Long]("n_chars") == 11L * 50L, s"$row")
+    assert(row.getAs[Long]("n_chunks") == 50L, s"$row")
+    // multi-char pieces compress: strictly fewer tokens than chars
+    assert(row.getAs[Long]("n_tokens") < row.getAs[Long]("n_chars"), s"$row")
+    // Viterbi log-mass is negative by construction
+    assert(row.getAs[Long]("lp_micro_total") < 0L, s"$row")
+  }
+
+  test("Unigram: corpus train/encode invariants on the real slice") {
+    import graft.ext.Unigram
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val model = Unigram.unigramTrain(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(model.nonEmpty)
+    // singles are never pruned (base coverage): every single char of
+    // the chunk stream is in the model
+    val singles = model.filter(_._2 == 1L).map(_._1).toSet
+    val chars = docs.select(explode(split(translate(col("text"), " ", "▁"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct().collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(singles),
+      s"missing base chars: ${chars -- singles}")
+    // scores are the pinned log grid: all negative, count-monotone
+    // (a higher count never scores lower)
+    val byCount = model.sortBy(_._3).toSeq
+    byCount.sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0)._3 == w(1)._3 || w(0)._4 <= w(1)._4, s"${w(0)} vs ${w(1)}")
+    }
+    assert(model.forall(_._4 < 0L))
+    val enc = Unigram.unigramEncode(docs).collect()
+    assert(enc.length == 5, s"expected 5 langs, got ${enc.length}")
+    enc.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") >= 1L)
+      assert(row.getAs[Long]("n_tokens") <= row.getAs[Long]("n_chars"), s"$row")
+      assert(row.getAs[Long]("fertility_ppm") > 0L, s"$row")
+    }
+  }
+
   // ── ingest format marker ──────────────────────────────────────────
 
   test("IngestCommit.assertFormat: first open stamps, matching reopen passes, conflicting reopen throws") {
