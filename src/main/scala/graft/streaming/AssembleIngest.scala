@@ -45,7 +45,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * here and exercised in the spec.
   *
   * Idempotence: same mechanism as [[Sessionize.nearDupIngest]] — a
-  * fully-committed batch leaves `indexDir/_committed/<batchId>` and
+  * fully-committed batch leaves `indexDir/_committed/<batchId>_<contentKey>` and
   * replays as a no-op; a partial commit self-heals because every
   * append anti-joins the doc_ids already in its target, so exactly
   * the missing suffix lands on retry. Gold stays FIRST so a doc is
@@ -86,7 +86,8 @@ object AssembleIngest {
         val mhDir = s"$indexDir/mh"
         val shDir = s"$indexDir/sh"
         val xhDir = s"$indexDir/xh"
-        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
+        val batchKey = IngestCommit.contentKey(batch.toDF())
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId, batchKey)) {
           def readCommitted(dir: String): Option[DataFrame] =
             IngestCommit.readCommitted(spark, dir)
 
@@ -196,7 +197,7 @@ object AssembleIngest {
           notAlreadyIn(surv.select("doc_id", "text_hash"), xhDir)
             .write.mode("append").parquet(xhDir)
           sh0.unpersist()
-          IngestCommit.mark(spark, indexDir, batchId)
+          IngestCommit.mark(spark, indexDir, batchId, batchKey)
         }
         ()
       }

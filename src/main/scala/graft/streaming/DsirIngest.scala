@@ -56,7 +56,8 @@ object DsirIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!IngestCommit.isCommitted(spark, outDir, batchId)) {
+        val batchKey = IngestCommit.contentKey(batch.toDF())
+        if (!IngestCommit.isCommitted(spark, outDir, batchId, batchKey)) {
           val m = frozen.toDF("bucket", "logratio_micro")
           val admitted = TrainPrep.dsirScore(batch.toDF(), m, buckets)
             .filter(col("logw_micro") > threshold)
@@ -75,7 +76,7 @@ object DsirIngest {
           // relation left in the plan, decoupling read from write.
           graft.ext.Checkpoints.truncate(fresh)
             .write.mode("append").parquet(goldDir)
-          IngestCommit.mark(spark, outDir, batchId)
+          IngestCommit.mark(spark, outDir, batchId, batchKey)
         }
         ()
       }

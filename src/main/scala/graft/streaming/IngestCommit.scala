@@ -31,13 +31,33 @@ private[graft] object IngestCommit {
     if (hasData) Some(spark.read.parquet(dir)) else None
   }
 
-  def isCommitted(spark: SparkSession, markerRoot: String, batchId: Long): Boolean =
-    fs(spark, markerRoot).exists(
-      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/$batchId"))
+  /** CONTENT key of a micro-batch's id multiset — order- and
+    * partitioning-independent (count + xor of id hashes). The commit
+    * marker is keyed by (batchId, contentKey), not batchId alone:
+    * after a restart with a FRESH checkpoint, Spark restarts batch
+    * ids at 0, so a batch-id-only marker would silently SKIP a new
+    * batch whose id collides with an old marker — admission-time data
+    * loss (caught by the broker-delivery spec). With the content key,
+    * only a genuine replay (same id, same rows) takes the fast path;
+    * everything else falls through to the per-append anti-joins,
+    * which remain the real idempotence guard.
+    */
+  def contentKey(batch: DataFrame, idCol: String = "doc_id"): String = {
+    import org.apache.spark.sql.functions._
+    val r = batch.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(hash(col(idCol)).cast("long")), lit(0L)).as("x")).collect()(0)
+    s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
 
-  def mark(spark: SparkSession, markerRoot: String, batchId: Long): Unit =
+  def isCommitted(
+      spark: SparkSession, markerRoot: String, batchId: Long, key: String): Boolean =
+    fs(spark, markerRoot).exists(
+      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/${batchId}_$key"))
+
+  def mark(spark: SparkSession, markerRoot: String, batchId: Long, key: String): Unit =
     fs(spark, markerRoot).mkdirs(
-      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/$batchId"))
+      new org.apache.hadoop.fs.Path(s"$markerRoot/_committed/${batchId}_$key"))
 
   /** Assert-or-stamp a format marker under `markerRoot` — the guard an
     * index directory needs against being reopened under an

@@ -49,7 +49,8 @@ object MediaIngest {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import spark.implicits._
-        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
+        val batchKey = IngestCommit.contentKey(batch.toDF())
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId, batchKey)) {
           val hashes = batch.select(col("doc_id"), col("payload"))
             .as[(Long, Array[Byte])]
             .mapPartitions(_.map { case (id, bytes) =>
@@ -109,7 +110,7 @@ object MediaIngest {
           notAlreadyIn(surv, dataDir).write.mode("append").parquet(dataDir)
           surv.unpersist()
           hashes.unpersist()
-          IngestCommit.mark(spark, indexDir, batchId)
+          IngestCommit.mark(spark, indexDir, batchId, batchKey)
           ()
         }
       }

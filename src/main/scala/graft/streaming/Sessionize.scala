@@ -151,7 +151,7 @@ object Sessionize {
     * Idempotence: foreachBatch is at-least-once, and this sink does
     * THREE non-atomic appends (gold, sh, sigs). Two mechanisms make a
     * replay safe: a fully-committed batch leaves a
-    * `indexDir/_committed/<batchId>` marker and replays as a no-op;
+    * `indexDir/_committed/<batchId>_<contentKey>` marker and replays as a no-op;
     * a partially-committed batch self-heals because each of the three
     * appends anti-joins the doc_ids already present in its target
     * table, so exactly the missing suffix of the three writes lands on
@@ -175,7 +175,8 @@ object Sessionize {
         graft.functions.GraftFunctions.register(spark)
         val mhDir = s"$indexDir/mh"
         val shDir = s"$indexDir/sh"
-        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
+        val batchKey = IngestCommit.contentKey(batch.toDF())
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId, batchKey)) {
           val sh0 = batch.toDF()
             .select(col("doc_id"), col("text"), shingles(tokens(col("text")), k).as("sh"))
             .withColumn("shh", shingleHashes(col("sh")))
@@ -257,7 +258,7 @@ object Sessionize {
           notAlreadyIn(survSh.select("doc_id", "mh"), mhDir)
             .write.mode("append").parquet(mhDir)
           sh0.unpersist()
-          IngestCommit.mark(spark, indexDir, batchId)
+          IngestCommit.mark(spark, indexDir, batchId, batchKey)
         }
         ()
       }

@@ -40,7 +40,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * admission-time view.
   *
   * Idempotence: a fully-committed batch leaves
-  * `indexDir/_committed/<batchId>` and replays as a no-op; a partial
+  * `indexDir/_committed/<batchId>_<contentKey>` and replays as a no-op; a partial
   * commit self-heals because both appends anti-join the doc_ids
   * already in their targets and the duplication predicate is monotone
   * (step 2's guard covers the half-indexed-self case).
@@ -74,7 +74,8 @@ object SpanIngest {
         // no session registration needed: the only non-built-in here
         // is portableHash, which spanKeys gets Bridge-wrapped
         val spansDir = s"$indexDir/spans"
-        if (!IngestCommit.isCommitted(spark, indexDir, batchId)) {
+        val batchKey = IngestCommit.contentKey(batch.toDF())
+        if (!IngestCommit.isCommitted(spark, indexDir, batchId, batchKey)) {
           // EAGER lineage truncation (the AssembleIngest refreshByPath
           // note): the stats plan reads spansDir, and the span append
           // below would re-execute a cached plan reading that path
@@ -115,7 +116,7 @@ object SpanIngest {
             .write.mode("append").parquet(outDir)
           notAlreadyIn(spans, spansDir, Seq("doc_id", "h"))
             .write.mode("append").parquet(spansDir)
-          IngestCommit.mark(spark, indexDir, batchId)
+          IngestCommit.mark(spark, indexDir, batchId, batchKey)
         }
         ()
       }

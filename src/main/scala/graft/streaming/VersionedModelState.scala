@@ -32,6 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Shared by [[EmbeddingDriftMonitor]] (per-dim drift sums) and
   * [[CovarianceMonitor]] (packed Gram buffer).
+  *
+  * Restart contract: monitors must resume from the SAME streaming
+  * checkpoint (Spark then aligns batch ids with batch content via its
+  * WAL). A fresh checkpoint restarts ids at 0, and a NEW batch whose
+  * id collides with an old marker would be merge-skipped — for merged
+  * state there is no content-keyed fallback (unlike [[IngestCommit]]'s
+  * append sinks, whose anti-joins heal any miss): the version log is
+  * id-addressed by construction. Operationally: fresh checkpoint ⇒
+  * fresh stateDir.
   */
 private[graft] object VersionedModelState {
 

@@ -16,6 +16,20 @@ import graft.streaming.AssembleIngest
 class AssembleIngestSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Delete the commit marker(s) for a batch id — markers are now
+    * content-keyed (`<batchId>_<key>`), so tests locate them by
+    * prefix.
+    */
+  private def deleteMarker(root: String, batchId: Long): Unit = {
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_committed")
+    val hits = fsys.listStatus(dir)
+      .filter(_.getPath.getName.startsWith(s"${batchId}_"))
+    assert(hits.nonEmpty, s"no marker for batch $batchId under $root")
+    hits.foreach(st => fsys.delete(st.getPath, true))
+  }
+
   // stopword-rich lowercase sentences that pass the 0.3 quality gate
   private val A = "the quick brown fox jumps over the lazy dog in a sunny field of grass"
   private val B = "a model of the data is trained in the cloud and served to users at scale"
@@ -94,9 +108,7 @@ class AssembleIngestSpec extends SparkSpec {
     // simulated PARTIAL commit: delete batch 0's marker (data already
     // present) and replay it — the per-append anti-joins must self-heal
     // to a no-op instead of duplicating gold/index rows
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/0"), false))
+    deleteMarker(idx, 0L)
     val in3 = MemoryStream[(Long, String)]
     val q3 = AssembleIngest.assembleIngest(
       in3.toDS().toDF("doc_id", "text"), out, idx,
@@ -109,6 +121,77 @@ class AssembleIngestSpec extends SparkSpec {
       val ids = spark.read.parquet(s"$idx/$t").select("doc_id").collect().map(_.getLong(0))
       assert(ids.sorted.toSeq == wantClean, s"index $t diverged after partial-commit replay")
     }
+  }
+
+  test("broker-shaped delivery (Kafka at-least-once twin): arbitrary re-batching + redelivery of the same arrival order lands identical gold and indexes") {
+    // The in-sandbox Kafka approximation (SURVEY §8.4: no broker —
+    // MemoryStream stands in): a broker guarantees per-partition
+    // ORDER but neither batch boundaries nor exactly-once delivery.
+    // This spec drives AssembleIngest through exactly those degrees
+    // of freedom — (a) the same message order cut into DIFFERENT
+    // micro-batches, (b) at-least-once REDELIVERY of whole earlier
+    // spans (the consumer-restart-from-old-offset case), including
+    // across a kill-and-restart with a fresh checkpoint — and pins
+    // that gold and all three near-dup indexes equal the canonical
+    // run's. Why this holds structurally: exact-dup admission heals
+    // at doc_id granularity (anti-joins), and near-dup winners depend
+    // only on ARRIVAL ORDER of distinct docs (an earlier doc always
+    // wins its cluster, in-batch or cross-batch), which is exactly
+    // the invariant a partition-ordered broker preserves.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val msgs = batch1 ++ batch2 ++ batch3 // the partition's total order
+    val wantClean = Seq(1L, 3L, 12L, 22L)
+
+    def runBroker(tag: String, deliveries: Seq[Seq[(Long, String)]],
+        restartAfter: Int): (Seq[Long], Map[String, Seq[Long]]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_broker_$tag").toFile
+      val out = new java.io.File(dir, "gold").getPath
+      val idx = new java.io.File(dir, "index").getPath
+      val in = MemoryStream[(Long, String)]
+      var q = AssembleIngest.assembleIngest(
+        in.toDS().toDF("doc_id", "text"), out, idx,
+        new java.io.File(dir, "ckpt").getPath)
+      try {
+        deliveries.zipWithIndex.foreach { case (b, i) =>
+          if (i == restartAfter) {
+            // consumer crash: restart with a FRESH checkpoint (batch
+            // ids restart at 0 — the marker fast-path must not be
+            // fooled) and redelivery continues below
+            q.stop()
+            q = AssembleIngest.assembleIngest(
+              in.toDS().toDF("doc_id", "text"), out, idx,
+              new java.io.File(dir, s"ckpt_r$i").getPath)
+          }
+          in.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val gold = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val idxs = Seq("mh", "sh", "xh").map { t =>
+        t -> spark.read.parquet(s"$idx/$t").select("doc_id")
+          .collect().map(_.getLong(0)).distinct.sorted.toSeq
+      }.toMap
+      (gold, idxs)
+    }
+
+    // (a) same order, different batch boundaries: 2-4-2-3 cut
+    val rebatched = Seq(msgs.take(2), msgs.slice(2, 6), msgs.slice(6, 8), msgs.drop(8))
+    val (goldA, idxA) = runBroker("rebatch", rebatched, restartAfter = -1)
+    assert(goldA == wantClean, s"rebatched gold diverged: $goldA")
+    idxA.foreach { case (t, ids) => assert(ids == wantClean, s"index $t: $ids") }
+
+    // (b) at-least-once: batch1 fully redelivered inside batch2's
+    // span; then a crash-restart redelivers batch2's span again
+    // before batch3 — every span lands at least once, some twice
+    val redelivered = Seq(
+      batch1,
+      batch1 ++ batch2, // redelivery of span 1 + new span 2
+      batch2,           // post-restart redelivery from the old offset
+      batch3)
+    val (goldB, idxB) = runBroker("redeliver", redelivered, restartAfter = 2)
+    assert(goldB == wantClean, s"at-least-once gold diverged: $goldB")
+    idxB.foreach { case (t, ids) => assert(ids == wantClean, s"index $t: $ids") }
   }
 
   test("DSIR-composed assembly: streaming ingest under the frozen selection model + batch finishing equals the one-shot assembleSelected; indexes keep unselected survivors") {
@@ -252,7 +335,7 @@ class AssembleIngestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(s"$idx/spans"), true)
     torn.toSeq.toDF("doc_id", "h").write.parquet(s"$idx/spans")
-    fsys.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/1"), true)
+    deleteMarker(idx, 1L)
     val in2 = MemoryStream[(Long, String)]
     val q2 = SpanIngest.spanIngest(in2.toDS().toDF("doc_id", "text"), out, idx,
       new java.io.File(dir, "ckpt2").getPath)
@@ -492,7 +575,7 @@ class AssembleIngestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(s"$out/gold"), true)
     torn.toDF("doc_id", "n_tokens", "logw_micro").write.parquet(s"$out/gold")
-    fsys.delete(new org.apache.hadoop.fs.Path(s"$out/_committed/1"), true)
+    deleteMarker(out, 1L)
     val in2 = MemoryStream[(Long, String)]
     val q2 = graft.streaming.DsirIngest.dsirIngest(
       in2.toDS().toDF("doc_id", "text"), model, thr, out,
