@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{AnnIndex, TextAnalysis, Unigram}
 
-/** Round-16 registry keys — the round-14 verdict's production-gap
-  * list, headlined by the PERSISTED ANN index:
+/** Round-15 registry keys (historical file-number convention:
+  * `QueriesN` carries the keys landed in round N−1) — the round-14
+  * verdict's production-gap list, headlined by the PERSISTED ANN
+  * index:
   *
   * 1. `knn_ivfpq_persisted` — [[graft.ext.AnnIndex]]: build the
   *    rotated IVF-PQ index ONCE into a parquet model directory
