@@ -26,14 +26,19 @@ import graft.ext.{AnnIndex, TextAnalysis, Unigram}
   */
 object Queries16 extends ExtHelpers {
 
-  /** Deterministic scratch location for a registry key's index build:
-    * one directory per source dir (sf0.01 / ×10 / organic gates never
-    * collide), overwritten on every invocation — the key deliberately
-    * measures build + reload + serve, the honest cost of the
-    * round-trip.
+  /** Scratch location for a registry key's index build: one directory
+    * per (process, source dir) — the pid discriminator keeps two
+    * concurrent bench/gate PROCESSES over the same source dir from
+    * clobbering each other's index mid-build/mid-read (round-15
+    * advisor); within a process the path is deterministic and
+    * overwritten per invocation — the key deliberately measures
+    * build + reload + serve, the honest cost of the round-trip. No
+    * cleanup by design: gate scratch under /tmp, bounded by the
+    * model-artifact size, reclaimed at reboot.
     */
   private def ixDir(dir: String, tag: String): String =
-    s"/tmp/graft_ann_index/${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_ann_index/${tag}_p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -132,7 +137,7 @@ object Queries16 extends ExtHelpers {
     * per pass, the trainer's own greedy CASE fold — and aggregate the
     * combined model at language grain with the OOV columns.
     */
-  private val bpeEncodeFallbackSql = {
+  private[graft] val bpeEncodeFallbackSql = {
     val (passes, window, kBatch) = (12, 128, 32)
     val passCtes = (1 to passes).map(i =>
       Queries15.bpeBatchPassW(i, s"s${i - 1}", window, kBatch))
@@ -212,21 +217,39 @@ object Queries16 extends ExtHelpers {
   private val UG_TOP = 48
   private val UG_ROUNDS = 2
 
-  /** One Viterbi block over the chunk table `ch` under model `mPrev`:
-    * emits ps$tag (in-vocab substring scores), b${tag}_0..12 (best
-    * state per position), bb$tag (their union). */
-  private def ugDpCtes(tag: String, mPrev: String): String = {
+  /** One Viterbi block over the chunk table `chTab` under model
+    * `mPrev`: emits ps$tag (in-vocab substring scores), b${tag}_0..12
+    * (best state per position), bb$tag (their union). With
+    * `fallback`, ps$tag also carries one row per UNSEEN single
+    * character at the pinned fallback score (min model score − 1e6);
+    * no model piece can end at an unseen character's position
+    * (singles are never pruned), so the row competes with nothing —
+    * it IS the DP's only candidate there, exactly the native
+    * expression's rule.
+    */
+  private[graft] def ugDpCtes(
+      tag: String, mPrev: String, chTab: String = "ch",
+      fallback: Boolean = false): String = {
+    val fbRows = if (!fallback) "" else
+      s"""
+         UNION ALL
+         SELECT $chTab.w, CAST(jj.j AS INT) AS j, CAST(jj.j + 1 AS INT) AS i,
+                (SELECT min(s) FROM $mPrev) - 1000000 AS s
+         FROM $chTab CROSS JOIN range(0, $UG_CHUNK) jj(j)
+         WHERE jj.j + 1 <= length($chTab.w)
+           AND substr($chTab.w, CAST(jj.j AS INT) + 1, 1) NOT IN
+               (SELECT piece FROM $mPrev WHERE length(piece) = 1)"""
     val ps =
       s"""ps$tag AS MATERIALIZED (
-         SELECT ch.w, CAST(jj.j AS INT) AS j, CAST(jj.j + ll.l AS INT) AS i, m.s
-         FROM ch CROSS JOIN range(0, $UG_CHUNK) jj(j)
+         SELECT $chTab.w, CAST(jj.j AS INT) AS j, CAST(jj.j + ll.l AS INT) AS i, m.s
+         FROM $chTab CROSS JOIN range(0, $UG_CHUNK) jj(j)
                  CROSS JOIN range(1, ${UG_PLEN + 1}) ll(l)
          JOIN $mPrev m
-           ON m.piece = substr(ch.w, CAST(jj.j AS INT) + 1, CAST(ll.l AS INT))
-         WHERE jj.j + ll.l <= length(ch.w))"""
+           ON m.piece = substr($chTab.w, CAST(jj.j AS INT) + 1, CAST(ll.l AS INT))
+         WHERE jj.j + ll.l <= length($chTab.w)$fbRows)"""
     val b0 =
       s"""b${tag}_0 AS (SELECT w, CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS np,
-           CAST(0 AS INT) AS pj FROM ch)"""
+           CAST(0 AS INT) AS pj FROM $chTab)"""
     val bs = (1 to UG_CHUNK).map { i =>
       val cands = (math.max(0, i - UG_PLEN) until i).map { j =>
         s"""SELECT b.w, b.s + p.s AS s, b.np + 1 AS np, CAST($j AS INT) AS pj
@@ -244,13 +267,14 @@ object Queries16 extends ExtHelpers {
     (Seq(ps, b0) ++ bs :+ bb).mkString(",\n       ")
   }
 
-  /** One EM round: DP under m{r-1}, backtrack the best-path pieces,
-    * usage-count them, retain (singles floored at 1; multis at
-    * minCount 2), rescore on the pinned log grid → m$r. */
-  private def ugRoundCtes(r: Int): String = {
-    val tag = s"$r"
-    val dp = ugDpCtes(tag, s"m${r - 1}")
-    val p0 = s"p${tag}_0 AS (SELECT w, CAST(length(w) AS INT) AS pos FROM ch)"
+  /** Best-path pieces backtrack over a DP block: the ≤UG_CHUNK-step
+    * pointer walk from each chunk's final position, emitting
+    * pieces$tag (w, piece) with multiplicity. Shared by the EM rounds
+    * and the open-world encode oracle (which needs per-chunk OOV
+    * piece counts).
+    */
+  private[graft] def ugBacktrackCtes(tag: String, chTab: String = "ch"): Seq[String] = {
+    val p0 = s"p${tag}_0 AS (SELECT w, CAST(length(w) AS INT) AS pos FROM $chTab)"
     val pk = (1 to UG_CHUNK).map(k =>
       s"""p${tag}_$k AS (SELECT p.w, b.pj AS pos FROM p${tag}_${k - 1} p
          JOIN bb$tag b ON b.w = p.w AND b.i = p.pos WHERE p.pos > 0)""")
@@ -258,6 +282,16 @@ object Queries16 extends ExtHelpers {
       s"""SELECT p.w, substr(p.w, b.pj + 1, p.pos - b.pj) AS piece
          FROM p${tag}_${k - 1} p JOIN bb$tag b ON b.w = p.w AND b.i = p.pos
          WHERE p.pos > 0""").mkString("\n         UNION ALL ")})"""
+    (Seq(p0) ++ pk :+ pieces)
+  }
+
+  /** One EM round: DP under m{r-1}, backtrack the best-path pieces,
+    * usage-count them, retain (singles floored at 1; multis at
+    * minCount 2), rescore on the pinned log grid → m$r. */
+  private def ugRoundCtes(r: Int): String = {
+    val tag = s"$r"
+    val dp = ugDpCtes(tag, s"m${r - 1}")
+    val backtrack = ugBacktrackCtes(tag)
     val tail =
       s"""u$tag AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS u
          FROM pieces$tag JOIN ch USING (w) GROUP BY piece),
@@ -274,14 +308,14 @@ object Queries16 extends ExtHelpers {
                   AS BIGINT) AS s
          FROM v$tag CROSS JOIN
               (SELECT CAST(sum(c) AS BIGINT) AS t FROM v$tag) t)"""
-    (Seq(dp, p0) ++ pk ++ Seq(pieces, tail)).mkString(",\n       ")
+    (Seq(dp) ++ backtrack ++ Seq(tail)).mkString(",\n       ")
   }
 
   /** Shared prefix: chunking, seed counts, seed vocab + scores, then
     * UG_ROUNDS EM rounds ending at model m$UG_ROUNDS. */
-  private def ugTrainCtes: String =
+  private[graft] def ugTrainCtes(docFilter: String = "doc_id < 500"): String =
     s"""c0 AS (SELECT lang, replace(text, ' ', '▁') AS t
-         FROM documents WHERE doc_id < 500),
+         FROM documents WHERE $docFilter),
        ch AS MATERIALIZED (
          SELECT w, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest([substr(t, i * $UG_CHUNK + 1, $UG_CHUNK)
@@ -310,14 +344,14 @@ object Queries16 extends ExtHelpers {
        ${(1 to UG_ROUNDS).map(ugRoundCtes).mkString(",\n       ")}"""
 
   private val unigramTrainSql =
-    s"""WITH $ugTrainCtes
+    s"""WITH ${ugTrainCtes()}
        SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
               c AS count, s AS score
        FROM m$UG_ROUNDS ORDER BY piece"""
 
-  private val unigramEncodeSql = {
+  private[graft] val unigramEncodeSql = {
     val dp = ugDpCtes("e", s"m$UG_ROUNDS")
-    s"""WITH $ugTrainCtes,
+    s"""WITH ${ugTrainCtes()},
        $dp,
        encb AS (
          SELECT b.w, b.np AS n_tok, b.s AS lp_micro

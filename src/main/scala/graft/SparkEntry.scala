@@ -32,10 +32,10 @@ object SparkEntry {
     * ([[Queries]]) + the dataset-scale extension layer ([[ExtQueries]]:
     * dedup, similarity search, text analysis, multimodal, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++ Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++ Queries9.all ++ Queries11.all ++ Queries12.all ++ Queries13.all ++ Queries14.all ++ Queries15.all ++ Queries16.all ++ ExtQueries.all
+    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++ Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++ Queries9.all ++ Queries11.all ++ Queries12.all ++ Queries13.all ++ Queries14.all ++ Queries15.all ++ Queries16.all ++ Queries17.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++ Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++ ExtQueries.oracles
+    Queries.oracles ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++ Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++ Queries17.oracles ++ ExtQueries.oracles
 }

@@ -84,6 +84,8 @@ object GraftFunctions {
     "graft_containment" -> (args => ArrayContainment(args(0), args(1))),
     "graft_rolling_minhash" -> (args => RollingMinHash(args(0), args(1))),
     "graft_portable_hash" -> (args => PortableHash(args.head)),
+    "graft_unigram_viterbi" ->
+      (args => UnigramViterbi(args(0), args(1), args(2), args(3))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry into an AggregateExpression, same as the built-ins
     "graft_gram" -> (args => GramMatrix(args.head)),

@@ -32,22 +32,39 @@ private[graft] object IngestCommit {
   }
 
   /** CONTENT key of a micro-batch's id multiset — order- and
-    * partitioning-independent (count + xor of id hashes). The commit
-    * marker is keyed by (batchId, contentKey), not batchId alone:
-    * after a restart with a FRESH checkpoint, Spark restarts batch
-    * ids at 0, so a batch-id-only marker would silently SKIP a new
-    * batch whose id collides with an old marker — admission-time data
-    * loss (caught by the broker-delivery spec). With the content key,
-    * only a genuine replay (same id, same rows) takes the fast path;
+    * partitioning-independent. The commit marker is keyed by
+    * (batchId, contentKey), not batchId alone: after a restart with a
+    * FRESH checkpoint, Spark restarts batch ids at 0, so a
+    * batch-id-only marker would silently SKIP a new batch whose id
+    * collides with an old marker — admission-time data loss (caught
+    * by the broker-delivery spec). With the content key, only a
+    * genuine replay (same id, same rows) takes the fast path;
     * everything else falls through to the per-append anti-joins,
     * which remain the real idempotence guard.
+    *
+    * Key = (count, sum of 64-bit id hashes mod 2^61−1, xor of the
+    * same hashes). Round 15 used count + XOR of 32-bit hashes alone —
+    * the round-15 advisor showed XOR CANCELS duplicate pairs (any id
+    * appearing an even number of times contributes nothing, so
+    * {a,a,c} and {b,b,c} collided) on top of a ~2^-32 birthday
+    * surface; a false match here skips the entire batch body at
+    * admission time. The SUM component counts multiplicity (2·h(a) ≠
+    * 2·h(b)), xxhash64 widens the space, and the Mersenne-prime
+    * modulus keeps the sum inside ANSI-safe long arithmetic at any
+    * batch size (decimal(38,0) accumulator, exact).
     */
   def contentKey(batch: DataFrame, idCol: String = "doc_id"): String = {
     import org.apache.spark.sql.functions._
+    val h = xxhash64(col(idCol))
     val r = batch.agg(
       count(lit(1)).as("n"),
-      coalesce(bit_xor(hash(col(idCol)).cast("long")), lit(0L)).as("x")).collect()(0)
-    s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+      coalesce(
+        pmod(sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(BigDecimal(2305843009213693951L))).cast("long"),
+        lit(0L)).as("s"),
+      coalesce(bit_xor(h), lit(0L)).as("x")).collect()(0)
+    s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}" +
+      s"x${java.lang.Long.toHexString(r.getLong(2))}"
   }
 
   def isCommitted(
@@ -71,18 +88,35 @@ private[graft] object IngestCommit {
       spark: SparkSession, markerRoot: String, name: String, value: String): Unit = {
     val f = fs(spark, markerRoot)
     val dir = new org.apache.hadoop.fs.Path(s"$markerRoot/_format")
-    if (f.exists(dir)) {
-      val stamped = f.listStatus(dir).map(_.getPath.getName)
-        .collectFirst { case s if s.startsWith(s"$name=") => s.drop(name.length + 1) }
-      stamped match {
-        case Some(v) if v != value =>
+    def entries(): Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath.getName).toSeq
+        .filter(_.startsWith(s"$name="))
+    val stamped = entries().map(_.drop(name.length + 1))
+    stamped.find(_ != value) match {
+      case Some(v) =>
+        throw new IllegalStateException(
+          s"index at $markerRoot was created with $name=$v but is being " +
+            s"reopened with $name=$value — replay with the original flag " +
+            "or point at a fresh directory")
+      case None if stamped.nonEmpty => () // already stamped with this value
+      case None =>
+        // STAMP-THEN-VERIFY (round-15 advisor): the old check-then-stamp
+        // had a race — two streams opening the same fresh dir with
+        // CONFLICTING flags could both see "no marker" and both pass,
+        // leaving contradictory markers and the mixed-layout corruption
+        // this guard exists to prevent. Stamping first via atomic
+        // mkdirs, then RE-LISTING, closes the silent-both-pass case: if
+        // a conflicting stamp landed concurrently, the re-list sees ≥2
+        // name= entries and at least one opener (whichever re-lists
+        // after the second stamp) throws before touching data.
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$markerRoot/_format/$name=$value"))
+        val after = entries()
+        if (after.length != 1)
           throw new IllegalStateException(
-            s"index at $markerRoot was created with $name=$v but is being " +
-              s"reopened with $name=$value — replay with the original flag " +
-              "or point at a fresh directory")
-        case Some(_) => ()
-        case None => f.mkdirs(new org.apache.hadoop.fs.Path(s"$markerRoot/_format/$name=$value"))
-      }
-    } else f.mkdirs(new org.apache.hadoop.fs.Path(s"$markerRoot/_format/$name=$value"))
+            s"index at $markerRoot has conflicting $name markers " +
+              s"${after.mkString(", ")} — two streams raced the first open " +
+              "with different flags; wipe the directory and restart ONE of them")
+    }
   }
 }
