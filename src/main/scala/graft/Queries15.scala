@@ -274,7 +274,7 @@ object Queries15 extends ExtHelpers {
     * and the pinned 1e-3-grid division — shared by the flat rotated-PQ
     * oracle and the rotated IVF-PQ oracle.
     */
-  private def rotatedPwSql(iters: Int, dims: Int): String = {
+  private[graft] def rotatedPwSql(iters: Int, dims: Int): String = {
     def vlast(c: Int) = s"v${Queries13.pcaTag(c)}$iters"
     val prCtes = (1 to dims).map(c =>
       s"""pr${c} AS MATERIALIZED (
@@ -478,7 +478,7 @@ object Queries15 extends ExtHelpers {
     * `iadc`(q_id, n_id, adc_d2) — shared by the top-k and rerank
     * oracles.
     */
-  private val ivfPqRotatedAdcCtes: String =
+  private[graft] val ivfPqRotatedAdcCtes: String =
     s"""icent AS (SELECT CAST(vec_id AS INT) AS cell_id, q AS cq FROM pw WHERE vec_id < 8),
        iad AS (SELECT a.vec_id, a.q, c.cell_id, c.cq,
                       list_sum(list_transform(range(1, 65),

@@ -203,6 +203,66 @@ class Queries17Spec extends SparkSpec {
     assert(IngestCommit.contentKey(a1) != IngestCommit.contentKey(a3))
   }
 
+  // ── Lloyd-trained quantizers ─────────────────────────────────────
+
+  test("ivfPqTopKRotatedKmeans: deterministic, and the trained quantizers genuinely move off the seeds") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val a = graft.ext.Similarity.ivfPqTopKRotatedKmeans(e, q)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = graft.ext.Similarity.ivfPqTopKRotatedKmeans(e, q)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b, "k-means build must be run-to-run deterministic")
+    val seeded = graft.ext.Similarity.ivfPqTopKRotated(e, q)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a != seeded,
+      "2 Lloyd rounds left every centroid exactly on its seed — training is a no-op?")
+  }
+
+  // ── incremental append under the frozen model ────────────────────
+
+  test("AnnIndex.append: appended twins serve bit-identically, replay is a no-op, model files are untouched") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ix = freshDir("ann_append")
+    graft.ext.AnnIndex.write(e, ix)
+    def snap(part: String) = spark.read.parquet(s"$ix/$part")
+      .collect().map(_.toString).sorted.toSeq
+    val rotBefore = snap("rotation")
+    val centBefore = snap("centroids")
+    val cbBefore = snap("codebook")
+    val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val n1 = graft.ext.AnnIndex.append(spark, ix, twins)
+    assert(n1 == e.count(), s"first append must admit every new id, got $n1")
+    // replay self-heals: same batch again appends NOTHING
+    val n2 = graft.ext.AnnIndex.append(spark, ix, twins)
+    assert(n2 == 0L, s"replayed append must be a no-op, appended $n2")
+    // frozen model: no training artifact changed
+    assert(snap("rotation") == rotBefore && snap("centroids") == centBefore &&
+      snap("codebook") == cbBefore, "append must not touch the trained model")
+    // a twin encodes bit-identically to its original — the frozen-model
+    // claim pinned at the CODES level (cell assignment + every
+    // subspace code equal), which is exactly what makes the registry
+    // key's codes-UNION oracle valid. (A served-top-k pairing check
+    // would be flaky here: ADC distances tie corpus-wide at this tiny
+    // codebook, so rank order fills with small ids first.)
+    val codes = spark.read.parquet(s"$ix/codes")
+      .select("n_id", "cell_id", "sub", "cid").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toSeq
+    val orig = codes.filter(_._1 < 1000000L).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val twinned = codes.filter(_._1 >= 1000000L).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(orig.nonEmpty && twinned.size == orig.size)
+    orig.foreach { case (nid, cs) =>
+      assert(twinned(nid + 1000000L) == cs,
+        s"twin of $nid encoded differently under the frozen model")
+    }
+    // and the served path does read the twinned index (2x the lists)
+    val served = graft.ext.AnnIndex.searchTopK(spark, ix,
+      e.filter(col("vec_id") < 5), topK = 10).collect()
+    assert(served.nonEmpty)
+  }
+
   test("IngestCommit.assertFormat: conflicting markers from a raced first open are detected, not silently tolerated") {
     val root = freshDir("fmt_race")
     val fs = new org.apache.hadoop.fs.Path(root)
