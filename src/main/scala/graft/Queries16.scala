@@ -93,7 +93,7 @@ object Queries16 extends ExtHelpers {
   /** SQL twin of [[graft.ext.TrainPrep.portableHash]] over
     * `seed|doc_id`, as a boolean sample predicate.
     */
-  private def sampledPredSql(seed: String, pct: Int): String =
+  private[graft] def sampledPredSql(seed: String, pct: Int): String =
     s"""list_reduce([CAST(ascii(ch) AS BIGINT) FOR ch IN
           regexp_extract_all(md5('$seed|' || CAST(doc_id AS VARCHAR)), '.')],
         (a, b) -> (a * 31 + b) % 1000000007) % 100 < $pct"""

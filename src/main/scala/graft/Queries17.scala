@@ -73,6 +73,15 @@ object Queries17 extends ExtHelpers {
         .orderBy("lang")
     }),
 
+    // the 100 TB trainer shape for the unigram model (the sampled-BPE
+    // twin): model trained on the deterministic portableHash doc
+    // sample, oracle re-derives the identical sample via the md5-fold
+    // twin and the identical seed/EM chain
+    "unigram_train_sampled" -> ((s, dir) =>
+      Unigram.unigramTrainSampled(
+          t(s, dir, "documents").filter(col("doc_id") < 500))
+        .orderBy("piece")),
+
     // Lloyd-TRAINED quantizers for the rotated IVF-PQ chain (the
     // round-15 verdict's build-quality gap): 2 pinned integer k-means
     // rounds for the coarse cells AND the residual codebook, from the
@@ -294,8 +303,16 @@ object Queries17 extends ExtHelpers {
        SELECT q_id, n_id, adc_d2, rank FROM ar WHERE rank <= 5
        ORDER BY q_id, rank"""
 
+  private val unigramTrainSampledSql =
+    s"""WITH ${Queries16.ugTrainCtes(
+        "doc_id < 500 AND " + Queries16.sampledPredSql("ugsample", 50))}
+       SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
+              c AS count, s AS score
+       FROM m2 ORDER BY piece"""
+
   val oracles: Map[String, String] = Map(
     "unigram_encode_fallback" -> unigramEncodeFallbackSql,
+    "unigram_train_sampled" -> unigramTrainSampledSql,
 
     "knn_ivfpq_kmeans" -> ivfPqKmeansSql,
     "knn_ivfpq_append_serve" -> ivfPqAppendServeSql,

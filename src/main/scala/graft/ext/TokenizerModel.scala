@@ -135,7 +135,10 @@ object TokenizerModel {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  private def loadUnigram(
+  /** The guarded (model, maxPieceLen, chunkChars) load — also the
+    * frozen-model source for [[graft.streaming.TokenizeIngest]].
+    */
+  private[graft] def loadUnigramModel(
       spark: SparkSession, dir: String): (Unigram.Model, Int, Int) = {
     val row = checkMeta(spark, dir, "unigram")
     val model = spark.read.parquet(s"$dir/pieces")
@@ -164,7 +167,7 @@ object TokenizerModel {
       dir: String,
       docs: DataFrame,
       openWorld: Boolean = true): DataFrame = {
-    val (model, maxPieceLen, chunkChars) = loadUnigram(spark, dir)
+    val (model, maxPieceLen, chunkChars) = loadUnigramModel(spark, dir)
     val fb = if (openWorld) Some(Unigram.fallbackScore(model)) else None
     Unigram.encodeUnder(model, docs, maxPieceLen, chunkChars, fb, oovCols = openWorld)
   }

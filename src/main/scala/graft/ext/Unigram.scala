@@ -225,6 +225,61 @@ object Unigram {
     else aggd
   }
 
+  /** DOC-grain encode under an already-trained model — one row per
+    * document (doc_id, lang, n_chunks, n_tokens, n_chars,
+    * lp_micro_total, n_oov_chars), the admission-time unit
+    * [[graft.streaming.TokenizeIngest]] appends per batch. Same
+    * map-only shape as [[encodeUnder]] (native DP per occurrence,
+    * model as literal, zero joins), aggregated at doc grain.
+    */
+  private[graft] def encodeDocs(
+      model: Model,
+      docs: DataFrame,
+      maxPieceLen: Int,
+      chunkChars: Int,
+      fallback: Option[Long]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"), translate(col("text"), " ", "▁").as("t"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""transform(sequence(0, greatest(cast(ceil(length(t) / $chunkChars.0D) as int) - 1, 0)),
+              i -> substring(t, i * $chunkChars + 1, $chunkChars))""")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("vit", vit(col("w"), model, maxPieceLen, fallback))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(size(col("vit.pieces")).cast("long")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("vit.s")).as("lp_micro_total"),
+        sum(col("vit.n_oov")).as("n_oov_chars"))
+  }
+
+  /** The 100 TB trainer shape ([[TextAnalysis.bpeTrainMergesSampled]]'s
+    * twin for the unigram model): the model is trained on a
+    * deterministic `portableHash(seed|doc_id) % 100 < samplePct`
+    * document sample — a pure function of the doc id, so re-runs,
+    * retries, and different partitionings train on THE SAME documents
+    * and the DuckDB oracle re-derives the identical sample — and
+    * encodes/serves everything (encode is already corpus-scale:
+    * map-only under the vocab-sized literal).
+    */
+  def unigramTrainSampled(
+      docs: DataFrame,
+      samplePct: Int = 50,
+      seed: String = "ugsample",
+      rounds: Int = 2,
+      maxPieceLen: Int = 4,
+      vocabTop: Int = 48,
+      chunkChars: Int = 12,
+      minCount: Long = 2L): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be in [1,100], got $samplePct")
+    unigramTrain(docs.filter(
+      graft.ext.TrainPrep.portableHash(
+        concat(lit(s"$seed|"), col("doc_id").cast("string"))) % 100 < samplePct),
+      rounds, maxPieceLen, vocabTop, chunkChars, minCount)
+  }
+
   /** Corpus encode under the trained model — per language: chunk and
     * token counts, Viterbi log-score mass, fertility and compression
     * (the [[TextAnalysis.bpeFertilityChunked]] audit shape for the

@@ -203,6 +203,62 @@ class Queries17Spec extends SparkSpec {
     assert(IngestCommit.contentKey(a1) != IngestCommit.contentKey(a3))
   }
 
+  // ── tokenize-at-admission under the frozen persisted model ───────
+
+  test("TokenizeIngest: gold equals the one-shot batch encode, replay adds nothing, unseen chars are counted not fatal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val md = freshDir("ingest_model")
+    TokenizerModel.writeUnigram(
+      documents.filter(col("doc_id") < 150 && !col("text").contains("q")), md)
+    val root = java.nio.file.Files.createTempDirectory("graft_tok_ingest").toFile
+    val out = new java.io.File(root, "out").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val b1 = documents.filter(col("doc_id") < 60)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val b2 = documents.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((999L, "en", "qqq brand new text with the withheld letter q"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.TokenizeIngest.tokenizeIngest(
+      in.toDS().toDF("doc_id", "lang", "text"), md, out, ckpt)
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gold = spark.read.parquet(s"$out/gold")
+      .orderBy("doc_id").collect().toSeq
+    val all = documents.filter(col("doc_id") < 120)
+      .select("doc_id", "lang", "text")
+      .unionByName(Seq((999L, "en", "qqq brand new text with the withheld letter q"))
+        .toDF("doc_id", "lang", "text"))
+    val oneShot = graft.streaming.TokenizeIngest.batchEncode(spark, md, all)
+      .orderBy("doc_id").collect().toSeq
+    assert(gold.nonEmpty && gold == oneShot,
+      "streamed gold diverged from the one-shot frozen-model encode")
+    // the withheld-letter doc was admitted WITH its OOV accounting
+    val novel = gold.find(_.getAs[Long]("doc_id") == 999L).get
+    assert(novel.getAs[Long]("n_oov_chars") > 0L,
+      "unseen characters must be counted, not dropped or fatal")
+    // replay with a fresh checkpoint (batch ids restart at 0): the
+    // content-keyed markers + anti-join must add nothing
+    val ckpt2 = new java.io.File(root, "ckpt2").getPath
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = graft.streaming.TokenizeIngest.tokenizeIngest(
+      in2.toDS().toDF("doc_id", "lang", "text"), md, out, ckpt2)
+    try {
+      in2.addData(b1: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.read.parquet(s"$out/gold").orderBy("doc_id").collect().toSeq
+    assert(after == gold, "replayed batch duplicated gold rows")
+  }
+
   // ── Lloyd-trained quantizers ─────────────────────────────────────
 
   test("ivfPqTopKRotatedKmeans: deterministic, and the trained quantizers genuinely move off the seeds") {
