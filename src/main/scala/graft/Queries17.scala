@@ -94,6 +94,19 @@ object Queries17 extends ExtHelpers {
         .orderBy("q_id", "rank")
     }),
 
+    // the production index: Lloyd-TRAINED quantizers AND persistence
+    // composed — write(lloydIters=2) then serve from the reloaded
+    // frames; shares the inline kmeans chain's oracle VERBATIM (the
+    // knn_ivfpq_persisted round-trip argument, now for the trained
+    // build)
+    "knn_ivfpq_kmeans_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ix = modelDir(dir, "annkmeans")
+      AnnIndex.write(e, ix, lloydIters = 2)
+      AnnIndex.searchTopK(s, ix, e.filter(col("vec_id") < 10))
+        .orderBy("q_id", "rank")
+    }),
+
     // incremental append under the FROZEN persisted model: build the
     // index, append every corpus vector again under shifted ids (the
     // "new arrivals" batch — same embeddings, so their rotation,
@@ -315,6 +328,7 @@ object Queries17 extends ExtHelpers {
     "unigram_train_sampled" -> unigramTrainSampledSql,
 
     "knn_ivfpq_kmeans" -> ivfPqKmeansSql,
+    "knn_ivfpq_kmeans_persisted" -> ivfPqKmeansSql,
     "knn_ivfpq_append_serve" -> ivfPqAppendServeSql,
 
     // bit-identity with the inline train-then-encode chain IS the

@@ -86,13 +86,22 @@ object AnnIndex {
     * assign/encode pass — the same work the inline chain pays once
     * per QUERY BATCH, paid here once per CORPUS.
     */
+  /** `lloydIters = 0` (default) builds with the pinned-seed
+    * quantizers — byte-compatible with every round-15 index;
+    * `lloydIters > 0` builds with the Lloyd-TRAINED coarse cells and
+    * residual codebook ([[Similarity.ivfPqBuildQKmeans]] — measured
+    * 3.7–5× the seeded ADC recall, BASELINE §R16). The serve and
+    * append paths are identical either way: they read whatever
+    * centroids/codebook the directory holds.
+    */
   def write(
       corpus: DataFrame,
       dir: String,
       cells: Int = 8,
       m: Int = 4,
       k: Int = 8,
-      iters: Int = 8): Unit = {
+      iters: Int = 8,
+      lloydIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (comps, sums, n) = Similarity.rotationModel(corpus, iters)
@@ -104,7 +113,9 @@ object AnnIndex {
     // rotated corpus frame, materialized once — feeds centroids,
     // codebook, and code assignment (the inline chain's own shape)
     val rq = Checkpoints.truncateLazy(rotate(corpus, compsL, sumsL, n))
-    val ix = Similarity.ivfPqBuildQ(rq, cells, m, k)
+    val ix =
+      if (lloydIters > 0) Similarity.ivfPqBuildQKmeans(rq, cells, m, k, lloydIters)
+      else Similarity.ivfPqBuildQ(rq, cells, m, k)
     ix.cent.repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
     ix.cb.repartition(1).write.mode("overwrite").parquet(s"$dir/codebook")
     ix.codes.write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/codes")

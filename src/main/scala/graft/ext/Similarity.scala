@@ -1816,6 +1816,16 @@ object Similarity {
     require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
     val sl = ivfPqTopKRotated(corpus, queries, cells, m, k, probes, shortlist, iters)
       .select(col("q_id"), col("n_id"))
+    rerankFrom(corpus, queries, sl, topK)
+  }
+
+  /** The exact RAW-space rerank stage over an ADC shortlist — one
+    * corpus pass with the |Q|·shortlist candidate set broadcast onto
+    * it. Shared by the seeded and Lloyd-trained rerank chains (and
+    * mirrored by [[AnnIndex.searchRerank]]).
+    */
+  private def rerankFrom(
+      corpus: DataFrame, queries: DataFrame, sl: DataFrame, topK: Int): DataFrame = {
     val c = Scale.widen(corpus)
       .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("cv"))
     val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("qq"))
@@ -1825,6 +1835,27 @@ object Similarity {
       .select(col("q_id"), col("n_id"), expr(l2sq("cv", "qq")).as("exact_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** [[ivfPqRerankRotated]] with Lloyd-trained quantizers: trained
+    * ADC shortlist → exact raw-space rerank.
+    */
+  def ivfPqRerankRotatedKmeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cells: Int = 8,
+      m: Int = 4,
+      k: Int = 8,
+      probes: Int = 2,
+      shortlist: Int = 20,
+      topK: Int = 5,
+      iters: Int = 8,
+      lloydIters: Int = 2): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
+    val sl = ivfPqTopKRotatedKmeans(
+        corpus, queries, cells, m, k, probes, shortlist, iters, lloydIters)
+      .select(col("q_id"), col("n_id"))
+    rerankFrom(corpus, queries, sl, topK)
   }
 
   /** Adaptive IVF-PQ — the policy layer the round-6 organic recall

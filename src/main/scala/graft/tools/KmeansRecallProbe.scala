@@ -67,6 +67,12 @@ object KmeansRecallProbe {
       recall(s"kmeans_iters=$li",
         Similarity.ivfPqTopKRotatedKmeans(e, queries, topK = topK, lloydIters = li))
     }
+    // the production serve path: shortlist + exact raw-space rerank —
+    // the stage that rescues ADC's low absolute recall
+    recall("seeded_rerank",
+      Similarity.ivfPqRerankRotated(e, queries, topK = topK))
+    recall("kmeans_rerank_iters=2",
+      Similarity.ivfPqRerankRotatedKmeans(e, queries, topK = topK))
     spark.stop()
   }
 }

@@ -275,6 +275,22 @@ class Queries17Spec extends SparkSpec {
       "2 Lloyd rounds left every centroid exactly on its seed — training is a no-op?")
   }
 
+  test("AnnIndex.write(lloydIters=2): persisted trained index answers bit-identically to the inline kmeans chain") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ix = freshDir("ann_kmeans")
+    graft.ext.AnnIndex.write(e, ix, lloydIters = 2)
+    val persisted = graft.ext.AnnIndex.searchTopK(spark, ix, e.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank")
+      .select(col("q_id"), col("n_id"), col("adc_d2"), col("rank"))
+      .collect().toSeq
+    val inline = graft.ext.Similarity.ivfPqTopKRotatedKmeans(e, e.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank")
+      .select(col("q_id"), col("n_id"), col("adc_d2"), col("rank"))
+      .collect().toSeq
+    assert(persisted.nonEmpty && persisted == inline,
+      "persisted trained-quantizer index diverged from the inline kmeans chain")
+  }
+
   // ── incremental append under the frozen model ────────────────────
 
   test("AnnIndex.append: appended twins serve bit-identically, replay is a no-op, model files are untouched") {
