@@ -216,11 +216,11 @@ object AnnIndex {
     val qv = queries.select(col("vec_id").as("q_id"),
       graft.ext.TextPrimitives.quantized(col("embedding")).as("qq"))
     val w = Window.partitionBy("q_id").orderBy(col("exact_d2"), col("n_id"))
+    graft.functions.GraftFunctions.register(spark)
     c.join(broadcast(sl), Seq("n_id"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        expr("aggregate(zip_with(cv, qq, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (acc, v) -> acc + v)").as("exact_d2"))
+        call_function("graft_qdist2", col("cv"), col("qq")).as("exact_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
@@ -280,20 +280,20 @@ object AnnIndex {
       comps: Seq[Array[Long]],
       sums: Array[Long],
       n: Long): DataFrame = {
-    val d = comps.length
+    // r16 optimization: one native graft_qrotate per row instead of d
+    // nested Projects each holding an interpreted HOF fold — identical
+    // integer procedure (Long products/sums with the same wrap
+    // semantics, Java `/` ≡ the pinned truncate-toward-zero CASE), so
+    // a corpus member still lands on bit-identical integers to its
+    // row in [[Similarity.rotatedQ]] (spec-pinned).
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
-    val withNums = comps.zipWithIndex.foldLeft(
-      df.select(col("vec_id"), q.as("_q"))) { case (acc, (v, c)) =>
-      val vLit = typedLit(v.toSeq)
-      val center = v.zip(sums).map { case (w, s) => BigInt(w) * BigInt(s) }
-        .sum.bigInteger.longValueExact()
-      acc.withColumn(s"pc${c + 1}_num",
-        lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
-          lit(0L), (acc2, x) => acc2 + x) - lit(center))
-    }.withColumn("n_rows", lit(n))
-    val rotCols = (1 to d).map(i =>
-      expr(s"CASE WHEN pc${i}_num >= 0 THEN pc${i}_num div (n_rows * 1000) " +
-        s"ELSE -((-pc${i}_num) div (n_rows * 1000)) END"))
-    withNums.select(col("vec_id"), array(rotCols: _*).as("q"))
+    val centers = comps.map(v =>
+      v.zip(sums).map { case (w, s) => BigInt(w) * BigInt(s) }
+        .sum.bigInteger.longValueExact())
+    df.select(col("vec_id"),
+      call_function("graft_qrotate", q,
+        typedLit(comps.map(_.toSeq)), typedLit(centers),
+        lit(n), typedLit(comps.map(_ => n * 1000L))).as("q"))
   }
 }

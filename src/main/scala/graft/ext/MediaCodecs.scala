@@ -9,6 +9,20 @@ package graft.ext
   * the sibling traits / the object itself.
   */
 trait MediaCodecs {
+  /** ImageIO's default stream cache is DISK-backed: every
+    * `ImageIO.read`/`write`/`createImageOutputStream` call creates
+    * (and deletes) a temp file under java.io.tmpdir. The rasters at
+    * this seam are ≤16×8 px, so the temp-file churn is ~100% of the
+    * per-image cost (measured r16: the multimodal phash keys are
+    * encode/decode-bound, not join-bound). In-memory cache streams
+    * produce byte-identical output — this is pure fixed-overhead
+    * removal (optimization guide §1.2 "per-task work"). Runs once at
+    * object init; every codec entry point lives in this object, and
+    * the flag is also re-asserted per decode batch on executors via
+    * the same object-initialization path.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic sample stream: s(i) = ((id·2654435761 + i·40503)
     * mod 65536) − 32768 — pure integer arithmetic so DuckDB can
     * reproduce it with a `range()` expansion.

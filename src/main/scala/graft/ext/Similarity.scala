@@ -516,16 +516,13 @@ object Similarity {
         .withColumn("n_rows", lit(0L)).limit(0)
     }
     val (comps, sums, n, _) = pcaFromGram(packed, k, iters)
-    val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
-    val projected = comps.zipWithIndex.foldLeft(corpus.select(col("vec_id"), q.as("_q"))) {
-      case (df, (v, c)) =>
-        val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
-        val center = sums.zip(v).map { case (s, w) => s * w }.sum.bigInteger.longValueExact()
-        df.withColumn(s"pc${c + 1}_num",
-          lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x) - lit(center))
-    }
-    projected.drop("_q").withColumn("n_rows", lit(n))
+    // one native graft_qrotate per row (divisor 0 = raw numerators)
+    // instead of k nested withColumn Projects each holding an
+    // interpreted HOF fold (r16 optimization; identical arithmetic)
+    corpus.select(col("vec_id"), qrotateCol(comps, sums, n, divisor = 0L).as("_r"))
+      .select(col("vec_id") +:
+        (1 to k).map(i => element_at(col("_r"), i).as(s"pc${i}_num")) :+
+        lit(n).as("n_rows"): _*)
   }
 
   /** WHITENED projection — [[pcaProject]]'s exact centered numerators
@@ -564,23 +561,19 @@ object Similarity {
         .withColumn("n_rows", lit(0L)).limit(0)
     }
     val (comps, sums, n, lams) = pcaFromGram(packed, k, iters)
-    val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
-    val projected = comps.zip(lams).zipWithIndex
-      .foldLeft(corpus.select(col("vec_id"), q.as("_q"))) {
-        case (df, ((v, lam), c)) =>
-          val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
-          val center = sums.zip(v).map { case (s, w) => s * w }
-            .sum.bigInteger.longValueExact()
-          val sigma = if (lam.signum > 0) BigInt(lam.bigInteger.sqrt()) else BigInt(0)
-          val sden = (sigma / 1000000).max(1).bigInteger.longValueExact()
-          df.withColumn(s"_pc${c + 1}",
-            lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x) - lit(center))
-            .withColumn(s"pc${c + 1}_white",
-              expr(s"_pc${c + 1} div CAST($sden AS BIGINT)"))
-      }
-    (1 to k).foldLeft(projected.drop("_q"))((df, i) => df.drop(s"_pc$i"))
-      .withColumn("n_rows", lit(n))
+    // per-component whitening divisors ride as graft_qrotate's divisor
+    // array (Java `/` ≡ Spark `div`, truncation toward zero — sden > 0
+    // always, so no negative-divisor route is needed); one native
+    // expression replaces 2k nested Projects (r16 optimization)
+    val sdens = lams.map { lam =>
+      val sigma = if (lam.signum > 0) BigInt(lam.bigInteger.sqrt()) else BigInt(0)
+      (sigma / 1000000).max(1).bigInteger.longValueExact()
+    }
+    corpus.select(col("vec_id"),
+        qrotateCol(comps, sums, n, divisor = 0L, divisors = sdens).as("_r"))
+      .select(col("vec_id") +:
+        (1 to k).map(i => element_at(col("_r"), i).as(s"pc${i}_white")) :+
+        lit(n).as("n_rows"): _*)
   }
 
   /** The shared driver-side eigen core: full covariance matrix from
@@ -1261,20 +1254,8 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("q_id", "k_full", "n_overlap", "recall_ppm")
     val (comps, sums, n, _) = pcaFromGram(packed, dims, iters)
-    def projected(df: DataFrame): DataFrame = {
-      val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
-      val base = df.select(col("vec_id"), q.as("_q"))
-      val cols = comps.zipWithIndex.map { case (v, c) =>
-        val vLit = typedLit(v.map(_.bigInteger.longValueExact()))
-        val center = sums.zip(v).map { case (s, w) => s * w }
-          .sum.bigInteger.longValueExact()
-        (lit(n) * aggregate(zip_with(col("_q"), vLit, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x) - lit(center)).as(s"_pc$c")
-      }
-      base.select(col("vec_id") +: cols: _*)
-        .select(col("vec_id"),
-          array((0 until dims).map(c => col(s"_pc$c")): _*).as("p"))
-    }
+    def projected(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), qrotateCol(comps, sums, n, divisor = 0L).as("p"))
     def ddot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -1422,11 +1403,17 @@ object Similarity {
       .withColumn("recall_ppm", expr("n_overlap * 1000000 div k_full"))
   }
 
-  /** Exact integer L2² between two quantized vectors (built-ins only —
-    * zip_with folds inside codegen).
+  /** Exact integer L2² between two quantized vectors — the native
+    * codegen'd [[graft.functions.LongArraySqDist]] (r16 optimization:
+    * the previous `aggregate(zip_with(...))` fold was a higher-order
+    * function, which is CodegenFallback — interpreted per row with an
+    * intermediate array allocation; identical arithmetic, zip
+    * semantics, and Long wrap behavior, so every oracle is unchanged).
+    * Callers must have run `GraftFunctions.register` on the session —
+    * every public entry point here does.
     */
   private def l2sq(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+    s"graft_qdist2($a, $b)"
 
   /** IVF-PQ — the full production ANN index (Jégou et al.): coarse
     * quantization into `cells` inverted lists, PQ codes over the
@@ -1498,15 +1485,43 @@ object Similarity {
   private[graft] def rotatedQ(corpus: DataFrame, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val d = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // one Gram pass gives BOTH the width and the eigen model (the old
+    // form paid a separate limit(1) job just to read d); the rotation
+    // itself is ONE native expression per row (graft_qrotate) instead
+    // of d nested Projects each holding an interpreted fold — same
+    // integer procedure, same truncate-toward-zero division (Java `/`
+    // ≡ the pinned CASE WHEN >= 0 ... ELSE -((-x) div y) route)
+    val packed = gramPacked(corpus)
+    val d = if (packed.isEmpty) 0 else gramDim(packed.length)
     if (d == 0)
       return Seq.empty[(Long, Array[Long])].toDF("vec_id", "q")
-    val proj = Checkpoints.truncateLazy(pcaProject(corpus, k = d, iters))
-    val rotCols = (1 to d).map(i =>
-      expr(s"CASE WHEN pc${i}_num >= 0 THEN pc${i}_num div (n_rows * 1000) " +
-        s"ELSE -((-pc${i}_num) div (n_rows * 1000)) END"))
-    proj.select(col("vec_id"), array(rotCols: _*).as("q"))
+    val (comps, sums, n, _) = pcaFromGram(packed, d, iters)
+    Checkpoints.truncateLazy(
+      corpus.select(col("vec_id"),
+        qrotateCol(comps, sums, n, divisor = n * 1000L).as("q")))
+  }
+
+  /** The [[graft.functions.QRotate]] column over the standard
+    * embedding→1e-3-grid quantization: exact centered projection
+    * numerators `n·(q·v_c) − Σᵢ sumsᵢ·v_cᵢ` per component, divided by
+    * `divisor` with truncation toward zero (`divisor = 0` emits the
+    * raw numerators — the [[pcaProject]] surface). Model rides as
+    * KB-scale literals; one codegen'd pass, no joins. Requires
+    * GraftFunctions registration (all callers here register).
+    */
+  private def qrotateCol(
+      comps: Seq[Array[BigInt]],
+      sums: Array[BigInt],
+      n: Long,
+      divisor: Long,
+      divisors: Seq[Long] = Seq.empty): Column = {
+    val compsL = comps.map(_.map(_.bigInteger.longValueExact()).toSeq)
+    val centers = comps.map(v =>
+      sums.zip(v).map { case (s, w) => s * w }.sum.bigInteger.longValueExact())
+    val divs = if (divisors.nonEmpty) divisors else comps.map(_ => divisor)
+    val q = transform(col("embedding"), x => round(x.cast("double") * 1e3).cast("long"))
+    call_function("graft_qrotate", q,
+      typedLit(compsL), typedLit(centers), lit(n), typedLit(divs))
   }
 
   /** The three persistable relations of a built IVF-PQ index: coarse
@@ -1541,30 +1556,68 @@ object Similarity {
     * (argmin (d2, cell_id) — the pinned tie order) and take its
     * residual. Shared by the seeded and Lloyd-trained builds and by
     * [[AnnIndex.append]]'s frozen-model encode.
+    *
+    * r16 optimization (guide §2.4, remove shuffles outright): the old
+    * form was join(broadcast(cent)) → groupBy(vec_id, q) argmin →
+    * join(broadcast(cent)) — ONE FULL CORPUS EXCHANGE (keyed by the
+    * vector itself) per build/append pass, paid only to pick a
+    * per-row argmin over a model-sized table. The centroid table is
+    * cells·d longs — driver-model-sized by construction — so it now
+    * rides as [[graft.functions.NearestCandidate]]'s literal and the
+    * assignment is MAP-ONLY: zero joins, zero exchanges, the corpus
+    * is scanned once. Identical argmin/tie/residual arithmetic
+    * (spec-pinned), so every oracle is unchanged.
     */
-  private[graft] def coarseAssign(c: DataFrame, cent: DataFrame): DataFrame =
-    c.join(broadcast(cent))
-      .select(col("vec_id"), col("q"), col("cell_id"), expr(l2sq("q", "cq")).as("d2c"))
-      .groupBy(col("vec_id"), col("q"))
-      .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
-      .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
-      .join(broadcast(cent), Seq("cell_id"))
-      .select(col("vec_id"), col("cell_id"),
-        expr("zip_with(q, cq, (x, y) -> x - y)").as("r"))
+  private[graft] def coarseAssign(c: DataFrame, cent: DataFrame): DataFrame = {
+    val cents = cent.select(col("cell_id").cast("int"), col("cq")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    coarseAssignNative(c, cents)
+  }
 
-  /** PQ-encode each assigned residual against the broadcast codebook
-    * (argmin (d2, cid) per subspace). Shared like [[coarseAssign]].
+  /** [[coarseAssign]] against driver-side centroid state (the Lloyd
+    * trainer's own representation — skips the DataFrame round-trip).
     */
-  private[graft] def encodeCodes(asg: DataFrame, cb: DataFrame, m: Int): DataFrame =
-    asg
-      .select(col("vec_id").as("n_id"), col("cell_id"), posexplode(expr(subvectors("r", m))))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "v_sub")
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("n_id"), col("cell_id"), col("sub"), col("cid"),
-        expr(l2sq("v_sub", "c_sub")).as("d2"))
-      .groupBy(col("n_id"), col("cell_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col("n_id"), col("cell_id"), col("sub"), col("best.cid").as("cid"))
+  private[graft] def coarseAssignNative(
+      c: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    graft.functions.GraftFunctions.register(c.sparkSession)
+    if (cents.isEmpty)
+      return c.select(col("vec_id"), lit(0).as("cell_id"), col("q").as("r")).limit(0)
+    val best = call_function("graft_nearest", col("q"),
+      typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+    c.select(col("vec_id"), best.as("_b"))
+      .select(col("vec_id"), col("_b.id").as("cell_id"), col("_b.r").as("r"))
+  }
+
+  /** PQ-encode each assigned residual against the codebook (argmin
+    * (d2, cid) per subspace). Shared like [[coarseAssign]].
+    *
+    * r16 optimization, same move: the old form posexploded the corpus
+    * ×m, joined the broadcast codebook ×k, and re-aggregated per
+    * (vector, subspace) — a second full-corpus exchange per build.
+    * The codebook is k·m·(d/m) longs (model-sized), so it rides as
+    * [[graft.functions.PqEncode]]'s literal and the encode is
+    * MAP-ONLY (one explode of the m-element result array; no join, no
+    * exchange). Identical subvector split, distances, and tie order.
+    */
+  private[graft] def encodeCodes(asg: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(asg.sparkSession)
+    val rows = cb.select(col("sub").cast("int"), col("cid").cast("int"), col("c_sub"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    if (rows.isEmpty)
+      return asg.select(col("vec_id").as("n_id"), col("cell_id"),
+        lit(0).as("sub"), lit(0).as("cid")).limit(0)
+    val bySub = rows.groupBy(_._1)
+    require((0 until m).forall(bySub.contains),
+      s"encodeCodes: codebook covers subs ${bySub.keys.toSeq.sorted} of expected 0..${m - 1}")
+    val sorted = (0 until m).map(s => bySub(s).sortBy(_._2))
+    val e = call_function("graft_pq_encode", col("r"),
+      typedLit(sorted.map(_.map(_._3).toSeq)),
+      typedLit(sorted.map(_.map(_._2).toSeq)))
+    asg.select(col("vec_id").as("n_id"), col("cell_id"), explode(e).as("_e"))
+      .select(col("n_id"), col("cell_id"),
+        col("_e.sub").as("sub"), col("_e.cid").as("cid"))
+  }
 
   /** The pinned truncate-toward-zero integer mean — `div` truncates in
     * Spark, `//` floors in DuckDB, so negatives route through the
@@ -1610,13 +1663,15 @@ object Similarity {
       .select(col("vec_id").cast("int"), col("q"))
       .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to lloydIters) {
-      val centDF = cent.toDF("cell_id", "cq")
-      val updated = c.join(broadcast(centDF))
-        .select(col("vec_id"), col("q"), col("cell_id"),
-          expr(l2sq("q", "cq")).as("d2c"))
-        .groupBy(col("vec_id"), col("q"))
-        .agg(min(struct(col("d2c"), col("cell_id"))).as("best"))
-        .select(col("best.cell_id").as("cell_id"),
+      // map-only argmin against the literal centroid state (r16: the
+      // old join + groupBy(vec_id, q) argmin exchanged the whole
+      // corpus per Lloyd round); the per-(cell, dim) partial-sum
+      // shuffle that remains is k·d output rows, the canonical
+      // distributed-Lloyd dataflow
+      val updated = c.select(
+          call_function("graft_nearest", col("q"),
+            typedLit(cent.map(_._2)), typedLit(cent.map(_._1)))
+            .getField("id").as("cell_id"),
           posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cell_id"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -1628,23 +1683,27 @@ object Similarity {
       cent = cent.map { case (id, prev) => (id, updated.getOrElse(id, prev)) }
     }
     val centDF = cent.toDF("cell_id", "cq")
-    val asg = Checkpoints.truncateLazy(coarseAssign(c, centDF))
+    val asg = Checkpoints.truncateLazy(coarseAssignNative(c, cent))
     // ── per-subspace codebook Lloyd from the pinned seed ──────────
-    val rsub = asg
+    var cb: Seq[(Int, Int, Seq[Long])] = asg.filter(col("vec_id") < k)
       .select(col("vec_id"), posexplode(expr(subvectors("r", m))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "v_sub")
-    var cb: Seq[(Int, Int, Seq[Long])] = rsub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("cid"), col("v_sub"))
       .as[(Int, Int, Seq[Long])].collect().toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 1 to lloydIters) {
-      val cbDF = cb.toDF("sub", "cid", "c_sub")
-      val updated = rsub.join(broadcast(cbDF), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("v_sub"), col("cid"),
-          expr(l2sq("v_sub", "c_sub")).as("d2"))
-        .groupBy(col("vec_id"), col("sub"), col("v_sub"))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col("sub"), col("best.cid").as("cid"),
-          posexplode(col("v_sub")).as(Seq("dim", "v")))
+      // map-only per-subspace argmin via the literal codebook (r16:
+      // the old ×m explode + broadcast join + groupBy(vec, sub, v_sub)
+      // argmin exchanged the exploded corpus per round); the update's
+      // (sub, cid, dim) partial-sum shuffle is k·m·(d/m) output rows
+      val bySub = cb.groupBy(_._1)
+      val sorted = (0 until m).map(s => bySub(s).sortBy(_._2))
+      val e = call_function("graft_pq_encode", col("r"),
+        typedLit(sorted.map(_.map(_._3))), typedLit(sorted.map(_.map(_._2))))
+      val updated = asg.select(col("r"), explode(e).as("_e"))
+        .select(col("_e.sub").as("sub"), col("_e.cid").as("cid"),
+          posexplode(expr(
+            s"slice(r, _e.sub * (size(r) div $m) + 1, size(r) div $m)"))
+            .as(Seq("dim", "v")))
         .groupBy(col("sub"), col("cid"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .withColumn("cm", expr(truncMean))
@@ -1704,7 +1763,7 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(pw))
       .filter(col("probe_rank") <= probes)
       .select(col("q_id"), col("cell_id"),
-        expr("zip_with(q, cq, (x, y) -> x - y)").as("qr"))
+        call_function("graft_qsub", col("q"), col("cq")).as("qr"))
     val dtab = probed
       .select(col("q_id"), col("cell_id"), posexplode(expr(subvectors("qr", m))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "q_sub")
@@ -1780,6 +1839,7 @@ object Similarity {
       probes: Int = 2,
       shortlist: Int = 20,
       topK: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
     val sl = ivfPqTopK(corpus, queries, cells, m, k, probes, shortlist)
       .select(col("q_id"), col("n_id"))
@@ -1826,6 +1886,7 @@ object Similarity {
     */
   private def rerankFrom(
       corpus: DataFrame, queries: DataFrame, sl: DataFrame, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = Scale.widen(corpus)
       .select(col("vec_id").as("n_id"), quantized(col("embedding")).as("cv"))
     val qv = queries.select(col("vec_id").as("q_id"), quantized(col("embedding")).as("qq"))

@@ -77,6 +77,12 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_qdot" -> (args => LongArrayDot(args(0), args(1))),
+    "graft_qdist2" -> (args => LongArraySqDist(args(0), args(1))),
+    "graft_qsub" -> (args => LongArraySub(args(0), args(1))),
+    "graft_qrotate" ->
+      (args => QRotate(args(0), args(1), args(2), args(3), args(4))),
+    "graft_nearest" -> (args => NearestCandidate(args(0), args(1), args(2))),
+    "graft_pq_encode" -> (args => PqEncode(args(0), args(1), args(2))),
     "graft_hamming" -> (args => StringHamming(args(0), args(1))),
     "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))),
     "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))),

@@ -1,43 +1,45 @@
 package graft.tools
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dump `explain("formatted")` for registry keys to files — the
+  * judge-facing plan evidence of the optimization rounds
+  * (`plans/r16/<key>_{before,after}.txt`). Keys whose builder performs
+  * eager work (index writes, Lloyd collects) pay it here too; the dump
+  * is the UNEXECUTED plan of the returned frame (AQE initial), which
+  * is what the plan-shape claims reference (Exchange count, join
+  * strategy, expression forms).
+  *
+  * Usage: PlanDump <sfDir> <outDir> <suffix> <keys,csv|all>
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    require(args.length >= 4, "usage: PlanDump <sfDir> <outDir> <suffix> <keys,csv|all>")
+    val (sfDir, outDir, suffix) = (args(0), args(1), args(2))
+    val keep: String => Boolean =
+      if (args(3) == "all") _ => true
+      else args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      println(s"@@@ $name")
-      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
-    }
-    val dir = "/root/testdata/sf0.001"
-    dump("scan_project_filter", graft.SparkEntry.queries("scan_project_filter")(spark, dir))
-    val base = graft.schema.Snapshot.fromParquetDir(spark, dir)
-    dump("diff_dag", graft.diff.Diff.diff(base, base))
-    val e = graft.sources.Tables.load(spark, dir, "embeddings")
-    dump("lsh_ann", graft.ext.Similarity.lshTopK(e, e.limit(4), k = 3))
-    dump("tpch_q5", graft.SparkEntry.queries("tpch_q5_local_supplier")(spark, dir))
-    // round-3 Catalyst tier: the native as-of operator and the
-    // rule-rewritten interval join (pre-checkpoint plan re-derived here)
-    dump("asof_native", graft.SparkEntry.queries("asof_join_native")(spark, dir))
-    org.apache.spark.sql.graft.Bridge.addOptimization(
-      spark, graft.plans.RangeJoinRule(spark))
-    spark.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
-    try {
-      val clicks = graft.sources.Tables.load(spark, dir, "events")
-        .filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
-      val sessions = graft.ext.Events.sessionize(
-          graft.sources.Tables.load(spark, dir, "events"))
-        .select(col("user_id").as("s_user_id"), col("session_id"), col("start_us"),
-          (col("start_us") + col("duration_us")).as("end_us"))
-      dump("range_join_rule", clicks.join(sessions,
-        clicks("user_id") === sessions("s_user_id") &&
-          clicks("ts_us") >= sessions("start_us") &&
-          clicks("ts_us") <= sessions("end_us")))
-    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    Files.createDirectories(Paths.get(outDir))
+    graft.SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+          println(s"[plan] $name ok")
+        } catch { case e: Throwable =>
+          println(s"[plan] $name FAILED: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }
