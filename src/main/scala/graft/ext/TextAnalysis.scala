@@ -665,15 +665,24 @@ object TextAnalysis {
     * batch symbol), so one pass equals applying the rules one-by-one.
     */
   private def bpeApply(vocab: DataFrame, batch: Seq[(String, String)]): DataFrame =
-    vocab.withColumn("syms",
-      aggregate(split(col("syms"), " "), lit(""), (acc, x) => {
-        val fused = batch.foldRight(concat(acc, lit(" "), x): org.apache.spark.sql.Column) {
-          case ((a, b), rest) =>
-            when(x === lit(b) && (acc === lit(a) || acc.endsWith(lit(" " + a))),
-              concat(acc, x)).otherwise(rest)
-        }
-        when(acc === lit(""), x).otherwise(fused)
-      }))
+    bpeApplyAll(vocab, Seq(batch))
+
+  /** A whole merge SCHEDULE applied in one native expression
+    * ([[graft.functions.BpeApply]] — r16 optimization: the HOF
+    * `aggregate` fold was interpreted per symbol with a kBatch-deep
+    * when-chain, and the encode replay stacked one such projection per
+    * pass; identical pinned greedy procedure, spec-pinned
+    * differentially in VecQuantSpec).
+    */
+  private def bpeApplyAll(
+      vocab: DataFrame, passes: Seq[Seq[(String, String)]]): DataFrame = {
+    graft.functions.GraftFunctions.register(vocab.sparkSession)
+    val nonEmpty = passes.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) vocab
+    else vocab.withColumn("syms",
+      call_function("graft_bpe_apply", col("syms"),
+        typedLit(nonEmpty.map(_.map(_._1))), typedLit(nonEmpty.map(_.map(_._2)))))
+  }
 
   /** Shared trainer core: the merge table plus the final folded
     * word-frequency symbol table (`freq`, `syms`).
@@ -1059,7 +1068,7 @@ object TextAnalysis {
     val oovSeed = chunks.select(col("w")).distinct()
       .join(vocab.select(col("w")), Seq("w"), "left_anti")
       .withColumn("syms", concat_ws(" ", split(col("w"), "")))
-    val oovEnc = mergesByPass.foldLeft(oovSeed)((df, batch) => bpeApply(df, batch))
+    val oovEnc = bpeApplyAll(oovSeed, mergesByPass)
       .select(col("w"),
         size(split(col("syms"), " ")).cast("long").as("n_tok"),
         length(col("w")).cast("long").as("n_chr"),

@@ -83,6 +83,7 @@ object GraftFunctions {
       (args => QRotate(args(0), args(1), args(2), args(3), args(4))),
     "graft_nearest" -> (args => NearestCandidate(args(0), args(1), args(2))),
     "graft_pq_encode" -> (args => PqEncode(args(0), args(1), args(2))),
+    "graft_bpe_apply" -> (args => BpeApply(args(0), args(1), args(2))),
     "graft_hamming" -> (args => StringHamming(args(0), args(1))),
     "graft_bloom_might_contain" -> (args => BloomMightContain(args(0), args(1))),
     "graft_zorder" -> (args => ZOrderInterleave(args(0), args(1))),

