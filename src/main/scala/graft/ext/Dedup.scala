@@ -1075,9 +1075,14 @@ object Dedup {
       docs: DataFrame, w: Int = 5, wideKeys: Boolean = false): DataFrame = {
     require(w >= 1, s"span width must be >= 1, got $w")
     import graft.ext.TextPrimitives.{shingles, tokens}
-    val toks = docs.select(col("doc_id"),
+    // widen: tokenize/shingle/md5 per row is the stage cost, and a
+    // sub-openCost corpus file scans as ONE task (r16 measurement:
+    // 6.5 s of a 6.7 s key in 2-task jobs on local[32]) — the
+    // established Scale.widen discipline, a no-op on wide scans
+    val wdocs = Scale.widen(docs)
+    val toks = wdocs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val occ = docs
+    val occ = wdocs
       .select(col("doc_id"),
         posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), spanKey(col("g"), wideKeys).as("h"))
@@ -1089,7 +1094,7 @@ object Dedup {
     val excised = occ.join(firsts, Seq("h"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"))
-    exciseTail(docs, toks, excised, w)
+    exciseTail(wdocs, toks, excised, w)
   }
 
   /** WITHIN-document repetition excision — the complementary
@@ -1112,9 +1117,10 @@ object Dedup {
   def repetitionExcise(docs: DataFrame, w: Int = 5, wideKeys: Boolean = false): DataFrame = {
     require(w >= 1, s"span width must be >= 1, got $w")
     import graft.ext.TextPrimitives.{shingles, tokens}
-    val toks = docs.select(col("doc_id"),
+    val wdocs = Scale.widen(docs) // see spanExcise's widen note
+    val toks = wdocs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val occ = docs
+    val occ = wdocs
       .select(col("doc_id"),
         posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), spanKey(col("g"), wideKeys).as("h"))
@@ -1123,7 +1129,7 @@ object Dedup {
       .withColumn("rk", row_number().over(byDocKey.orderBy(col("pos"))))
       .filter(col("rk") >= 2)
       .select(col("doc_id"), col("pos"))
-    exciseTail(docs, toks, excised, w)
+    exciseTail(wdocs, toks, excised, w)
   }
 
   /** Shared excision tail of [[spanExcise]] and [[repetitionExcise]]:
@@ -1179,7 +1185,7 @@ object Dedup {
   private[graft] def spanKeys(
       docs: DataFrame, w: Int, wideKeys: Boolean = false): DataFrame = {
     import graft.ext.TextPrimitives.{shingles, tokens}
-    docs
+    Scale.widen(docs) // see spanExcise's widen note
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), w)).as("g"))
       .select(col("doc_id"), spanKey(col("g"), wideKeys).as("h"))
@@ -1202,7 +1208,7 @@ object Dedup {
     */
   def spanKeyCollisionAudit(docs: DataFrame, w: Int = 5): DataFrame = {
     import graft.ext.TextPrimitives.{shingles, tokens}
-    val spans = docs
+    val spans = Scale.widen(docs) // see spanExcise's widen note
       .select(explode(shingles(tokens(col("text")), w)).as("g"))
       .distinct()
     spans

@@ -554,21 +554,21 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
   /** documents → real PNG payloads (map-only; payload never shuffles). */
   def pngFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Scale.widen(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => BmpRecord(id, encodePng(id))))
   }
 
   /** documents → real JPEG payloads (map-only; payload never shuffles). */
   def jpegFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Scale.widen(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => BmpRecord(id, encodeJpeg(id))))
   }
 
   /** documents → real GIF payloads (map-only; payload never shuffles). */
   def gifFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Scale.widen(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => BmpRecord(id, encodeGif(id))))
   }
 
@@ -579,7 +579,7 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
     */
   def gifWithPerturbedTwins(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Scale.widen(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         Iterator(
           BmpRecord(id, encodeGif(id)),
@@ -592,7 +592,7 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
     */
   def pngWithPerturbedTwins(docs: DataFrame)(implicit spark: SparkSession): Dataset[BmpRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Scale.widen(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         Iterator(
           BmpRecord(id, encodePng(id)),
@@ -683,7 +683,7 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
       tolMilli: Long,
       batchSize: Int = 64)(implicit spark: SparkSession): Dataset[JpegQc] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    Scale.widen(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { id =>
         val jpeg = encodeJpeg(id)
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
@@ -728,7 +728,7 @@ object Multimodal extends MediaCodecs with MultimodalPhash with MediaStaging
       maxHamming: Int = 10,
       batchSize: Int = 64)(implicit spark: SparkSession): Dataset[JpegPhashQc] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    Scale.widen(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { id =>
         val hBmp = dhashFromBytes(id, encodeBmp(id))
         val hCtl = dhashFromBytes(id + 1000000L, encodeBmp(id + 1000000L))

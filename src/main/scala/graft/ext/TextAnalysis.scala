@@ -44,7 +44,7 @@ object TextAnalysis {
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     val punctRatio = nPunct.cast("double") / length(col("text")).cast("double")
     val meanTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok.cast("double")
-    docs.select(
+    Scale.widen(docs).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       nStop.as("n_stopwords"),
@@ -208,6 +208,7 @@ object TextAnalysis {
     * scan speed like the rest of the text layer.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
+    // widen: regex/array work per row on a possibly-1-split scan (r16)
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     // tokens are single-space separated: total token chars = len - (n-1)
@@ -217,7 +218,7 @@ object TextAnalysis {
     val nDistinct = size(array_distinct(toks)).cast("long")
     val maxTokLen = coalesce(array_max(transform(toks, t => length(t))), lit(0))
       .cast("long")
-    docs.select(
+    Scale.widen(docs).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       (nTok >= 50 && nTok <= 100000).as("r_word_count"),
@@ -360,7 +361,7 @@ object TextAnalysis {
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    val tf = Scale.widen(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -379,7 +380,7 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(
+    Scale.widen(docs).select(
       col("doc_id"),
       md5(col("text")).as("content_md5"),
       coalesce(array_min(transform(shingles(tokens(col("text")), k), x => md5(x))), lit(""))

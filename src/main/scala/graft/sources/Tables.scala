@@ -12,9 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
+  /** Inferred-schema cache, keyed by path (r16 optimization). Schema
+    * inference reads a parquet footer through a 1-task Spark job; the
+    * 354-key bench paid that job ~1000 times for the same few
+    * immutable table files. This caches METADATA ONLY — every read
+    * still lists and scans the parquet files at action time, so no
+    * result or data is ever reused across invocations (a table's
+    * CONTENT can change freely between reads; only a mid-process
+    * schema change at the same path would be stale, which no flow
+    * does: the generators write to fresh target dirs).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsToNanosLong(spark.read.parquet(path))
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    tsToNanosLong(spark.read.schema(schema).parquet(path))
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
